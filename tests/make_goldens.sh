@@ -1,0 +1,35 @@
+#!/bin/bash
+# Regenerate golden outputs from the reference minimap2 binary.
+# Usage: MM2=/tmp/mm2build/minimap2 bash tests/make_goldens.sh
+# Goldens are the parity spec: byte-level targets for the TPU framework.
+set -euo pipefail
+MM2=${MM2:-/tmp/mm2build/minimap2}
+D=$(dirname "$0")/data
+G=$(dirname "$0")/golden
+
+run() { # run <name> <args...>
+  local name=$1; shift
+  "$MM2" "$@" > "$G/$name.out" 2> "$G/$name.err" || true
+}
+
+# Canonical end-to-end checks (SURVEY.md §4)
+run mt-paf          -c --cs "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-sam          -a "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-sam-eqx      -a --eqx --MD "$D/MT-human.fa" "$D/MT-orang.fa"
+run t2-paf          -cx splice -k14 -w4 -m10 -s10 "$D/t2.fa" "$D/q2.fa"
+run t2-sam          -ax splice -k14 -w4 -m10 -s10 "$D/t2.fa" "$D/q2.fa"
+run inv-paf         -c --cs "$D/t-inv.fa" "$D/q-inv.fa"
+run inv-sam         -a "$D/t-inv.fa" "$D/q-inv.fa"
+run x3s-splice-sam  -ax splice "$D/x3s-ref.fa" "$D/x3s-qry.fa"
+run x3s-splice-paf  -cx splice --cs "$D/x3s-ref.fa" "$D/x3s-qry.fa"
+cat "$D/MT-human.fa" "$D/MT-orang.fa" > "$D/MT-both.fa"
+run mt-ava          -x ava-ont "$D/MT-both.fa" "$D/MT-both.fa"
+run mt-asm          -cx asm20 "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-nocig        "$D/MT-human.fa" "$D/MT-orang.fa"
+
+# Intermediate goldens: deterministic debug dumps (single-threaded by design)
+run mt-seeds        -t1 --print-seeds "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-chains       -t1 --print-chains "$D/MT-human.fa" "$D/MT-orang.fa"
+run x3s-chains      -t1 -x splice --print-chains "$D/x3s-ref.fa" "$D/x3s-qry.fa"
+
+echo "goldens written to $G"
