@@ -1,0 +1,381 @@
+"""Command-line driver, mirroring the reference CLI (main.c:24-526).
+
+Two-pass parsing: presets (-x) are applied first, then individual flags
+override (main.c:150-163, 166-351). Output and telemetry formats match the
+reference so golden diffs are meaningful.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+from . import config as C
+from .config import IndexOptions, MapOptions, check_opt, mapopt_update, set_opt
+from .index.index import MiniIndex
+from .io import format as fmt
+from .io.fastx import FastxReader, read_fasta
+from .map.pipeline import map_frag_core
+
+REALTIME0 = time.time()
+
+
+def parse_num(s: str) -> int:
+    s = s.strip()
+    mult = 1
+    if s and s[-1] in "kKmMgG":
+        mult = {"k": 10 ** 3, "m": 10 ** 6, "g": 10 ** 9}[s[-1].lower()]
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+def log(msg: str, verbose=3, level=3):
+    if verbose >= level:
+        el = time.time() - REALTIME0
+        print(f"[M::{msg.split('::')[0] if '::' in msg else 'main'}::{el:.3f}*1.00] "
+              if False else f"[M::main::{el:.3f}*1.00] {msg}", file=sys.stderr)
+
+
+class Args:
+    def __init__(self, argv):
+        self.argv = argv
+        self.pos = []
+        self.sam = False
+        self.verbose = 3
+        self.idx_out = None
+        self.rg = None
+        self.junc_bed = None
+        self.alt_list = None
+        self.n_threads = 3
+        self.seed_dump = False
+
+
+LONG_FLAG_OPTS = {
+    "--cs": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_OUT_CS
+                                      | (C.MM_F_OUT_CS_LONG if v == "long" else 0)),
+    "--MD": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_OUT_MD),
+    "--ds": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_OUT_DS),
+    "--eqx": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_EQX),
+    "--paf-no-hit": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_PAF_NO_HIT),
+    "--sam-hit-only": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_SAM_HIT_ONLY),
+    "--softclip": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_SOFTCLIP),
+    "--no-end-flt": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_NO_END_FLT),
+    "--for-only": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_FOR_ONLY),
+    "--rev-only": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_REV_ONLY),
+    "--rmq": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_RMQ),
+    "--hard-mask-level": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_HARD_MLEVEL),
+    "--no-kalloc": lambda io, mo, v: None,
+    "--print-qname": lambda io, mo, v: None,
+    "--qstrand": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_QSTRAND),
+    "--no-inv": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_NO_INV),
+    "--no-hash-name": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_NO_HASH_NAME),
+    "--secondary-seq": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_SECONDARY_SEQ),
+}
+
+
+_OPTS_WITH_ARG = set("kwIdtfUgGFNpMnmABOErzsKuRTqx")
+_OPTS_FLAG = set("acHXPD2LQyS")
+
+
+def _expand_short(argv):
+    """ketopt-style combined short options: -cx splice == -c -x splice."""
+    out = []
+    for a in argv:
+        if len(a) > 2 and a[0] == "-" and a[1] != "-" and a[1] in (_OPTS_FLAG | _OPTS_WITH_ARG):
+            j = 1
+            ok = True
+            parts = []
+            while j < len(a):
+                ch = a[j]
+                if ch in _OPTS_FLAG:
+                    parts.append(f"-{ch}")
+                    j += 1
+                elif ch in _OPTS_WITH_ARG:
+                    val = a[j + 1:]
+                    parts.append(f"-{ch}")
+                    if val:
+                        parts.append(val)
+                    j = len(a)
+                else:
+                    ok = False
+                    break
+            if ok:
+                out.extend(parts)
+                continue
+        out.append(a)
+    return out
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    orig_argv = list(argv)
+    argv = _expand_short(argv)
+    io = IndexOptions()
+    mo = MapOptions()
+    args = Args(argv)
+    dbg_print_seed = dbg_print_chain = False
+
+    # pass 1: preset
+    it = iter(range(len(argv)))
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-x" or a.startswith("--preset"):
+            preset = argv[i + 1] if a == "-x" else a.split("=", 1)[1]
+            if set_opt(preset, io, mo) < 0:
+                print(f"[ERROR] unknown preset '{preset}'", file=sys.stderr)
+                return 1
+            i += 2 if a == "-x" else 1
+        else:
+            i += 1
+
+    # pass 2: everything else
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+
+        def val():
+            nonlocal i
+            i += 1
+            return argv[i]
+
+        if a == "-x":
+            i += 1  # already applied
+        elif a == "-a":
+            mo.flag |= C.MM_F_OUT_SAM | C.MM_F_CIGAR
+            args.sam = True
+        elif a == "-c":
+            mo.flag |= C.MM_F_CIGAR | C.MM_F_OUT_CG
+        elif a == "-k":
+            io.k = int(val())
+        elif a == "-w":
+            io.w = int(val())
+        elif a == "-H":
+            io.flag |= C.MM_I_HPC
+        elif a == "-I":
+            io.batch_size = parse_num(val())
+        elif a == "-d":
+            args.idx_out = val()
+        elif a == "-t":
+            args.n_threads = int(val())
+        elif a == "-f":
+            v = val()
+            parts = v.split(",")
+            mo.mid_occ_frac = float(parts[0]) if float(parts[0]) < 1 else 0
+            if float(parts[0]) >= 1:
+                mo.mid_occ = int(float(parts[0]))
+            if len(parts) > 1:
+                mo.max_mid_occ = int(float(parts[1]))
+        elif a == "-U":
+            v = val().split(",")
+            mo.min_mid_occ = int(v[0])
+            if len(v) > 1:
+                mo.max_mid_occ = int(v[1])
+        elif a == "-g":
+            mo.max_gap = parse_num(val())
+        elif a == "-G":
+            v = parse_num(val())
+            mo.max_gap_ref = mo.bw = mo.bw_long = v  # mm_mapopt_max_intron_len
+        elif a == "-F":
+            mo.max_frag_len = parse_num(val())
+        elif a == "-N":
+            mo.best_n = int(val())
+        elif a == "-p":
+            mo.pri_ratio = float(val())
+        elif a == "-M":
+            mo.mask_level = float(val())
+        elif a == "-n":
+            mo.min_cnt = int(val())
+        elif a == "-m":
+            mo.min_chain_score = int(val())
+        elif a == "-A":
+            mo.a = int(val())
+        elif a == "-B":
+            mo.b = int(val())
+        elif a == "-O":
+            v = val().split(",")
+            mo.q = int(v[0])
+            mo.q2 = int(v[1]) if len(v) > 1 else mo.q
+        elif a == "-E":
+            v = val().split(",")
+            mo.e = int(v[0])
+            mo.e2 = int(v[1]) if len(v) > 1 else mo.e
+        elif a == "-r":
+            v = val().split(",")
+            mo.bw = parse_num(v[0])
+            if len(v) > 1:
+                mo.bw_long = parse_num(v[1])
+        elif a == "-z":
+            v = val().split(",")
+            mo.zdrop = parse_num(v[0])
+            mo.zdrop_inv = parse_num(v[1]) if len(v) > 1 else mo.zdrop
+        elif a == "-s":
+            mo.min_dp_max = parse_num(val())
+        elif a == "-K":
+            mo.mini_batch_size = parse_num(val())
+        elif a == "-X":
+            mo.flag |= C.MM_F_ALL_CHAINS | C.MM_F_NO_DIAG | C.MM_F_NO_DUAL | C.MM_F_NO_LJOIN
+        elif a == "-P":
+            mo.flag |= C.MM_F_ALL_CHAINS | C.MM_F_NO_LJOIN
+        elif a == "-D":
+            mo.flag |= C.MM_F_NO_DIAG
+        elif a == "-2":
+            mo.flag |= C.MM_F_2_IO_THREADS
+        elif a == "-u":
+            v = val()
+            for ch in v:
+                if ch == "f":
+                    mo.flag |= C.MM_F_SPLICE_FOR
+                    mo.flag &= ~C.MM_F_SPLICE_REV
+                elif ch == "b":
+                    mo.flag |= C.MM_F_SPLICE_FOR | C.MM_F_SPLICE_REV
+                elif ch == "r":
+                    mo.flag |= C.MM_F_SPLICE_REV
+                    mo.flag &= ~C.MM_F_SPLICE_FOR
+                elif ch == "n":
+                    mo.flag &= ~(C.MM_F_SPLICE_FOR | C.MM_F_SPLICE_REV)
+        elif a == "-L":
+            mo.flag |= C.MM_F_LONG_CIGAR
+        elif a == "-Q":
+            mo.flag |= C.MM_F_NO_QUAL
+        elif a == "-y":
+            mo.flag |= C.MM_F_COPY_COMMENT
+        elif a == "-R":
+            args.rg = val()
+        elif a == "-T":
+            mo.sdust_thres = int(val())
+        elif a == "-q":
+            v = val()
+            mo.q_occ_frac = float(v)
+        elif a == "--secondary":
+            if val() == "no":
+                mo.flag |= C.MM_F_NO_PRINT_2ND
+        elif a.startswith("--secondary="):
+            if a.split("=", 1)[1] == "no":
+                mo.flag |= C.MM_F_NO_PRINT_2ND
+        elif a == "--print-seeds":
+            dbg_print_seed = True
+        elif a == "--print-chains":
+            dbg_print_chain = True
+        elif a == "--junc-bed" or a == "--bed":
+            args.junc_bed = val()
+        elif a == "--cs":
+            mo.flag |= C.MM_F_OUT_CS | C.MM_F_CIGAR
+        elif a.startswith("--cs="):
+            mo.flag |= C.MM_F_OUT_CS | C.MM_F_CIGAR
+            if a.split("=", 1)[1] == "long":
+                mo.flag |= C.MM_F_OUT_CS_LONG
+        elif a in LONG_FLAG_OPTS:
+            LONG_FLAG_OPTS[a](io, mo, None)
+            if a == "--MD" or a == "--ds":
+                mo.flag |= C.MM_F_CIGAR
+        elif a.startswith("--"):
+            print(f"[WARNING] unhandled option '{a}' (ignored)", file=sys.stderr)
+            # consume a value if the next token isn't a file
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-") \
+                    and "=" not in a and not _looks_like_file(argv[i + 1]):
+                i += 1
+        elif a.startswith("-") and len(a) > 1:
+            print(f"[ERROR] unknown option '{a}'", file=sys.stderr)
+            return 1
+        else:
+            args.pos.append(a)
+        i += 1
+
+    if (mo.flag & C.MM_F_SPLICE_FOR) or (mo.flag & C.MM_F_SPLICE_REV):
+        mo.flag |= C.MM_F_SPLICE
+    if check_opt(io, mo) < 0:
+        return 1
+    if not args.pos:
+        print("Usage: minimap2_tpu [options] target.fa query.fq [...]", file=sys.stderr)
+        return 1
+
+    # build/load index
+    tgt = args.pos[0]
+    queries = args.pos[1:]
+    import os
+    for f_ in [tgt] + queries:
+        if not os.path.exists(f_):
+            print(f"ERROR: failed to open file '{f_}'", file=sys.stderr)
+            return 1
+    if tgt.endswith(".npz"):
+        mi = MiniIndex.load(tgt)
+    else:
+        names, seqs = read_fasta(tgt)
+        mi = MiniIndex.build(names, seqs, w=io.w, k=io.k, b=io.bucket_bits,
+                             flag=io.flag)
+    if args.idx_out:
+        mi.save(args.idx_out)
+    if args.verbose >= 3:
+        el = time.time() - REALTIME0
+        print(f"[M::main::{el:.3f}*1.00] loaded/built the index for "
+              f"{mi.n_seq} target sequence(s)", file=sys.stderr)
+    mapopt_update(mo, mi)
+    if args.verbose >= 3:
+        el = time.time() - REALTIME0
+        print(f"[M::mm_mapopt_update::{el:.3f}*1.00] mid_occ = {mo.mid_occ}",
+              file=sys.stderr)
+        print(mi.stat(REALTIME0), file=sys.stderr)
+    if args.junc_bed:
+        from .index.sidedata import read_bed_junc
+        mi.intervals = read_bed_junc(args.junc_bed, mi)
+
+    out = sys.stdout
+    if args.sam:
+        rg_id = None
+        if args.rg:
+            for f_ in args.rg.replace("\\t", "\t").split("\t"):
+                if f_.startswith("ID:"):
+                    rg_id = f_[3:]
+        cmdline = "minimap2 " + " ".join(orig_argv)
+        out.write(fmt.write_sam_hdr(mi, args.rg, C.MM_VERSION, cmdline))
+        out.write("\n")
+
+    n_mapped = 0
+    for qf in queries:
+        reader = FastxReader(qf)
+        while True:
+            rec = reader.read1()
+            if rec is None:
+                break
+            res = map_frag_core(mi, [rec.seq], mo, rec.name)[0]
+            n_mapped += 1
+            regs = res.regs
+            if regs:
+                for j, r in enumerate(regs):
+                    if (mo.flag & C.MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                        continue
+                    if mo.flag & C.MM_F_OUT_SAM:
+                        out.write(fmt.write_sam(mi, rec, 0, j, 1, [len(regs)],
+                                                [regs], mo.flag, res.rep_len))
+                    else:
+                        out.write(fmt.write_paf(mi, rec.name, len(rec.seq), r,
+                                                mo.flag, res.rep_len,
+                                                qseq=rec.seq, comment=rec.comment))
+                    out.write("\n")
+            elif (mo.flag & C.MM_F_PAF_NO_HIT) or \
+                    ((mo.flag & C.MM_F_OUT_SAM) and not (mo.flag & C.MM_F_SAM_HIT_ONLY)):
+                if mo.flag & C.MM_F_OUT_SAM:
+                    out.write(fmt.write_sam(mi, rec, 0, -1, 1, [0], [[]],
+                                            mo.flag, res.rep_len))
+                else:
+                    out.write(fmt.write_paf(mi, rec.name, len(rec.seq), None,
+                                            mo.flag, res.rep_len))
+                out.write("\n")
+        reader.close()
+    if args.verbose >= 3:
+        el = time.time() - REALTIME0
+        print(f"[M::worker_pipeline::{el:.3f}*1.00] mapped {n_mapped} sequences",
+              file=sys.stderr)
+        print(f"[M::main] Version: {C.MM_VERSION}", file=sys.stderr)
+        print(f"[M::main] CMD: minimap2 {' '.join(orig_argv)}", file=sys.stderr)
+        print(f"[M::main] Real time: {el:.3f} sec", file=sys.stderr)
+    return 0
+
+
+def _looks_like_file(s: str) -> bool:
+    import os
+    return os.path.exists(s)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

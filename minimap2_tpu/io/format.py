@@ -22,24 +22,10 @@ def _fmt_div(div: float) -> str:
     return f"{div:.4f}"
 
 
-def event_identity(r: Reg) -> float:
-    """mm_event_identity (format.c / mmpriv): 1 - (#events / blen)."""
-    if r.p is None:
-        return -1.0
-    return float(r.mlen) / r.blen if r.blen > 0 else 0.0
-
-
 def _event_identity_ref(r: Reg) -> float:
-    """format.c mm_event_identity: blen-normalized gap-compressed identity."""
-    if r.p is None:
-        return -1.0
-    n_gap = 0
-    n_gapo = 0
-    n_diff = 0
-    mlen = r.mlen
-    # identity from cigar + dp stats computed during alignment (set there)
-    return r.p._event_identity if hasattr(r.p, "_event_identity") else \
-        (float(mlen) / r.blen if r.blen else 0.0)
+    """mm_event_identity (align.c:997-1003)."""
+    from ..map.align_engine import event_identity
+    return event_identity(r)
 
 
 def write_tags(out: list[str], r: Reg) -> None:
@@ -102,4 +88,206 @@ def write_paf(mi, qname: str, qlen: int, r: Reg | None, opt_flag: int,
                                   is_qstrand=bool(opt_flag & MM_F_QSTRAND)))
     if (opt_flag & MM_F_COPY_COMMENT) and comment:
         out.append(f"\t{comment}")
+    return "".join(out)
+
+
+_COMP_TRANS = bytes.maketrans(b"ACGTUacgtuRYSWKMBDHVryswkmbdhvNn",
+                              b"TGCAAtgcaaYRSWMKVHDByrswmkvhdbNn")
+
+
+def _sq(seq: bytes, rev: bool, comp: bool) -> str:
+    if rev:
+        seq = seq[::-1]
+        if comp:
+            seq = seq.translate(_COMP_TRANS)
+    return seq.decode()
+
+
+def write_sam_hdr(mi, rg: str | None, ver: str, cmdline: str | None) -> str:
+    """mm_write_sam_hdr (format.c:118-140)."""
+    out = ["@HD\tVN:1.6\tSO:unsorted\tGO:query\n"]
+    if mi is not None:
+        for s in mi.seq:
+            out.append(f"@SQ\tSN:{s.name}\tLN:{s.length}\n")
+    if rg:
+        out.append(rg.replace("\\t", "\t") + "\n")
+    out.append("@PG\tID:minimap2\tPN:minimap2")
+    if ver:
+        out.append(f"\tVN:{ver}")
+    if cmdline:
+        out.append(f"\tCL:{cmdline}")
+    return "".join(out)
+
+
+def _sam_cigar(r: Reg, sam_flag: int, qlen: int, opt_flag: int) -> str:
+    """write_sam_cigar (format.c:494-520), not in-tag."""
+    if r.p is None:
+        return "*"
+    clip0 = qlen - r.qe if r.rev else r.qs
+    clip1 = r.qs if r.rev else qlen - r.qe
+    hard = (((sam_flag & 0x800) or ((sam_flag & 0x100) and (opt_flag & MM_F_SECONDARY_SEQ)))
+            and not (opt_flag & MM_F_SOFTCLIP))
+    cc = "H" if hard else "S"
+    out = []
+    if clip0:
+        out.append(f"{clip0}{cc}")
+    for c in r.p.cigar:
+        out.append(f"{c >> 4}{MM_CIGAR_STR[c & 0xF]}")
+    if clip1:
+        out.append(f"{clip1}{cc}")
+    return "".join(out)
+
+
+def write_sam(mi, rec, seg_idx: int, reg_idx: int, n_seg: int,
+              n_regss: list[int], regss: list[list[Reg]], opt_flag: int,
+              rep_len: int, rg_id: str | None = None) -> str:
+    """mm_write_sam3 (format.c:522-679)."""
+    from .fastx import qname_len
+    n_regs = n_regss[seg_idx]
+    regs = regss[seg_idx]
+    r = regs[reg_idx] if (n_regs > 0 and 0 <= reg_idx < n_regs) else None
+    r_prev = r_next = None
+    if n_seg > 1:
+        next_sid = (seg_idx + 1) % n_seg
+        r_next = next((q for q in regss[next_sid] if q.sam_pri), None)
+        if n_seg > 2:
+            for i in range(1, n_seg):
+                prev_sid = (seg_idx + n_seg - i) % n_seg
+                if n_regss[prev_sid] > 0:
+                    r_prev = next((q for q in regss[prev_sid] if q.sam_pri), None)
+                    break
+        else:
+            r_prev = r_next
+
+    out = []
+    name = rec.name
+    if n_seg > 1:
+        name = name[:qname_len(name)]
+    out.append(name)
+
+    flag = 0x1 if n_seg > 1 else 0x0
+    if r is None:
+        flag |= 0x4
+    else:
+        if r.rev:
+            flag |= 0x10
+        if r.parent != r.id:
+            flag |= 0x100
+        elif not r.sam_pri:
+            flag |= 0x800
+    if n_seg > 1:
+        if r is not None and r.proper_frag:
+            flag |= 0x2
+        if seg_idx == 0:
+            flag |= 0x40
+        elif seg_idx == n_seg - 1:
+            flag |= 0x80
+        if r_next is None:
+            flag |= 0x8
+        elif r_next.rev:
+            flag |= 0x20
+    out.append(f"\t{flag}")
+
+    this_rid = this_pos = -1
+    if r is None:
+        if r_prev is not None:
+            this_rid, this_pos = r_prev.rid, r_prev.rs
+            out.append(f"\t{mi.seq[this_rid].name}\t{this_pos + 1}\t0\t*")
+        else:
+            out.append("\t*\t0\t0\t*")
+    else:
+        this_rid, this_pos = r.rid, r.rs
+        out.append(f"\t{mi.seq[r.rid].name}\t{r.rs + 1}\t{r.mapq}\t")
+        out.append(_sam_cigar(r, flag, len(rec.seq), opt_flag))
+
+    if n_seg > 1:
+        tlen = 0
+        if this_rid >= 0 and r_next is not None:
+            if this_rid == r_next.rid:
+                if r is not None:
+                    this_pos5 = r.re - 1 if r.rev else this_pos
+                    next_pos5 = r_next.re - 1 if r_next.rev else r_next.rs
+                    tlen = next_pos5 - this_pos5
+                out.append("\t=\t")
+            else:
+                out.append(f"\t{mi.seq[r_next.rid].name}\t")
+            out.append(f"{r_next.rs + 1}\t")
+        elif r_next is not None:
+            out.append(f"\t{mi.seq[r_next.rid].name}\t{r_next.rs + 1}\t")
+        elif this_rid >= 0:
+            out.append(f"\t=\t{this_pos + 1}\t")
+        else:
+            out.append("\t*\t0\t")
+        if tlen > 0:
+            tlen += 1
+        elif tlen < 0:
+            tlen -= 1
+        out.append(f"{tlen}\t")
+    else:
+        out.append("\t*\t0\t0\t")
+
+    qual = rec.qual if (rec.qual and not (opt_flag & 0x010)) else None
+    if r is None:
+        out.append(_sq(rec.seq, False, False))
+        out.append("\t")
+        out.append(_sq(qual, False, False) if qual else "*")
+    else:
+        if (flag & 0x900) == 0 or (opt_flag & MM_F_SOFTCLIP):
+            out.append(_sq(rec.seq, r.rev, r.rev))
+            out.append("\t")
+            out.append(_sq(qual, r.rev, False) if qual else "*")
+        elif (flag & 0x100) and not (opt_flag & MM_F_SECONDARY_SEQ):
+            out.append("*\t*")
+        else:
+            out.append(_sq(rec.seq[r.qs:r.qe], r.rev, r.rev))
+            out.append("\t")
+            out.append(_sq(qual[r.qs:r.qe], r.rev, False) if qual else "*")
+
+    if rg_id:
+        out.append(f"\tRG:Z:{rg_id}")
+    if n_seg > 2:
+        out.append(f"\tFI:i:{seg_idx}")
+    if r is not None:
+        write_tags(out, r)
+        if r.parent == r.id and r.p is not None and n_regs > 1:
+            sa = []
+            for q in regs:
+                if q is r or q.parent != q.id or q.p is None:
+                    continue
+                if q.qe - q.qs < q.re - q.rs:
+                    l_M = q.qe - q.qs
+                    l_D = (q.re - q.rs) - l_M
+                    l_I = 0
+                else:
+                    l_M = q.re - q.rs
+                    l_I = (q.qe - q.qs) - l_M
+                    l_D = 0
+                clip5 = len(rec.seq) - q.qe if q.rev else q.qs
+                clip3 = q.qs if q.rev else len(rec.seq) - q.qe
+                part = [f"{mi.seq[q.rid].name},{q.rs + 1},{'+-'[q.rev]},"]
+                if clip5:
+                    part.append(f"{clip5}S")
+                if l_M:
+                    part.append(f"{l_M}M")
+                if l_I:
+                    part.append(f"{l_I}I")
+                if l_D:
+                    part.append(f"{l_D}D")
+                if clip3:
+                    part.append(f"{clip3}S")
+                part.append(f",{q.mapq},{q.blen - q.mlen + q.p.n_ambi};")
+                sa.append("".join(part))
+            if sa:
+                out.append("\tSA:Z:" + "".join(sa))
+        if r.p is not None and (opt_flag & (MM_F_OUT_CS | MM_F_OUT_DS | MM_F_OUT_MD)):
+            from .tags import write_cs_ds_md
+            out.append(write_cs_ds_md(mi, rec.name, rec.seq, r,
+                                      no_iden=not (opt_flag & MM_F_OUT_CS_LONG),
+                                      is_MD=bool(opt_flag & MM_F_OUT_MD),
+                                      is_ds=bool(opt_flag & MM_F_OUT_DS),
+                                      write_tag=True, is_qstrand=False))
+    if rep_len >= 0:
+        out.append(f"\trl:i:{rep_len}")
+    if (opt_flag & MM_F_COPY_COMMENT) and rec.comment:
+        out.append(f"\t{rec.comment}")
     return "".join(out)

@@ -144,6 +144,30 @@ def _alt_score(score: int, alt_diff_frac: float) -> int:
     return score if score > 0 else 1
 
 
+def split_reg(r: Reg, n: int, qlen: int, ax, ay, is_qstrand: bool) -> Reg | None:
+    """mm_split_reg (hit.c:106-123): split r at anchor n; returns the tail reg."""
+    if n <= 0 or n >= r.cnt:
+        return None
+    import copy
+    r2 = copy.copy(r)
+    r2.id = -1
+    r2.sam_pri = False
+    r2.p = None
+    r2.split_inv = False
+    r2.cnt = r.cnt - n
+    r2.score = int(np.float32(r.score) * (np.float32(r2.cnt) / np.float32(r.cnt)) + np.float32(0.499))
+    r2.as_ = r.as_ + n
+    if r.parent == r.id:
+        r2.parent = MM_PARENT_TMP_PRI
+    reg_set_coor(r2, qlen, ax, ay, is_qstrand)
+    r.cnt -= r2.cnt
+    r.score -= r2.score
+    reg_set_coor(r, qlen, ax, ay, is_qstrand)
+    r.split |= 1
+    r2.split |= 2
+    return r2
+
+
 def set_parent(regs: list[Reg], mask_level: float, mask_len: int,
                sub_diff: int, hard_mask_level: bool, alt_diff_frac: float) -> None:
     """hit.c:125-186."""
