@@ -174,7 +174,7 @@ def fix_cigar(r: Reg, qseq, tseq):
                 for kk in range(k + 2, l):
                     cig[kk] &= 0xF
                 to_shrink = True
-            k = l
+            k = l + 1  # C: k = l inside the body, then the for-loop ++k
         else:
             k += 1
     if to_shrink:

@@ -56,3 +56,32 @@ def test_mt_sam_eqx_md():
 @pytest.mark.slow
 def test_mt_asm20_rmq():
     check(["-cx", "asm20", f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"], "mt-asm.out")
+
+
+def test_x3s_splice_sam():
+    check(["-ax", "splice", f"{DATA}/x3s-ref.fa", f"{DATA}/x3s-qry.fa"],
+          "x3s-splice-sam.out")
+
+
+def test_x3s_splice_paf_cs():
+    check(["-cx", "splice", "--cs", f"{DATA}/x3s-ref.fa", f"{DATA}/x3s-qry.fa"],
+          "x3s-splice-paf.out")
+
+
+def test_t2_splice_paf():
+    check(["-cx", "splice", "-k14", "-w4", "-m10", "-s10",
+           f"{DATA}/t2.fa", f"{DATA}/q2.fa"], "t2-paf.out")
+
+
+def test_t2_splice_sam():
+    check(["-ax", "splice", "-k14", "-w4", "-m10", "-s10",
+           f"{DATA}/t2.fa", f"{DATA}/q2.fa"], "t2-sam.out")
+
+
+@pytest.mark.slow
+def test_mt_ava_ont():
+    check(["-x", "ava-ont", f"{DATA}/MT-both.fa", f"{DATA}/MT-both.fa"], "mt-ava.out")
+
+
+def test_mt_nocig():
+    check([f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"], "mt-nocig.out")
