@@ -215,7 +215,9 @@ def _extd2_kernel(lens_ref, srow_ref, p_ref, ez_ref,
         u32 = u_out
 
         def lane_val(vec, li):
-            return jnp.sum(jnp.where(lane == li, vec, 0))
+            # dtype pinned: under jax_enable_x64 the default accumulator
+            # would be i64, which Mosaic cannot lower
+            return jnp.sum(jnp.where(lane == li, vec, 0), dtype=jnp.int32)
 
         en0l = en0 - st
         h_en0 = jnp.where(en0 > 0,
@@ -284,6 +286,19 @@ def extd2_batch(qr, sf, lens, *, TP, QP, W, RB, R, q, e, q2, e2, w, zdrop,
     """Batched extd2. qr: (N, QP) uint8 reversed queries; sf: (N, TP) uint8
     targets; lens: (N, 2) int32 (qlen, tlen). Returns (p, ez): p (N, RC*RB, W)
     direction rows (window starts at host_band st); ez (N, EZ_N) int32."""
+    # Mosaic has no 64-bit support; under jax_enable_x64 weak-typed literals
+    # become i64 and the lowering recurses.  Force x32 semantics here.
+    with jax.enable_x64(False):
+        return _extd2_batch_x32(
+            qr, sf, lens, TP=TP, QP=QP, W=W, RB=RB, R=R, q=q, e=e, q2=q2,
+            e2=e2, w=w, zdrop=zdrop, right_mode=right_mode, sc_mch=sc_mch,
+            sc_mis=sc_mis, sc_N=sc_N, with_cigar=with_cigar,
+            interpret=interpret)
+
+
+def _extd2_batch_x32(qr, sf, lens, *, TP, QP, W, RB, R, q, e, q2, e2, w,
+                     zdrop, right_mode, sc_mch, sc_mis, sc_N, with_cigar,
+                     interpret):
     N = qr.shape[0]
     RC = (R + RB - 1) // RB
     RT = RC * RB

@@ -1,0 +1,638 @@
+"""Device-batched mapping step: the TPU-throughput path.
+
+This module is the batched analogue of map/pipeline.py (the host,
+reference-exact path).  One `map_batch` call runs sketch -> seed lookup ->
+anchor sort -> chain DP -> banded extension for a whole (B, L) mega-batch of
+reads entirely on device, with fixed shapes throughout.  It is the unit the
+parallel layer shards over a `jax.sharding.Mesh`:
+
+  * reads are data-parallel over the 'data' mesh axis (the analogue of the
+    reference's kt_for over fragments, kthread.c:54-72);
+  * the minimizer index may be sharded over the 'idx' axis (the analogue of
+    the reference's multi-part index, index.c:621-635), with per-read anchors
+    merged by an all_gather over 'idx' -- the reference's merge_hits
+    (map.c:476-539) re-expressed as a collective;
+  * mapping-rate statistics aggregate with psum (the only cross-device
+    reduction; nothing else leaves a shard on the hot path).
+
+Numerics follow the reference: hash64 (sketch.c:28-38) for minimizer hashing,
+comput_sc with the mg_log2 fast-log penalty (lchain.c:113-138, mmpriv.h:139)
+for chaining, and the extd2 Pallas kernel (ops/extend_pallas.py) for base
+extension.  The device chaining scan uses a fixed look-back window (the
+reference's own max_iter/max_skip heuristics bound its scan the same way).
+
+64-bit values (minimizer hashes, index keys) are carried as (hi, lo) uint32
+pairs: TPUs have no native 64-bit integer datapath (XLA emulates it), Mosaic
+cannot lower it at all, and the global jax_enable_x64 flag breaks Pallas
+lowering helpers -- so the framework never enables x64 and does its own
+pair arithmetic, which is also the faster layout on the VPU.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+U32 = jnp.uint32
+NEG_INF = jnp.int32(-0x40000000)
+UMAX64_NP = 0xFFFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# uint64 as (hi, lo) uint32 pairs
+# ---------------------------------------------------------------------------
+
+
+def _shl64(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    if s < 32:
+        return (hi << s) | (lo >> (32 - s)), lo << s
+    if s == 32:
+        return lo, jnp.zeros_like(lo)
+    return lo << (s - 32), jnp.zeros_like(lo)
+
+
+def _shr64(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    if s < 32:
+        return hi >> s, (lo >> s) | (hi << (32 - s))
+    if s == 32:
+        return jnp.zeros_like(hi), hi
+    return jnp.zeros_like(hi), hi >> (s - 32)
+
+
+def _add64(ahi, alo, bhi, blo):
+    lo = alo + blo
+    carry = (lo < alo).astype(U32)
+    return ahi + bhi + carry, lo
+
+
+def _lt64(ahi, alo, bhi, blo):
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def _le64(ahi, alo, bhi, blo):
+    return (ahi < bhi) | ((ahi == bhi) & (alo <= blo))
+
+
+def _min64(ahi, alo, bhi, blo):
+    t = _lt64(bhi, blo, ahi, alo)
+    return jnp.where(t, bhi, ahi), jnp.where(t, blo, alo)
+
+
+def hash64_pair(khi, klo, mask_hi: int, mask_lo: int):
+    """hash64 (sketch.c:28-38) on (hi, lo) uint32 pairs, bit-exact."""
+    mh, ml = jnp.uint32(mask_hi), jnp.uint32(mask_lo)
+
+    def band(hi, lo):
+        return hi & mh, lo & ml
+
+    # key = (~key + (key << 21)) & mask
+    shi, slo = _shl64(khi, klo, 21)
+    khi2, klo2 = _add64(~khi, ~klo, shi, slo)
+    khi, klo = band(khi2, klo2)
+    # key ^= key >> 24
+    shi, slo = _shr64(khi, klo, 24)
+    khi, klo = khi ^ shi, klo ^ slo
+    # key = (key + (key<<3) + (key<<8)) & mask
+    ahi, alo = _shl64(khi, klo, 3)
+    bhi, blo = _shl64(khi, klo, 8)
+    khi2, klo2 = _add64(khi, klo, ahi, alo)
+    khi2, klo2 = _add64(khi2, klo2, bhi, blo)
+    khi, klo = band(khi2, klo2)
+    # key ^= key >> 14
+    shi, slo = _shr64(khi, klo, 14)
+    khi, klo = khi ^ shi, klo ^ slo
+    # key = (key + (key<<2) + (key<<4)) & mask
+    ahi, alo = _shl64(khi, klo, 2)
+    bhi, blo = _shl64(khi, klo, 4)
+    khi2, klo2 = _add64(khi, klo, ahi, alo)
+    khi2, klo2 = _add64(khi2, klo2, bhi, blo)
+    khi, klo = band(khi2, klo2)
+    # key ^= key >> 28
+    shi, slo = _shr64(khi, klo, 28)
+    khi, klo = khi ^ shi, klo ^ slo
+    # key = (key + (key << 31)) & mask
+    shi, slo = _shl64(khi, klo, 31)
+    khi2, klo2 = _add64(khi, klo, shi, slo)
+    return band(khi2, klo2)
+
+
+def searchsorted_u64pair(khi, klo, qhi, qlo):
+    """Left insertion point of (qhi, qlo) into the lexicographically sorted
+    key pair arrays (vectorized binary search; index.c:93 analogue)."""
+    K = khi.shape[0]
+    lo = jnp.zeros(qhi.shape, jnp.int32)
+    hi = jnp.full(qhi.shape, K, jnp.int32)
+    for _ in range(max(1, (K + 1).bit_length())):
+        mid = (lo + hi) >> 1
+        midc = jnp.clip(mid, 0, K - 1)
+        less = _lt64(khi[midc], klo[midc], qhi, qlo) & (mid < hi)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+# ---------------------------------------------------------------------------
+# static parameters of a batched mapping step
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BatchParams:
+    """Fixed shapes + scoring for one compiled mapping step (map-ont-like).
+
+    The capacity fields are the XLA-shape analogues of the reference's own
+    caps: max_occ (options.c:69-83) -> occ_cap, max_iter (lchain.c:173) ->
+    chain_window, bw (options.c:24) -> band width w.
+    """
+    k: int = 15
+    w: int = 10
+    L: int = 2048          # max read length in batch
+    M: int = 512           # minimizer capacity per read
+    occ_cap: int = 16      # occurrences taken per seed (mid_occ analogue)
+    A: int = 1024          # anchor capacity per read
+    chain_window: int = 64 # chain DP look-back window (max_iter analogue)
+    # chaining scores (map-ont: chain_gap_scale=0.8, k=15)
+    max_dist_x: int = 5000
+    max_dist_y: int = 5000
+    bw: int = 500
+    chn_pen_gap: float = 0.8 * 0.01 * 15
+    chn_pen_skip: float = 0.0
+    # extension (map-ont: -A2 -B4 -O4,24 -E2,1, zdrop 400)
+    QP: int = 2048         # query segment capacity
+    TP: int = 2048         # target segment capacity
+    W: int = 640           # extension band lanes; must be >= ext_w + 32
+    ext_w: int = 500       # extension band half-width (map-ont bw)
+    sc_mch: int = 2
+    sc_mis: int = -4
+    gapo: int = 4
+    gape: int = 2
+    gapo2: int = 24
+    gape2: int = 1
+    zdrop: int = 400
+
+
+# ---------------------------------------------------------------------------
+# device index
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceIndex:
+    """Flat-tensor minimizer index resident in HBM (index.c:93-110 layout
+    re-expressed as sorted keys + offset/count + int32 position planes)."""
+
+    def __init__(self, keys_hi, keys_lo, starts, cnts, pos_rid, pos_rpos,
+                 pos_strand, S, seq_off, seq_len):
+        self.keys_hi = keys_hi      # (K,) u32 hi words, sorted (hi, lo) pairs
+        self.keys_lo = keys_lo      # (K,) u32 lo words, padded with UMAX
+        self.starts = starts        # (K,) i32 offsets into pos planes
+        self.cnts = cnts            # (K,) i32
+        self.pos_rid = pos_rid      # (P,) i32
+        self.pos_rpos = pos_rpos    # (P,) i32  last position of minimizer
+        self.pos_strand = pos_strand  # (P,) i32 0/1
+        self.S = S                  # (T,) u8 nt4 codes, concatenated refs
+        self.seq_off = seq_off      # (n_seq,) i32
+        self.seq_len = seq_len      # (n_seq,) i32
+
+    def tree_flatten(self):
+        return ((self.keys_hi, self.keys_lo, self.starts, self.cnts,
+                 self.pos_rid, self.pos_rpos, self.pos_strand, self.S,
+                 self.seq_off, self.seq_len), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def from_host(cls, mi, n_shards: int = 1, pad_pos_to: int | None = None):
+        """Build 1..n_shards DeviceIndex pytrees from a host MiniIndex.
+
+        Sharding is by contiguous key range (the capacity-sharding analogue of
+        the reference's multi-part index).  Each shard is padded to a common
+        size so shards can be stacked along a leading axis for shard_map.
+        """
+        K = len(mi.keys)
+        cnts_all = (mi.starts[1:] - mi.starts[:-1]).astype(np.int32)
+        bounds = [(i * K) // n_shards for i in range(n_shards + 1)]
+        kpad = max(1, max((bounds[i + 1] - bounds[i] for i in range(n_shards)),
+                          default=1))
+        shards = []
+        S = np.ascontiguousarray(mi.S if mi.S is not None
+                                 else np.zeros(1, np.uint8))
+        seq_off = np.array([s.offset for s in mi.seq] or [0], np.int32)
+        seq_len = np.array([s.length for s in mi.seq] or [0], np.int32)
+        ppad = pad_pos_to
+        if ppad is None:
+            ppad = max(1, max((int(mi.starts[bounds[i + 1]] - mi.starts[bounds[i]])
+                               for i in range(n_shards)), default=1))
+        for i in range(n_shards):
+            lo, hi = bounds[i], bounds[i + 1]
+            keys = np.full(kpad, UMAX64_NP, np.uint64)
+            keys[:hi - lo] = mi.keys[lo:hi]
+            khi = (keys >> np.uint64(32)).astype(np.uint32)
+            klo = keys.astype(np.uint32)
+            p0 = int(mi.starts[lo]) if K else 0
+            p1 = int(mi.starts[hi]) if K else 0
+            starts = np.zeros(kpad, np.int32)
+            cnts = np.zeros(kpad, np.int32)
+            starts[:hi - lo] = (mi.starts[lo:hi] - p0).astype(np.int32)
+            cnts[:hi - lo] = cnts_all[lo:hi]
+            pos = mi.pos[p0:p1]
+            pr = np.zeros(ppad, np.int32)
+            pp = np.zeros(ppad, np.int32)
+            ps = np.zeros(ppad, np.int32)
+            pr[:len(pos)] = (pos >> np.uint64(32)).astype(np.int32)
+            pp[:len(pos)] = ((pos & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int32)
+            ps[:len(pos)] = (pos & np.uint64(1)).astype(np.int32)
+            shards.append(cls(jnp.asarray(khi), jnp.asarray(klo),
+                              jnp.asarray(starts), jnp.asarray(cnts),
+                              jnp.asarray(pr), jnp.asarray(pp),
+                              jnp.asarray(ps), jnp.asarray(S),
+                              jnp.asarray(seq_off), jnp.asarray(seq_len)))
+        return shards
+
+
+# ---------------------------------------------------------------------------
+# device kernels (jnp)
+# ---------------------------------------------------------------------------
+
+
+def mg_log2_dev(x):
+    """mg_log2 (mmpriv.h:139-147), bit-exact float32."""
+    z = x.astype(jnp.float32)
+    zi = lax.bitcast_convert_type(z, jnp.uint32)
+    log2i = (((zi >> jnp.uint32(23)) & jnp.uint32(255)).astype(jnp.int32)
+             - 128).astype(jnp.float32)
+    zi = (zi & jnp.uint32(0x007FFFFF)) | jnp.uint32(127 << 23)
+    zf = lax.bitcast_convert_type(zi, jnp.float32)
+    return log2i + ((jnp.float32(-0.34484843) * zf + jnp.float32(2.02466578))
+                    * zf - jnp.float32(0.67487759))
+
+
+def device_sketch(codes, lens, k: int, w: int):
+    """Batched (w,k)-minimizer selection (sketch.c:77-143, non-HPC).
+
+    codes: (B, L) uint8 nt4 (4 = ambiguous / padding); lens: (B,) int32.
+    A position i holds the k-mer ending at i.  Returns (hhi, hlo, strand,
+    is_mini) with (hhi, hlo) = hash64(min(kf,kr)) as a u32 pair, strand =
+    kf >= kr.  Minimizer rule: a valid position is emitted iff its hash
+    equals the minimum of at least one full window of w positions -- the
+    same set as the reference's queued scan (ties included).
+    """
+    B, L = codes.shape
+    mask = (1 << (2 * k)) - 1
+    mask_hi, mask_lo = mask >> 32, mask & 0xFFFFFFFF
+    c = codes.astype(U32)
+    comp = jnp.where(codes < 4, (3 ^ codes).astype(U32), U32(0))
+    z0 = jnp.zeros((B, L), U32)
+    kf_hi = z0; kf_lo = z0
+    kr_hi = z0; kr_lo = z0
+    for j in range(k):  # static unroll: kmer[i] collects codes[i-k+1..i]
+        cj = jnp.pad(c, ((0, 0), (j, 0)))[:, :L]
+        pj = jnp.pad(comp, ((0, 0), (j, 0)))[:, :L]
+        shi, slo = _shl64(z0, cj, 2 * j)
+        kf_hi, kf_lo = kf_hi | shi, kf_lo | slo
+        shi, slo = _shl64(z0, pj, 2 * (k - 1 - j))
+        kr_hi, kr_lo = kr_hi | shi, kr_lo | slo
+    kf_hi = kf_hi & jnp.uint32(mask_hi)
+    kf_lo = kf_lo & jnp.uint32(mask_lo)
+    # validity: no ambiguous base among the k codes, position >= k-1, < len
+    amb = (codes >= 4).astype(jnp.int32)
+    camb = jnp.cumsum(amb, axis=1)
+    camb_k = jnp.pad(camb, ((0, 0), (k, 0)))[:, :L]
+    posi = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = (camb - camb_k == 0) & (posi >= k - 1) & (posi < lens[:, None])
+    sym = (kf_hi == kr_hi) & (kf_lo == kr_lo)
+    valid = valid & ~sym
+    z = ~_lt64(kf_hi, kf_lo, kr_hi, kr_lo)                    # kf >= kr
+    mh_hi = jnp.where(z, kr_hi, kf_hi)
+    mh_lo = jnp.where(z, kr_lo, kf_lo)
+    hhi, hlo = hash64_pair(mh_hi, mh_lo, mask_hi, mask_lo)
+    big = jnp.uint32(0xFFFFFFFF)
+    xhi = jnp.where(valid, hhi, big)
+    xlo = jnp.where(valid, hlo, big)
+    # windowed min over w consecutive kmer positions; window j covers
+    # kmer-end positions [j, j+w)
+    wm_hi, wm_lo = xhi, xlo
+    for d in range(1, w):
+        shh = jnp.concatenate([xhi[:, d:], jnp.full((B, d), big, U32)], axis=1)
+        shl = jnp.concatenate([xlo[:, d:], jnp.full((B, d), big, U32)], axis=1)
+        wm_hi, wm_lo = _min64(wm_hi, wm_lo, shh, shl)
+    # window j is complete iff all w member kmer ends [j, j+w) are valid
+    # positions (covers the l >= w+k-1 rule incl. ambiguous-base resets);
+    # symmetric k-mers still count as slots here (rare-case divergence from
+    # the reference's l counter; the host path is the parity oracle).
+    okpos = ((posi >= k - 1) & (posi < lens[:, None])
+             & (camb - camb_k == 0))
+    cok = jnp.cumsum(okpos.astype(jnp.int32), axis=1)
+    cok_w = jnp.concatenate([cok[:, w - 1:],
+                             jnp.zeros((B, w - 1), jnp.int32)], axis=1)
+    cok_prev = jnp.pad(cok, ((0, 0), (1, 0)))[:, :L]
+    wok = (cok_w - cok_prev) == w
+    wj = jnp.arange(L, dtype=jnp.int32)[None, :]
+    wok = wok & (wj <= lens[:, None] - w)
+    # x[i] is a minimizer iff SOME complete window covering i has
+    # wmin == x[i]; since wmin <= x[i] on covering windows, that is
+    # max over covering valid windows of wmin == x[i].
+    zero = jnp.uint32(0)
+    mx_hi = jnp.where(wok, wm_hi, zero)
+    mx_lo = jnp.where(wok, wm_lo, zero)
+    cv_hi, cv_lo = mx_hi, mx_lo
+    anyw = wok
+    for d in range(1, w):
+        shh = jnp.concatenate([jnp.zeros((B, d), U32), mx_hi[:, :-d]], axis=1)
+        shl = jnp.concatenate([jnp.zeros((B, d), U32), mx_lo[:, :-d]], axis=1)
+        swk = jnp.concatenate([jnp.zeros((B, d), bool), wok[:, :-d]], axis=1)
+        t = _lt64(cv_hi, cv_lo, shh, shl)
+        cv_hi = jnp.where(t, shh, cv_hi)
+        cv_lo = jnp.where(t, shl, cv_lo)
+        anyw = anyw | swk
+    not_max = ~((xhi == big) & (xlo == big))
+    is_mini = valid & anyw & (cv_hi == xhi) & (cv_lo == xlo) & not_max
+    return hhi, hlo, z, is_mini
+
+
+def _compact_minimizers(hhi, hlo, strand, is_mini, M: int):
+    """Select up to M minimizer positions per read, in position order."""
+    B, L = hhi.shape
+    posi = jnp.arange(L, dtype=jnp.int32)[None, :].repeat(B, 0)
+    rank = jnp.where(is_mini, posi, jnp.int32(L))
+    order = jnp.argsort(rank, axis=1)[:, :M]                  # (B, M)
+    mpos = jnp.take_along_axis(rank, order, axis=1)           # L = invalid
+    mh_hi = jnp.take_along_axis(hhi, order, axis=1)
+    mh_lo = jnp.take_along_axis(hlo, order, axis=1)
+    mz = jnp.take_along_axis(strand.astype(jnp.int32), order, axis=1)
+    mvalid = mpos < L
+    return mh_hi, mh_lo, mz, mpos, mvalid
+
+
+def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
+                    p: BatchParams):
+    """Seed lookup + anchor expansion (seed.c:30-52, map.c:168-204).
+
+    Returns int32 anchor planes sorted by (rev, rid, rpos, qpos):
+      a_rev, a_rid, a_rpos, a_qpos (B, A) with valid mask.
+    """
+    B, M = mh_hi.shape
+    K = di.keys_hi.shape[0]
+    idx = searchsorted_u64pair(di.keys_hi, di.keys_lo, mh_hi, mh_lo)
+    idx_c = jnp.minimum(idx, K - 1)
+    found = ((di.keys_hi[idx_c] == mh_hi) & (di.keys_lo[idx_c] == mh_lo)
+             & mvalid)
+    start = jnp.where(found, di.starts[idx_c], 0)
+    cnt = jnp.where(found, jnp.minimum(di.cnts[idx_c], p.occ_cap), 0)
+    # per-seed output offsets; anchors beyond capacity A are dropped
+    offs = jnp.cumsum(cnt, axis=1) - cnt                      # (B, M)
+    ends = offs + cnt
+    slot = jnp.arange(p.A, dtype=jnp.int32)[None, :].repeat(B, 0)  # (B, A)
+    # seed_of[a] = j such that offs[j] <= a < ends[j]
+    seed_of = jax.vmap(lambda e, s: jnp.searchsorted(e, s, side="right"))(
+        ends, slot)
+    seed_of = jnp.minimum(seed_of, M - 1)
+    a_valid = slot < ends[:, -1:]
+    within = slot - jnp.take_along_axis(offs, seed_of, axis=1)
+    pidx = jnp.take_along_axis(start, seed_of, axis=1) + within
+    pidx = jnp.clip(pidx, 0, di.pos_rid.shape[0] - 1)
+    rid = di.pos_rid[pidx]
+    rpos = di.pos_rpos[pidx]
+    rstrand = di.pos_strand[pidx]
+    qz = jnp.take_along_axis(mz, seed_of, axis=1)
+    qpos = jnp.take_along_axis(mpos, seed_of, axis=1)
+    same = rstrand == qz
+    rev = (~same).astype(jnp.int32)
+    # query coordinate flip on reverse strand (seed.c / map.c:196-201):
+    # span = k here (non-HPC device path)
+    qspan = p.k
+    qpos_out = jnp.where(same, qpos, qlen[:, None] - (qpos + 1 - qspan) - 1)
+    a_valid = a_valid & (slot < p.A)
+    # sort by (rev<<31|rid, rpos, qpos); invalid to end
+    key1 = jnp.where(a_valid, (rev.astype(jnp.uint32) << jnp.uint32(30))
+                     | rid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    key2 = rpos.astype(jnp.uint32)
+    key3 = qpos_out.astype(jnp.uint32)
+    key1, key2, key3, rev, rid, rpos, qpos_s, av = lax.sort(
+        (key1, key2, key3, rev, rid, rpos, qpos_out,
+         a_valid.astype(jnp.int32)), dimension=1, num_keys=3)
+    return rev, rid, rpos, qpos_s, av.astype(bool)
+
+
+def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
+    """Windowed chaining DP (lchain.c:148-217 with a fixed look-back window).
+
+    Scans anchors in sorted order; for each anchor i the best predecessor is
+    searched among the previous `chain_window` anchors (the reference bounds
+    its own scan with max_iter/max_skip).  Tracks per-chain start coordinates
+    so the best chain's extent is available without a backtrack pass.
+    Returns per-read best chain (score, qs, qe, rs, re, rev, rid).
+    """
+    B, A = rpos.shape
+    WND = p.chain_window
+    qspan = jnp.int32(p.k)
+
+    def step(carry, xs):
+        # window planes: (B, WND) of predecessor candidates
+        fw, revw, ridw, rposw, qposw, qsw, rsw, best = carry
+        rv, ri, rp, qp_, ok = xs                               # (B,) each
+        dq = qp_[:, None] - qposw                              # i minus j
+        dr = rp[:, None] - rposw
+        same = (revw == rv[:, None]) & (ridw == ri[:, None])
+        bad = (dq <= 0) | (dq > p.max_dist_x)
+        bad |= (dr == 0) | (dq > p.max_dist_y)
+        dd = jnp.abs(dr - dq)
+        bad |= dd > p.bw
+        bad |= ~same
+        dg = jnp.minimum(dr, dq)
+        sc = jnp.minimum(qspan, dg)
+        lin = (jnp.float32(p.chn_pen_gap) * dd.astype(jnp.float32)
+               + jnp.float32(p.chn_pen_skip) * dg.astype(jnp.float32))
+        logp = jnp.where(dd >= 1, mg_log2_dev((dd + 1).astype(jnp.float32)),
+                         jnp.float32(0))
+        pen = jnp.trunc(lin + jnp.float32(0.5) * logp).astype(jnp.int32)
+        need = (dd != 0) | (dg > qspan)
+        sc = jnp.where(need, sc - pen, sc)
+        cand = jnp.where(bad | (fw <= NEG_INF // 2), NEG_INF, fw + sc)
+        bj = jnp.argmax(cand, axis=1)                          # (B,)
+        bsc = jnp.take_along_axis(cand, bj[:, None], 1)[:, 0]
+        indep = qspan
+        use_pred = bsc >= indep
+        f_i = jnp.where(use_pred, bsc, indep)
+        f_i = jnp.where(ok, f_i, NEG_INF)
+        qs_i = jnp.where(use_pred, jnp.take_along_axis(qsw, bj[:, None], 1)[:, 0],
+                         qp_ - qspan + 1)
+        rs_i = jnp.where(use_pred, jnp.take_along_axis(rsw, bj[:, None], 1)[:, 0],
+                         rp - qspan + 1)
+        # roll window, insert current at the end
+        def push(wnd, val):
+            return jnp.concatenate([wnd[:, 1:], val[:, None]], axis=1)
+        carry2 = (push(fw, f_i), push(revw, rv), push(ridw, ri),
+                  push(rposw, rp), push(qposw, qp_), push(qsw, qs_i),
+                  push(rsw, rs_i), best)
+        # track the best-ending chain per read
+        b_sc, b_qs, b_qe, b_rs, b_re, b_rev, b_rid = best
+        better = f_i > b_sc
+        best2 = (jnp.where(better, f_i, b_sc),
+                 jnp.where(better, qs_i, b_qs),
+                 jnp.where(better, qp_ + 1, b_qe),
+                 jnp.where(better, rs_i, b_rs),
+                 jnp.where(better, rp + 1, b_re),
+                 jnp.where(better, rv, b_rev),
+                 jnp.where(better, ri, b_rid))
+        carry2 = carry2[:7] + (best2,)
+        return carry2, f_i
+
+    z32 = jnp.zeros((B, WND), jnp.int32)
+    init = (jnp.full((B, WND), NEG_INF, jnp.int32), z32, z32, z32, z32,
+            z32, z32,
+            (jnp.full((B,), NEG_INF, jnp.int32), jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), jnp.int32)))
+    xs = (rev.T, rid.T, rpos.T, qpos.T, av.T)
+    carry, f = lax.scan(step, init, xs)
+    best = carry[7]
+    return best, f.T
+
+
+def _extend_best(di: DeviceIndex, codes, lens, best, p: BatchParams,
+                 interpret: bool):
+    """Banded extension of each read's best chain region via the extd2
+    Pallas kernel (score mode), aligning query[qs:qe] vs target[rs:re]."""
+    from ..ops.extend_pallas import EZ_SCORE, extd2_batch
+    b_sc, qs, qe, rs, re_, rv, rid = best
+    B, L = codes.shape
+    qs = jnp.clip(qs, 0, lens)
+    qe = jnp.clip(qe, qs, lens)
+    tlen_full = di.seq_len[jnp.clip(rid, 0, di.seq_len.shape[0] - 1)]
+    rs = jnp.clip(rs, 0, tlen_full)
+    re_ = jnp.clip(re_, rs, tlen_full)
+    qlen = jnp.minimum(qe - qs, p.QP)
+    tlen = jnp.minimum(re_ - rs, p.TP)
+    # query segment, reverse-complemented when rev, then stored reversed
+    # (kernel expects reversed query)
+    ar = jnp.arange(p.QP, dtype=jnp.int32)[None, :]
+    qidx_f = qs[:, None] + ar
+    qidx_r = (lens - qe)[:, None] + ar                         # rev strand
+    qidx = jnp.where(rv[:, None] == 0, qidx_f, qidx_r)
+    qcode = jnp.take_along_axis(codes, jnp.clip(qidx, 0, L - 1), axis=1)
+    qcode = jnp.where(rv[:, None] == 1,
+                      jnp.where(qcode < 4, 3 - qcode, qcode), qcode)
+    qcode = jnp.where(ar < qlen[:, None], qcode, jnp.uint8(4)).astype(jnp.uint8)
+    if True:  # rev-strand query runs 3'->5' on the read; flip to segment order
+        flip = jnp.where(rv[:, None] == 1, qlen[:, None] - 1 - ar, ar)
+        qcode = jnp.take_along_axis(qcode, jnp.clip(flip, 0, p.QP - 1), axis=1)
+    # kernel wants the REVERSED query: qr[i] = q[qlen-1-i]
+    ridx = jnp.clip(qlen[:, None] - 1 - ar, 0, p.QP - 1)
+    qr = jnp.take_along_axis(qcode, ridx, axis=1)
+    art = jnp.arange(p.TP, dtype=jnp.int32)[None, :]
+    soff = di.seq_off[jnp.clip(rid, 0, di.seq_off.shape[0] - 1)]
+    tidx = soff[:, None] + rs[:, None] + art
+    tcode = di.S[jnp.clip(tidx, 0, di.S.shape[0] - 1)]
+    tcode = jnp.where(art < tlen[:, None], tcode, jnp.uint8(4)).astype(jnp.uint8)
+    lens2 = jnp.stack([jnp.maximum(qlen, 1), jnp.maximum(tlen, 1)],
+                      axis=1).astype(jnp.int32)
+    R = p.QP + p.TP - 1
+    _, ez = extd2_batch(qr, tcode, lens2, TP=p.TP, QP=p.QP, W=p.W, RB=1, R=R,
+                        q=p.gapo, e=p.gape, q2=p.gapo2, e2=p.gape2, w=p.ext_w,
+                        zdrop=p.zdrop, right_mode=0, sc_mch=p.sc_mch,
+                        sc_mis=p.sc_mis, sc_N=-1, with_cigar=False,
+                        interpret=interpret)
+    return ez[:, EZ_SCORE]
+
+
+def map_batch(di: DeviceIndex, codes, lens, p: BatchParams,
+              interpret: bool = False):
+    """One full device mapping step over a (B, L) read batch.
+
+    Returns dict of per-read arrays: chain score, extension score, locus.
+    """
+    hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
+    mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(hhi, hlo, z,
+                                                         is_mini, p.M)
+    rev, rid, rpos, qpos, av = _lookup_anchors(di, mh_hi, mh_lo, mz, mpos,
+                                               mvalid, lens, p)
+    best, _ = _chain_scan(rev, rid, rpos, qpos, av, p)
+    ext = _extend_best(di, codes, lens, best, p, interpret)
+    b_sc, qs, qe, rs, re_, rv, rid_b = best
+    mapped = b_sc > 0
+    return {
+        "chain_score": b_sc, "ext_score": ext, "mapped": mapped,
+        "rid": rid_b, "rev": rv, "qs": qs, "qe": qe, "rs": rs, "re": re_,
+        "n_anchors": av.sum(axis=1).astype(jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# sharded step
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_step(mesh, p: BatchParams, interpret: bool = False):
+    """Build a pjit-ed mapping step over a ('data', 'idx') mesh.
+
+    Reads shard over 'data'.  The index shards over 'idx' by key range; each
+    idx shard finds its local anchors and the shards' anchors are merged with
+    an all_gather over 'idx' (merge_hits map.c:476-539 as a collective), then
+    chain+extend run on the merged set.  Read-level stats psum over 'data'.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def local_step(di, codes, lens):
+        hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
+        mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(hhi, hlo, z,
+                                                             is_mini, p.M)
+        # di leaves carry a leading shard axis of size 1 inside shard_map
+        di_l = jax.tree_util.tree_map(lambda x: x[0], di)
+        rev, rid, rpos, qpos, av = _lookup_anchors(
+            di_l, mh_hi, mh_lo, mz, mpos, mvalid, lens, p)
+        # merge anchors across index shards (collective merge_hits)
+        n_idx = mesh.shape["idx"]
+        if n_idx > 1:
+            gathered = lax.all_gather((rev, rid, rpos, qpos,
+                                       av.astype(jnp.int32)), "idx", axis=1,
+                                      tiled=True)
+            rev, rid, rpos, qpos, av_i = gathered
+            # re-sort merged anchors, keep top A
+            key1 = jnp.where(av_i.astype(bool),
+                             (rev.astype(jnp.uint32) << jnp.uint32(30))
+                             | rid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+            key1, key2, key3, rev, rid, rpos, qpos, av_i = lax.sort(
+                (key1, rpos.astype(jnp.uint32), qpos.astype(jnp.uint32),
+                 rev, rid, rpos, qpos, av_i), dimension=1, num_keys=3)
+            rev, rid, rpos, qpos = (a[:, :p.A] for a in (rev, rid, rpos, qpos))
+            av = av_i[:, :p.A].astype(bool)
+        best, _ = _chain_scan(rev, rid, rpos, qpos, av, p)
+        ext = _extend_best(di_l, codes, lens, best, p, interpret)
+        b_sc, qs, qe, rs, re_, rv, rid_b = best
+        n_mapped = lax.psum((b_sc > 0).sum(), "data")
+        out = {"chain_score": b_sc, "ext_score": ext, "rid": rid_b,
+               "rev": rv, "qs": qs, "qe": qe, "rs": rs, "re": re_}
+        return out, n_mapped
+
+    di_spec = jax.tree_util.tree_map(lambda _: P("idx"), _di_proto())
+    fn = shard_map(local_step, mesh=mesh,
+                   in_specs=(di_spec, P("data", None), P("data")),
+                   out_specs=(jax.tree_util.tree_map(
+                       lambda _: P("data"), {"chain_score": 0, "ext_score": 0,
+                                             "rid": 0, "rev": 0, "qs": 0,
+                                             "qe": 0, "rs": 0, "re": 0}),
+                       P()),
+                   check_rep=False)
+    return jax.jit(fn)
+
+
+def _di_proto():
+    return DeviceIndex(*([0] * 10))
+
+
+def stack_shards(shards: list[DeviceIndex]) -> DeviceIndex:
+    """Stack per-shard DeviceIndex pytrees along a leading 'idx' axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)

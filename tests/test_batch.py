@@ -1,0 +1,131 @@
+"""Device-batched mapping path (parallel/batch.py): unit + integration tests
+on the virtual CPU mesh (conftest forces JAX_PLATFORMS=cpu w/ 8 devices)."""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from minimap2_tpu.index.index import MiniIndex  # noqa: E402
+from minimap2_tpu.index.sketch import sketch_ref  # noqa: E402
+from minimap2_tpu.parallel.batch import (BatchParams, DeviceIndex,  # noqa: E402
+                                         device_sketch, hash64_pair,
+                                         map_batch, make_sharded_step,
+                                         searchsorted_u64pair, stack_shards)
+from minimap2_tpu.utils.intfloat import SEQ_NT4, hash64  # noqa: E402
+
+
+def test_hash64_pair_matches_host():
+    rng = np.random.default_rng(0)
+    for k in (15, 19, 28):
+        mask = (1 << (2 * k)) - 1
+        keys = rng.integers(0, mask + 1, 256, dtype=np.uint64)
+        ref = hash64(keys, np.uint64(mask))
+        hi, lo = hash64_pair(jnp.asarray((keys >> np.uint64(32)).astype(np.uint32)),
+                             jnp.asarray(keys.astype(np.uint32)),
+                             mask >> 32, mask & 0xFFFFFFFF)
+        got = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
+            np.asarray(lo).astype(np.uint64)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_searchsorted_u64pair():
+    rng = np.random.default_rng(1)
+    keys = np.sort(rng.integers(0, 1 << 62, 1000, dtype=np.uint64))
+    q = np.concatenate([keys[rng.integers(0, 1000, 50)],
+                        rng.integers(0, 1 << 62, 50, dtype=np.uint64)])
+    ref = np.searchsorted(keys, q)
+    got = searchsorted_u64pair(
+        jnp.asarray((keys >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(keys.astype(np.uint32)),
+        jnp.asarray((q >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(q.astype(np.uint32)))
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_device_sketch_matches_reference_set():
+    """The device minimizer SET equals the reference scan's set (non-HPC)."""
+    rng = np.random.default_rng(2)
+    k, w = 15, 10
+    seq = "".join(rng.choice(list("ACGT"), 3000))
+    codes = SEQ_NT4[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    x_ref, y_ref = sketch_ref(codes, w, k, 0, False)
+    ref_set = {(int(y) >> 1 & 0x7FFFFFFF, int(x) >> 8, int(y) & 1)
+               for x, y in zip(x_ref, y_ref)}
+    L = 3072
+    cb = np.full((1, L), 4, np.uint8)
+    cb[0, :len(codes)] = codes
+    hhi, hlo, z, is_mini = device_sketch(
+        jnp.asarray(cb), jnp.asarray([len(codes)], np.int32), k, w)
+    hhi, hlo = np.asarray(hhi)[0], np.asarray(hlo)[0]
+    z, is_mini = np.asarray(z)[0], np.asarray(is_mini)[0]
+    got = set()
+    for i in np.nonzero(is_mini)[0]:
+        h = (int(hhi[i]) << 32) | int(hlo[i])
+        got.add((int(i), h, int(z[i])))
+    assert got == ref_set
+
+
+def _sim(rng, mi_ref, p, B, L):
+    codes = np.full((B, L), 4, np.uint8)
+    lens = np.zeros(B, np.int32)
+    truth = []
+    for i in range(B):
+        st = int(rng.integers(0, len(mi_ref) - 600))
+        ln = int(rng.integers(300, L))
+        seq = SEQ_NT4[np.frombuffer(mi_ref[st:st + ln].encode(), np.uint8)].copy()
+        mut = rng.random(ln) < 0.05
+        seq[mut] = rng.integers(0, 4, int(mut.sum()))
+        if i % 2:
+            seq = (3 - seq)[::-1].copy()
+        codes[i, :ln] = seq
+        lens[i] = ln
+        truth.append((st, st + ln, bool(i % 2)))
+    return codes, lens, truth
+
+
+@pytest.fixture(scope="module")
+def tiny_world():
+    rng = np.random.default_rng(3)
+    ref = "".join(rng.choice(list("ACGT"), 20000))
+    mi = MiniIndex.build(["chr1"], [ref], w=10, k=15)
+    p = BatchParams(L=512, M=128, A=256, QP=512, TP=512, W=256, ext_w=200,
+                    chain_window=32)
+    codes, lens, truth = _sim(rng, ref, p, 8, p.L)
+    return mi, p, codes, lens, truth
+
+
+def test_map_batch_single_device(tiny_world):
+    mi, p, codes, lens, truth = tiny_world
+    di = DeviceIndex.from_host(mi, 1)[0]
+    out = map_batch(di, jnp.asarray(codes), jnp.asarray(lens), p,
+                    interpret=True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for i, (st, en, rv) in enumerate(truth):
+        assert out["chain_score"][i] > 50
+        assert out["ext_score"][i] > 0
+        assert out["rev"][i] == int(rv)
+        assert st - 150 <= out["rs"][i] and out["re"][i] <= en + 150
+
+
+def test_sharded_step_matches_single(tiny_world):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+    mi, p, codes, lens, truth = tiny_world
+    di1 = DeviceIndex.from_host(mi, 1)[0]
+    ref = map_batch(di1, jnp.asarray(codes), jnp.asarray(lens), p,
+                    interpret=True)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "idx"))
+    di = stack_shards(DeviceIndex.from_host(mi, 2))
+    step = make_sharded_step(mesh, p, interpret=True)
+    with mesh:
+        out, n_mapped = step(di, jnp.asarray(codes), jnp.asarray(lens))
+    assert int(n_mapped) == len(truth)
+    np.testing.assert_array_equal(np.asarray(out["rs"]), np.asarray(ref["rs"]))
+    np.testing.assert_array_equal(np.asarray(out["rev"]),
+                                  np.asarray(ref["rev"]))
