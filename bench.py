@@ -51,24 +51,25 @@ def gen_pairs(rng, N, QP, TP, div=0.1):
     return qr, sf, lens, cases
 
 
-def bench_tpu(qr, sf, lens, QP, TP, W, w, iters=3):
+def bench_tpu(qr, sf, lens, QP, TP, W, w, iters=3, with_cigar=True):
     import jax
     import jax.numpy as jnp
 
-    from minimap2_tpu.ops.extend_pallas import extd2_batch
+    from minimap2_tpu.ops.extend_pallas2 import EZ_SCORE, extd2_batch2
 
     interp = jax.default_backend() != "tpu"
     R = QP + TP - 1
-    args = dict(TP=TP, QP=QP, W=W, RB=1, R=R, q=4, e=2, q2=24, e2=1, w=w,
-                zdrop=-1, right_mode=0, sc_mch=2, sc_mis=-4, sc_N=-1,
-                with_cigar=False, interpret=interp)
+    args = dict(G=32, W=W, RB=64 if with_cigar else 128, R=R, QP=QP, TP=TP,
+                q=4, e=2, q2=24, e2=1, w=w, zdrop=400, right_mode=False,
+                approx_max=True, approx_drop=False, sc_mch=2, sc_mis=-4,
+                sc_N=-1, with_cigar=with_cigar, interpret=interp)
     jq, js, jl = jnp.asarray(qr), jnp.asarray(sf), jnp.asarray(lens)
-    _, ez = extd2_batch(jq, js, jl, **args)
-    ez.block_until_ready()                       # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        _, ez = extd2_batch(jq, js, jl, **args)
-    ez.block_until_ready()
+    _, ez = extd2_batch2(jq, js, jl, **args)
+    np.asarray(ez[:, EZ_SCORE])                  # compile + warm (real sync:
+    t0 = time.perf_counter()                     # axon block_until_ready
+    for _ in range(iters):                       # does not block)
+        _, ez = extd2_batch2(jq, js, jl, **args)
+        np.asarray(ez[:, EZ_SCORE])
     dt = (time.perf_counter() - t0) / iters
     return dt, np.asarray(ez)
 
@@ -82,12 +83,12 @@ def bench_ref(cases, w, budget_pairs=4):
         return None
     from minimap2_tpu.map.align_engine import gen_simple_mat
     mat = gen_simple_mat(5, 2, -4, 1)
-    KSW_EZ_SCORE_ONLY = 0x01
+    KSW_EZ_APPROX_MAX = 0x08
     cells = 0
     t0 = time.perf_counter()
     for qs, ts in cases[:budget_pairs]:
-        refbind.ref_extd2(qs, ts, mat, 4, 2, 24, 1, w, -1, 0,
-                          KSW_EZ_SCORE_ONLY)
+        refbind.ref_extd2(qs, ts, mat, 4, 2, 24, 1, w, 400, 0,
+                          KSW_EZ_APPROX_MAX)   # same mode as the TPU run
         cells += true_cells(len(qs), len(ts), w)
     dt = time.perf_counter() - t0
     return cells / dt
@@ -95,7 +96,7 @@ def bench_ref(cases, w, budget_pairs=4):
 
 def main():
     import jax
-    N, QP, TP, W, w = 64, 2048, 2048, 640, 500
+    N, QP, TP, W, w = 256, 2048, 2048, 640, 500
     rng = np.random.default_rng(0)
     qr, sf, lens, cases = gen_pairs(rng, N, QP, TP)
     dt, ez = bench_tpu(qr, sf, lens, QP, TP, W, w)

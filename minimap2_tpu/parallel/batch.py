@@ -503,9 +503,10 @@ def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
 
 def _extend_best(di: DeviceIndex, codes, lens, best, p: BatchParams,
                  interpret: bool):
-    """Banded extension of each read's best chain region via the extd2
-    Pallas kernel (score mode), aligning query[qs:qe] vs target[rs:re]."""
-    from ..ops.extend_pallas import EZ_SCORE, extd2_batch
+    """Banded extension of each read's best chain region via the extd2 v2
+    Pallas kernel (approx-max score mode, the reference's gap-fill mode),
+    aligning query[qs:qe] vs target[rs:re]."""
+    from ..ops.extend_pallas2 import EZ_SCORE, extd2_batch2
     b_sc, qs, qe, rs, re_, rv, rid = best
     B, L = codes.shape
     qs = jnp.clip(qs, 0, lens)
@@ -539,11 +540,12 @@ def _extend_best(di: DeviceIndex, codes, lens, best, p: BatchParams,
     lens2 = jnp.stack([jnp.maximum(qlen, 1), jnp.maximum(tlen, 1)],
                       axis=1).astype(jnp.int32)
     R = p.QP + p.TP - 1
-    _, ez = extd2_batch(qr, tcode, lens2, TP=p.TP, QP=p.QP, W=p.W, RB=1, R=R,
-                        q=p.gapo, e=p.gape, q2=p.gapo2, e2=p.gape2, w=p.ext_w,
-                        zdrop=p.zdrop, right_mode=0, sc_mch=p.sc_mch,
-                        sc_mis=p.sc_mis, sc_N=-1, with_cigar=False,
-                        interpret=interpret)
+    _, ez = extd2_batch2(qr, tcode, lens2, G=16, W=p.W, RB=128, R=R,
+                         QP=p.QP, TP=p.TP, q=p.gapo, e=p.gape, q2=p.gapo2,
+                         e2=p.gape2, w=p.ext_w, zdrop=p.zdrop,
+                         right_mode=False, approx_max=True,
+                         approx_drop=False, sc_mch=p.sc_mch, sc_mis=p.sc_mis,
+                         sc_N=-1, with_cigar=False, interpret=interpret)
     return ez[:, EZ_SCORE]
 
 
