@@ -331,37 +331,102 @@ def main(argv=None) -> int:
         out.write("\n")
 
     n_mapped = 0
-    for qf in queries:
-        reader = FastxReader(qf)
-        while True:
-            rec = reader.read1()
-            if rec is None:
-                break
-            res = map_frag_core(mi, [rec.seq], mo, rec.name)[0]
-            n_mapped += 1
-            regs = res.regs
+    frag_mode = len(queries) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)
+
+    def read_stream():
+        """bseq record stream: multi-file interleave (mm_bseq_read_frag2,
+        bseq.c:131-159) or single-file sequential."""
+        if len(queries) > 1:
+            readers = [FastxReader(q) for q in queries]
+            while True:
+                recs = [rd.read1() for rd in readers]
+                if any(r is None for r in recs):
+                    if any(r is not None for r in recs):
+                        print("[W::main] query files have different number of"
+                              " records; extra records skipped.",
+                              file=sys.stderr)
+                    break
+                yield from recs
+            for rd in readers:
+                rd.close()
+        else:
+            rd = FastxReader(queries[0])
+            while True:
+                rec = rd.read1()
+                if rec is None:
+                    break
+                yield rec
+            rd.close()
+
+    def map_one_fragment(frag):
+        """worker_for (map.c:425-474): pe_ori revcomp, map, flip back."""
+        nonlocal n_mapped
+        from .io.fastx import qname_same, revcomp_record
+        n_seg = len(frag)
+        pe_ori = mo.pe_ori
+        flipped = [n_seg == 2 and ((j == 0 and (pe_ori >> 1) & 1)
+                                   or (j == 1 and pe_ori & 1))
+                   for j in range(n_seg)]
+        mseqs = [revcomp_record(r).seq if flipped[j] else r.seq
+                 for j, r in enumerate(frag)]
+        if mo.flag & C.MM_F_INDEPEND_SEG:
+            results = [map_frag_core(mi, [mseqs[j]], mo, frag[j].name)[0]
+                       for j in range(n_seg)]
+        else:
+            results = map_frag_core(mi, mseqs, mo, frag[0].name)
+        for j in range(n_seg):
+            if not flipped[j]:
+                continue
+            qlen = len(frag[j].seq)
+            for r in results[j].regs:  # flip back to the read strand
+                r.qs, r.qe = qlen - r.qe, qlen - r.qs
+                r.rev = 0 if r.rev else 1
+                if r.p is not None:
+                    if r.p.trans_strand == 1:
+                        r.p.trans_strand = 2
+                    elif r.p.trans_strand == 2:
+                        r.p.trans_strand = 1
+        n_mapped += n_seg
+        regss = [res.regs for res in results]
+        n_regss = [len(rs) for rs in regss]
+        for j, rec in enumerate(frag):
+            regs = regss[j]
+            rep_len = results[j].rep_len
             if regs:
-                for j, r in enumerate(regs):
+                for k, r in enumerate(regs):
                     if (mo.flag & C.MM_F_NO_PRINT_2ND) and r.id != r.parent:
                         continue
                     if mo.flag & C.MM_F_OUT_SAM:
-                        out.write(fmt.write_sam(mi, rec, 0, j, 1, [len(regs)],
-                                                [regs], mo.flag, res.rep_len))
+                        out.write(fmt.write_sam(mi, rec, j, k, n_seg, n_regss,
+                                                regss, mo.flag, rep_len))
                     else:
                         out.write(fmt.write_paf(mi, rec.name, len(rec.seq), r,
-                                                mo.flag, res.rep_len,
-                                                qseq=rec.seq, comment=rec.comment))
+                                                mo.flag, rep_len, n_seg, j,
+                                                qseq=rec.seq,
+                                                comment=rec.comment))
                     out.write("\n")
             elif (mo.flag & C.MM_F_PAF_NO_HIT) or \
-                    ((mo.flag & C.MM_F_OUT_SAM) and not (mo.flag & C.MM_F_SAM_HIT_ONLY)):
+                    ((mo.flag & C.MM_F_OUT_SAM)
+                     and not (mo.flag & C.MM_F_SAM_HIT_ONLY)):
                 if mo.flag & C.MM_F_OUT_SAM:
-                    out.write(fmt.write_sam(mi, rec, 0, -1, 1, [0], [[]],
-                                            mo.flag, res.rep_len))
+                    out.write(fmt.write_sam(mi, rec, j, -1, n_seg, n_regss,
+                                            regss, mo.flag, rep_len))
                 else:
                     out.write(fmt.write_paf(mi, rec.name, len(rec.seq), None,
-                                            mo.flag, res.rep_len))
+                                            mo.flag, rep_len, n_seg, j))
                 out.write("\n")
-        reader.close()
+
+    from .io.fastx import qname_same
+    pending: list = []
+    for rec in read_stream():
+        if pending and (not frag_mode
+                        or not qname_same(pending[-1].name, rec.name)
+                        or len(pending) >= C.MM_MAX_SEG):
+            map_one_fragment(pending)
+            pending = []
+        pending.append(rec)
+    if pending:
+        map_one_fragment(pending)
     if args.verbose >= 3:
         el = time.time() - REALTIME0
         print(f"[M::worker_pipeline::{el:.3f}*1.00] mapped {n_mapped} sequences",

@@ -79,6 +79,16 @@ def test_t2_splice_sam():
 
 
 @pytest.mark.slow
+def test_sr_paired_sam():
+    check(["-ax", "sr", f"{DATA}/MT-human.fa", f"{DATA}/sr-r1.fq",
+           f"{DATA}/sr-r2.fq"], "sr-sam.out")
+
+
+def test_sr_paired_paf():
+    check(["-x", "sr", f"{DATA}/MT-human.fa", f"{DATA}/sr-r1.fq",
+           f"{DATA}/sr-r2.fq"], "sr-paf.out")
+
+
 def test_mt_ava_ont():
     check(["-x", "ava-ont", f"{DATA}/MT-both.fa", f"{DATA}/MT-both.fa"], "mt-ava.out")
 
