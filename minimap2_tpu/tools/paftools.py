@@ -1,22 +1,920 @@
-"""paftools port (reference misc/paftools.js). Subcommands land incrementally:
-sam2paf, mapeval, junceval, call are the self-evaluation core (SURVEY.md #32)."""
+"""paftools: PAF/SAM post-processing toolkit.
+
+Python port of the reference misc/paftools.js subcommands used for
+self-evaluation and format conversion:
+
+  view      (paftools.js:1411-1533)  BLAST-like / lastz-cigar / maf output
+  sam2paf   (paftools.js:1741-1917)  SAM -> PAF (+cs from MD)
+  stat      (paftools.js:1009-1199)  alignment statistics
+  mapeval   (paftools.js:2102-2280)  mapping-accuracy ROC on simulated reads
+  junceval  (paftools.js:2493-2706)  splice-junction accuracy vs GTF
+  version
+
+Field-for-field output parity with the JS (k8 `print` joins with TAB).
+"""
+from __future__ import annotations
+
+import re
 import sys
 
+MM_VERSION = "2.30-r1299-dirty"
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    if not argv:
-        print("Usage: paftools-py <command> [args]\ncommands: sam2paf mapeval", file=sys.stderr)
+_RE_CIGAR = re.compile(r"(\d+)([MIDNSHP=XB])")
+
+
+def _print(*args, out=None):
+    (out or sys.stdout).write("\t".join(str(a) for a in args) + "\n")
+
+
+def _open(fn):
+    if fn == "-":
+        return sys.stdin
+    if fn.endswith(".gz"):
+        import gzip
+        return gzip.open(fn, "rt")
+    return open(fn)
+
+
+# ---------------------------------------------------------------------------
+# sam2paf (paftools.js:1741-1917)
+# ---------------------------------------------------------------------------
+
+
+def sam2paf(argv, out=None):
+    pri_only = pri_pri_only = allow_unmapped = long_cs = False
+    args = []
+    for a in argv:
+        if a == "-p":
+            pri_only = True
+        elif a == "-P":
+            pri_pri_only = pri_only = True
+        elif a == "-U":
+            allow_unmapped = True
+        elif a == "-L":
+            long_cs = True
+        else:
+            args.append(a)
+    if not args:
+        print("Usage: paftools.py sam2paf [options] <in.sam>", file=sys.stderr)
         return 1
-    cmd = argv[0]
-    if cmd == "sam2paf":
-        from .sam2paf import sam2paf_main
-        return sam2paf_main(argv[1:])
-    if cmd == "mapeval":
-        from .mapeval import mapeval_main
-        return mapeval_main(argv[1:])
-    print(f"unknown command: {cmd}", file=sys.stderr)
-    return 1
+    re_tag = re.compile(r"\t(\S\S:[AZif]):(\S+)")
+    re_MD = re.compile(r"(\d+)|(\^[A-Za-z]+)|([A-Za-z])")
+    re_cig = re.compile(r"(\d+)([MIDSHNX=])")
+    ctg_len = {}
+    lineno = 0
+    for line in _open(args[0]):
+        line = line.rstrip("\n")
+        lineno += 1
+        if line.startswith("@"):
+            if line.startswith("@SQ"):
+                mname = re.search(r"\tSN:(\S+)", line)
+                mlen = re.search(r"\tLN:(\d+)", line)
+                if mname and mlen:
+                    ctg_len[mname.group(1)] = int(mlen.group(1))
+            continue
+        t = line.split("\t")
+        if len(t) < 11:
+            continue
+        flag = int(t[1])
+        if t[9] != "*" and t[10] != "*" and len(t[9]) != len(t[10]):
+            raise ValueError(f"at line {lineno}: inconsistent SEQ and QUAL")
+        if t[2] == "*" or (flag & 4) or t[5] == "*":
+            if allow_unmapped:
+                qlen_val = 0 if t[9] == "*" else len(t[9])
+                _print(t[0], qlen_val, 0, 0, "*", "*", 0, 0, 0, 0, 0, 0,
+                       out=out)
+            continue
+        if pri_only and (flag & 0x100):
+            continue
+        if pri_pri_only and (flag & 0x900):
+            continue
+        tlen = ctg_len.get(t[2])
+        if tlen is None:
+            raise ValueError(f"at line {lineno}: can't find the length of "
+                             f"contig {t[2]}")
+        nn, NM, MD, cs_str = 0, None, None, None
+        for m in re_tag.finditer(line):
+            if m.group(1) == "NM:i":
+                NM = int(m.group(2))
+            elif m.group(1) == "nn:i":
+                nn = int(m.group(2))
+            elif m.group(1) == "MD:Z":
+                MD = m.group(2)
+            elif m.group(1) == "cs:Z":
+                cs_str = m.group(2)
+        if t[9] == "*":
+            MD = cs_str = None
+        clip = [0, 0]
+        soft_clip = 0
+        I = [0, 0]
+        D = [0, 0]
+        M = N = mm = 0
+        have_M = have_ext = False
+        cigar = []
+        n_cigar = 0
+        for m in re_cig.finditer(t[5]):
+            ln, op = int(m.group(1)), m.group(2)
+            if op == "M":
+                M += ln
+                have_M = True
+            elif op == "I":
+                I[0] += 1
+                I[1] += ln
+            elif op == "D":
+                D[0] += 1
+                D[1] += ln
+            elif op == "N":
+                N += ln
+            elif op == "S":
+                clip[0 if n_cigar == 0 else 1] = ln
+                soft_clip += ln
+            elif op == "H":
+                clip[0 if n_cigar == 0 else 1] = ln
+            elif op == "=":
+                M += ln
+                have_ext = True
+                op = "M"
+            elif op == "X":
+                M += ln
+                mm += ln
+                have_ext = True
+                op = "M"
+            n_cigar += 1
+            if MD is not None and op != "H":
+                if cigar and cigar[-1][1] == op:
+                    cigar[-1][0] += ln
+                else:
+                    cigar.append([ln, op])
+        ql = M + I[1] + soft_clip
+        tl = M + D[1] + N
+        ts = int(t[3]) - 1
+        te = ts + tl
+        if n_cigar > 65535:
+            print(f"WARNING at line {lineno}: {n_cigar} CIGAR operations",
+                  file=sys.stderr)
+        if te > tlen:
+            print(f"WARNING at line {lineno}: alignment end position larger "
+                  "than ref length; skipped", file=sys.stderr)
+            continue
+        if t[9] != "*" and len(t[9]) != ql:
+            print(f"WARNING at line {lineno}: SEQ length inconsistent with "
+                  f"CIGAR ({len(t[9])} != {ql}); skipped", file=sys.stderr)
+            continue
+        cs = []
+        if MD is not None and cs_str is None and t[9] != "*":
+            k = cx = cy = mx = my = 0
+            for m in re_MD.finditer(MD):
+                if m.group(2) is not None:   # deletion
+                    ln = len(m.group(2)) - 1
+                    cs.append("-" + m.group(2)[1:])
+                    mx += ln
+                    cx += ln
+                    k += 1
+                else:
+                    ml = int(m.group(1)) if m.group(1) is not None else 1
+                    while k < len(cigar) and cigar[k][1] != "D":
+                        cl, op = cigar[k]
+                        if op == "M":
+                            if my + ml < cy + cl:
+                                if ml > 0:
+                                    if m.group(3) is not None:
+                                        cs.append("*" + m.group(3)
+                                                  + t[9][my])
+                                    elif long_cs:
+                                        cs.append("=" + t[9][my:my + ml])
+                                    else:
+                                        cs.append(f":{ml}")
+                                mx += ml
+                                my += ml
+                                ml = 0
+                                break
+                            else:
+                                dl = cy + cl - my
+                                if long_cs:
+                                    cs.append("=" + t[9][my:my + dl])
+                                else:
+                                    cs.append(f":{dl}")
+                                cx += cl
+                                cy += cl
+                                k += 1
+                                mx += dl
+                                my += dl
+                                ml -= dl
+                        elif op == "I":
+                            cs.append("+" + t[9][cy:cy + cl])
+                            cy += cl
+                            my += cl
+                            k += 1
+                        elif op == "S":
+                            cy += cl
+                            my += cl
+                            k += 1
+                        else:
+                            raise ValueError(f"at line {lineno}: "
+                                             "inconsistent MD tag")
+                    if ml != 0:
+                        raise ValueError(f"at line {lineno}: inconsistent "
+                                         "MD tag")
+            if cx != mx or cy != my:
+                raise ValueError(f"at line {lineno}: inconsistent MD tag")
+        if have_ext and not have_M:
+            if NM is not None and NM != I[1] + D[1] + mm:
+                print(f"WARNING at line {lineno}: NM is different from sum "
+                      "of gaps and mismatches", file=sys.stderr)
+            NM = I[1] + D[1] + mm
+        elif NM is not None:
+            if NM < I[1] + D[1]:
+                print(f"WARNING at line {lineno}: NM is less than the total "
+                      f"number of gaps ({NM} < {I[1] + D[1]})",
+                      file=sys.stderr)
+                NM = I[1] + D[1]
+            mm = NM - (I[1] + D[1])
+        else:
+            print(f"WARNING at line {lineno}: unable to find the number of "
+                  "mismatches; assuming zero", file=sys.stderr)
+            mm = 0
+        mlen = M - mm
+        blen = M + I[1] + D[1]
+        qlen = M + I[1] + clip[0] + clip[1]
+        qname = t[0]
+        if (flag & 1) and (flag & 0x40):
+            qname += "/1"
+        if (flag & 1) and (flag & 0x80):
+            qname += "/2"
+        if flag & 16:
+            qs, qe = clip[1], qlen - clip[0]
+        else:
+            qs, qe = clip[0], qlen - clip[1]
+        tags = ["tp:A:" + ("S" if flag & 0x100 else "P")]
+        if NM is not None:
+            tags.append(f"NM:i:{NM}")
+            tags.append(f"mm:i:{mm}")
+        tags.append(f"gn:i:{I[1] + D[1]}")
+        tags.append(f"go:i:{I[0] + D[0]}")
+        tags.append("cg:Z:" + re.sub(r"\d+[SH]", "", t[5]))
+        if cs_str is not None:
+            tags.append("cs:Z:" + cs_str)
+        elif cs:
+            tags.append("cs:Z:" + "".join(cs))
+        _print(qname, qlen, qs, qe, "-" if flag & 16 else "+", t[2], tlen,
+               ts, te, mlen, blen, t[4], *tags, out=out)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# mapeval (paftools.js:2102-2280)
+# ---------------------------------------------------------------------------
+
+_RE_PBSIM = re.compile(r"^(\S+)!(\S+)!(\d+)!(\d+)!([\+\-])$")
+_RE_MASON = re.compile(
+    r"^(\S+)!(\S+)!(\d+)_(\d+)!(\d+)_(\d+)!([\+\-])([\+\-])/([12])$")
+
+
+def mapeval(argv, out=None):
+    max_mapq, mode, err_out_q, ovlp_ratio = 60, 0, 256, 0.1
+    cap_short_mapq = False
+    args = []
+    it = iter(range(len(argv)))
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-Q":
+            i += 1
+            err_out_q = int(argv[i])
+        elif a == "-r":
+            i += 1
+            ovlp_ratio = float(argv[i])
+        elif a == "-m":
+            i += 1
+            mode = int(argv[i])
+        elif a == "-c":
+            cap_short_mapq = True
+        else:
+            args.append(a)
+        i += 1
+    if not args:
+        print("Usage: paftools.py mapeval [options] <in.paf>|<in.sam>",
+              file=sys.stderr)
+        return 1
+
+    tot = [0] * (max_mapq + 1)
+    err = [0] * (max_mapq + 1)
+
+    def is_correct(s, b):
+        if s[0] != b[0] or s[3] != b[3]:
+            return False
+        if s[1] < b[1]:
+            if s[2] <= b[1]:
+                return False
+            o = min(s[2], b[2]) - b[1]
+            ll = max(s[2], b[2]) - s[1]
+        else:
+            if b[2] <= s[1]:
+                return False
+            o = min(s[2], b[2]) - s[1]
+            ll = max(s[2], b[2]) - b[1]
+        return o / ll > ovlp_ratio
+
+    def count_err(qname, a):
+        if not a:
+            return
+        m = _RE_PBSIM.match(qname)
+        if m:
+            s = [m.group(2), int(m.group(3)), int(m.group(4)), m.group(5)]
+        else:
+            m = _RE_MASON.match(qname)
+            if m is None:
+                raise ValueError("Failed to parse simulated read names "
+                                 f"'{qname}'")
+            if m.group(9) == "1":
+                s = [m.group(2), int(m.group(3)), int(m.group(5)),
+                     m.group(7)]
+            else:
+                s = [m.group(2), int(m.group(4)), int(m.group(6)),
+                     m.group(8)]
+        if mode in (0, 1):
+            max_i = 0
+            if mode == 0:
+                mx = 0
+                for i, ai in enumerate(a):
+                    if ai[5] > mx:
+                        mx, max_i = ai[5], i
+            mapq = a[max_i][4]
+            tot[mapq] += 1
+            if not is_correct(s, a[max_i]):
+                if mapq >= err_out_q:
+                    _print("E", qname, "\t".join(map(str, a[max_i])), out=out)
+                err[mapq] += 1
+        elif mode == 2:
+            if cap_short_mapq:
+                mx, max_q = 0, 0
+                for ai in a:
+                    if ai[5] > mx:
+                        mx, max_q = ai[5], ai[4]
+                for ai in a:
+                    ai[4] = min(max_q, ai[4])
+            max_err_mapq, mx_mapq, max_err_i = -1, 0, -1
+            for i, ai in enumerate(a):
+                mx_mapq = max(mx_mapq, ai[4])
+                if not is_correct(s, ai) and ai[4] > max_err_mapq:
+                    max_err_mapq, max_err_i = ai[4], i
+            if max_err_mapq >= 0:
+                tot[max_err_mapq] += 1
+                err[max_err_mapq] += 1
+                if max_err_mapq >= err_out_q:
+                    _print("E", qname, "\t".join(map(str, a[max_err_i])),
+                           out=out)
+            else:
+                tot[mx_mapq] += 1
+
+    re_cig = re.compile(r"(\d+)([MIDSHN=X])")
+    last, a, n_unmapped = None, [], None
+    for line in _open(args[0]):
+        line = line.rstrip("\n")
+        if not line or line.startswith("@"):
+            continue
+        t = line.split("\t")
+        if len(t) > 4 and t[4] in "+-":     # PAF
+            if last != t[0]:
+                if last is not None:
+                    count_err(last, a)
+                a, last = [], t[0]
+            if re.search(r"\ts1:i:\d+", line) and \
+                    not re.search(r"\ts2:i:\d+", line):
+                continue
+            mapq = min(int(t[11]), max_mapq)
+            a.append([t[5], int(t[7]), int(t[8]), t[4], mapq, int(t[9])])
+        else:                               # SAM
+            flag = int(t[1])
+            read_no = flag >> 6 & 0x3
+            qname = t[0]
+            if not re.search(r"/[12]$", qname):
+                qname = t[0] + "/" + str(read_no) if read_no in (1, 2) \
+                    else t[0]
+            if last != qname:
+                if last is not None:
+                    count_err(last, a)
+                a, last = [], qname
+            if flag & 0x100:
+                continue
+            if (flag & 0x4) or t[2] == "*":
+                n_unmapped = (n_unmapped or 0) + 1
+                continue
+            mapq = min(int(t[4]), max_mapq)
+            pos = int(t[3]) - 1
+            pos_end = pos
+            n_gap = mlen = 0
+            for m in re_cig.finditer(t[5]):
+                ln, op = int(m.group(1)), m.group(2)
+                if op in "MX=":
+                    pos_end += ln
+                    mlen += ln
+                elif op == "I":
+                    n_gap += ln
+                elif op == "D":
+                    n_gap += ln
+                    pos_end += ln
+            score = pos_end - pos
+            m = re.search(r"\tNM:i:(\d+)", line)
+            if m:
+                NM = int(m.group(1))
+                if NM >= n_gap:
+                    score = mlen - (NM - n_gap)
+            a.append([t[2], pos, pos_end, "-" if flag & 16 else "+", mapq,
+                      score])
+    if last is not None:
+        count_err(last, a)
+
+    sum_tot = sum_err = sum_tot2 = sum_err2 = 0
+    q_out = -1
+    for q in range(max_mapq, -1, -1):
+        if tot[q] == 0:
+            continue
+        if q_out < 0 or err[q] > 0:
+            if q_out >= 0:
+                _print("Q", q_out, sum_tot, sum_err,
+                       f"{sum_err2 / sum_tot2:.9f}", sum_tot2, out=out)
+            sum_tot = sum_err = 0
+            q_out = q
+        sum_tot += tot[q]
+        sum_err += err[q]
+        sum_tot2 += tot[q]
+        sum_err2 += err[q]
+    if q_out >= 0:
+        _print("Q", q_out, sum_tot, sum_err, f"{sum_err2 / sum_tot2:.9f}",
+               sum_tot2, out=out)
+    if n_unmapped is not None:
+        _print("U", n_unmapped, out=out)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# stat (paftools.js:1009-1199)
+# ---------------------------------------------------------------------------
+
+
+def stat(argv, out=None):
+    gap_out_len, count_err = None, False
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-l":
+            i += 1
+            gap_out_len = int(argv[i])
+        elif argv[i] == "-c":
+            count_err = True
+        else:
+            args.append(argv[i])
+        i += 1
+    if not args:
+        print("Usage: paftools.py stat [-c] [-l gapOutLen] <in.sam>|<in.paf>",
+              file=sys.stderr)
+        return 1
+    re_cig = re.compile(r"(\d+)([MIDSHNX=])")
+    lineno = n_pri = n_2nd = n_seq = n_cigar_64k = l_tot = l_cov = 0
+    n_gap = [[0] * 6, [0] * 6]
+    n_sub = 0
+
+    def cov_len(regs):
+        regs.sort(key=lambda x: x[0])
+        st, en = regs[0]
+        ll = 0
+        for s0, e0 in regs[1:]:
+            if s0 < en:
+                en = max(en, e0)
+            else:
+                ll += en - st
+                st, en = s0, e0
+        return ll + en - st
+
+    last = last_qlen = None
+    regs = []
+    for line in _open(args[0]):
+        line = line.rstrip("\n")
+        lineno += 1
+        if line.startswith("@"):
+            continue
+        t = line.split("\t")
+        if len(t) < 2:
+            continue
+        NM, nn, cigar, atlen = None, 0, None, None
+        is_sam = is_rev = False
+        if len(t) > 4 and t[4] in "+-*":    # PAF
+            if t[4] == "*":
+                continue
+            if not re.search(r"\ts2:i:\d+", line):
+                n_2nd += 1
+                continue
+            m = re.search(r"\tNM:i:(\d+)", line)
+            NM = int(m.group(1)) if m else None
+            m = re.search(r"\tnn:i:(\d+)", line)
+            nn = int(m.group(1)) if m else 0
+            m = re.search(r"\tcg:Z:(\S+)", line)
+            cigar = m.group(1) if m else None
+            if cigar is None:
+                print(f"WARNING: no CIGAR at line {lineno}", file=sys.stderr)
+                continue
+            tname = t[5]
+            qs, qe = int(t[2]), int(t[3])
+            aqlen = qe - qs
+            is_rev = t[4] != "+"
+            rs = int(t[7])
+            atlen = int(t[8]) - rs
+            mapq = int(t[11])
+            ori_qlen = int(t[1])
+        else:                               # SAM
+            flag = int(t[1])
+            if (flag & 4) or t[2] == "*" or t[5] == "*":
+                continue
+            if flag & 0x100:
+                n_2nd += 1
+                continue
+            m = re.search(r"\tNM:i:(\d+)", line)
+            NM = int(m.group(1)) if m else None
+            m = re.search(r"\tnn:i:(\d+)", line)
+            nn = int(m.group(1)) if m else 0
+            cigar = t[5]
+            tname = t[2]
+            rs = int(t[3]) - 1
+            mapq = int(t[4])
+            aqlen = len(t[9])
+            is_sam = True
+            is_rev = bool(flag & 0x10)
+        n_pri += 1
+        if last != t[0]:
+            if last is not None:
+                l_tot += last_qlen
+                l_cov += cov_len(regs)
+            regs = []
+            n_seq += 1
+            last = t[0]
+        M = tl = ql = sclip = n_cigar = 0
+        clip = [0, 0]
+        n_gapo = n_gap_all = l_match = 0
+        for m in re_cig.finditer(cigar):
+            ln, op = int(m.group(1)), m.group(2)
+            n_cigar += 1
+            if op in "M=X":
+                tl += ln
+                ql += ln
+                M += ln
+                l_match += ln
+            elif op in "ID":
+                if ln < 50:
+                    ty = 0
+                elif ln < 100:
+                    ty = 1
+                elif ln < 300:
+                    ty = 2
+                elif ln < 400:
+                    ty = 3
+                elif ln < 1000:
+                    ty = 4
+                else:
+                    ty = 5
+                if op == "I":
+                    ql += ln
+                    n_gap[0][ty] += 1
+                else:
+                    tl += ln
+                    n_gap[1][ty] += 1
+                if gap_out_len is not None and ln >= gap_out_len:
+                    _print(t[0], ql, "-" if is_rev else "+", tname, rs + tl,
+                           op, ln, out=out)
+                n_gapo += 1
+                n_gap_all += ln
+            elif op == "N":
+                tl += ln
+            elif op == "S":
+                clip[0 if M == 0 else 1] = ln
+                sclip += ln
+            elif op == "H":
+                clip[0 if M == 0 else 1] = ln
+        if NM is not None:
+            tmp = NM - n_gap_all - nn
+            if tmp < 0 and nn == 0:
+                print(f"WARNING: NM is smaller than the number of gaps at "
+                      f"line {lineno}: NM={NM}, nn={nn}, G={n_gap_all}",
+                      file=sys.stderr)
+            n_sub += max(tmp, 0)
+        if n_cigar > 65535:
+            n_cigar_64k += 1
+        if ql + sclip != aqlen:
+            print("WARNING: aligned query length is inconsistent with CIGAR"
+                  f" at line {lineno} ({ql + sclip} != {aqlen})",
+                  file=sys.stderr)
+        if atlen is not None and atlen != tl:
+            print("WARNING: aligned reference length is inconsistent with "
+                  f"CIGAR at line {lineno}", file=sys.stderr)
+        if is_sam:
+            qs = clip[1 if is_rev else 0]
+            qe = qs + ql
+            ori_qlen = clip[0] + ql + clip[1]
+        if count_err and NM is not None:
+            n_mm = max(NM - n_gap_all, 0)
+            _print(t[0], ori_qlen, t[11] if len(t) > 11 else mapq,
+                   ori_qlen - (qe - qs), NM, l_match + n_gap_all,
+                   n_mm + n_gapo, l_match + n_gapo, out=out)
+        regs.append([qs, qe])
+        last_qlen = ori_qlen
+    if regs:
+        l_tot += last_qlen
+        l_cov += cov_len(regs)
+    if gap_out_len is None and not count_err:
+        p = lambda s: _print(s, out=out)  # noqa: E731
+        p(f"Number of mapped sequences: {n_seq}")
+        p(f"Number of primary alignments: {n_pri}")
+        p(f"Number of secondary alignments: {n_2nd}")
+        p("Number of primary alignments with >65535 CIGAR operations: "
+          f"{n_cigar_64k}")
+        p(f"Number of bases in mapped sequences: {l_tot}")
+        p(f"Number of mapped bases: {l_cov}")
+        p(f"Number of substitutions: {n_sub}")
+        for gi, nm in ((0, "insertions"), (1, "deletions")):
+            for ti, rng in enumerate(("[0,50)", "[50,100)", "[100,300)",
+                                      "[300,400)", "[400,1000)",
+                                      "[1000,inf)")):
+                p(f"Number of {nm} in {rng}: {n_gap[gi][ti]}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# junceval (paftools.js:2493-2706)
+# ---------------------------------------------------------------------------
+
+
+def junceval(argv, out=None):
+    l_fuzzy, print_ovlp, print_err_only = 0, False, False
+    first_only = chr_only = is_bed = False
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-l":
+            i += 1
+            l_fuzzy = int(argv[i])
+        elif a == "-e":
+            print_err_only = print_ovlp = True
+        elif a == "-p":
+            print_ovlp = True
+        elif a == "-c":
+            chr_only = True
+        elif a == "-b":
+            is_bed = True
+        elif a == "-1":
+            first_only = True
+        else:
+            args.append(a)
+        i += 1
+    if len(args) < 1:
+        print("Usage: paftools.py junceval [options] <gene.gtf> <aln.sam>",
+              file=sys.stderr)
+        return 1
+
+    tr: dict = {}
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        if t[0].startswith("#") or len(t) < 9 or t[2] != "exon":
+            continue
+        m = re.search(r'transcript_id "(\S+)"', t[8])
+        if m is None:
+            continue
+        tid = m.group(1)
+        tr.setdefault(tid, [t[0], t[6], 0, 0, []])[4].append(
+            [int(t[3]) - 1, int(t[4])])
+    anno: dict = {}
+    for tid, t in tr.items():
+        s = sorted(t[4])
+        for j in range(len(s) - 1):
+            if s[j][1] >= s[j + 1][0]:
+                print(f"WARNING: incorrect annotation for transcript {tid} "
+                      f"({s[j][1]} >= {s[j + 1][0]})", file=sys.stderr)
+            anno.setdefault(t[0], []).append((s[j][1], s[j + 1][0]))
+    for chrom in anno:
+        anno[chrom] = sorted(set(anno[chrom]))
+
+    def find_ovlp(e, st, en):
+        import bisect
+        res = []
+        k = bisect.bisect_left(e, (en, -1))
+        for j in range(k - 1, -1, -1):
+            if e[j][0] >= en:
+                continue
+            if e[j][1] > st:
+                res.append(e[j])
+            # introns are short; a bounded backward scan suffices
+            if st - e[j][0] > 1_000_000:
+                break
+        res.reverse()
+        return res
+
+    n_pri = n_unmapped = n_mapped = 0
+    n_sgl = n_splice = n_splice_hit = n_splice_novel = 0
+    last_qname = None
+    re_cig = re.compile(r"(\d+)([MIDNSHP=XFGUV])")
+    aln = _open(args[1]) if len(args) > 1 and args[1] != "-" else sys.stdin
+    for line in aln:
+        t = line.rstrip("\n").split("\t")
+        if not t or t[0].startswith("@"):
+            continue
+        if t[0] == "##PAF":
+            t = t[1:]
+        qname = t[0]
+        cigar = None
+        if is_bed:
+            ctg_name, pos = t[0], int(t[1])
+        elif len(t) > 4 and t[4] in "+-*":  # PAF
+            ctg_name, pos = t[5], int(t[7])
+            ty = "P"
+            for f in t[12:]:
+                if f.startswith("tp:A:"):
+                    ty = f[5:]
+                elif f.startswith("cg:Z:"):
+                    cigar = f[5:]
+            if ty == "S":
+                continue
+        else:                                # SAM
+            ctg_name, pos, cigar = t[2], int(t[3]) - 1, t[5]
+            flag = int(t[1])
+            if flag & 1:
+                if flag & 0x40:
+                    qname += "/1"
+                elif flag & 0x80:
+                    qname += "/2"
+            if flag & 0x100:
+                continue
+        if chr_only and not re.match(r"^(chr)?([0-9]+|X|Y)$", ctg_name):
+            continue
+        if first_only and last_qname == qname:
+            continue
+        if ctg_name == "*":
+            n_unmapped += 1
+            continue
+        n_pri += 1
+        if last_qname != qname:
+            n_mapped += 1
+            last_qname = qname
+        intron = []
+        if is_bed:
+            intron.append((pos, int(t[2])))
+        else:
+            for m in re_cig.finditer(cigar or ""):
+                ln, op = int(m.group(1)), m.group(2)
+                if op == "N":
+                    intron.append((pos, pos + ln))
+                    pos += ln
+                elif op in "MX=D":
+                    pos += ln
+        if not intron:
+            n_sgl += 1
+            continue
+        n_splice += len(intron)
+        e = anno.get(ctg_name)
+        if e is not None:
+            for i2, (st, en) in enumerate(intron):
+                o = find_ovlp(e, st, en)
+                if o:
+                    hit = False
+                    for oj in o:
+                        if abs(st - oj[0]) <= l_fuzzy \
+                                and abs(en - oj[1]) <= l_fuzzy:
+                            n_splice_hit += 1
+                            hit = True
+                        if hit:
+                            break
+                    if print_ovlp:
+                        if hit and print_err_only:
+                            continue
+                        x = "[" + ", ".join(f"({a0},{b0})"
+                                            for a0, b0 in o) + "]"
+                        _print("C" if hit else "P", qname, i2 + 1, ctg_name,
+                               st, en, x, out=out)
+                else:
+                    n_splice_novel += 1
+                    if print_ovlp:
+                        _print("N", qname, i2 + 1, ctg_name, st, en, out=out)
+        else:
+            n_splice_novel += len(intron)
+    if not print_ovlp:
+        p = lambda s: _print(s, out=out)  # noqa: E731
+        p(f"# unmapped reads: {n_unmapped}")
+        p(f"# mapped reads: {n_mapped}")
+        p(f"# primary alignments: {n_pri}")
+        p(f"# singletons: {n_sgl}")
+        p(f"# predicted introns: {n_splice}")
+        p(f"# non-overlapping introns: {n_splice_novel}")
+        pct = n_splice_hit / n_splice * 100 if n_splice else 0.0
+        p(f"# correct introns: {n_splice_hit} ({pct:.2f}%)")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# view (paftools.js:1411-1533), BLAST-like 'aln' format
+# ---------------------------------------------------------------------------
+
+_RE_CS = re.compile(r"([:=\-\+\*])(\d+|[A-Za-z]+)")
+
+
+def view(argv, out=None):
+    line_len, fmt = 80, "aln"
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-f":
+            i += 1
+            fmt = argv[i]
+        elif argv[i] == "-l":
+            i += 1
+            line_len = int(argv[i])
+        else:
+            args.append(argv[i])
+        i += 1
+    if line_len == 0:
+        line_len = 0x7FFFFFFF
+    if not args:
+        print("Usage: paftools.py view [options] <in.paf>", file=sys.stderr)
+        return 1
+    o = out or sys.stdout
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        if len(t) < 12:
+            continue
+        cs = None
+        for f in t[12:]:
+            if f.startswith("cs:Z:"):
+                cs = f[5:]
+        if fmt == "lastz-cigar":
+            cg = next((f[5:] for f in t[12:] if f.startswith("cg:Z:")), None)
+            if cg is None:
+                continue
+            ops = []
+            for m in _RE_CIGAR.finditer(cg):
+                ops.append(m.group(2) + " " + m.group(1))
+            o.write(" ".join(["cigar:", t[0], t[2], t[3], t[4], t[5], t[7],
+                              t[8], "+", t[11]] + ops) + "\n")
+            continue
+        if cs is None:
+            continue
+        s_ref, s_qry, s_mid = [], [], []
+        for m in _RE_CS.finditer(cs):
+            op, arg = m.group(1), m.group(2)
+            if op in ":=":
+                ln = int(arg) if op == ":" else len(arg)
+                seg = arg if op == "=" else "." * ln
+                s_ref.append(seg.upper())
+                s_qry.append(seg.upper())
+                s_mid.append("|" * ln)
+            elif op == "*":
+                s_ref.append(arg[0].upper())
+                s_qry.append(arg[1].upper())
+                s_mid.append(" ")
+            elif op == "+":
+                s_ref.append("-" * len(arg))
+                s_qry.append(arg.upper())
+                s_mid.append(" " * len(arg))
+            elif op == "-":
+                s_ref.append(arg.upper())
+                s_qry.append("-" * len(arg))
+                s_mid.append(" " * len(arg))
+        sr, sq, sm = "".join(s_ref), "".join(s_qry), "".join(s_mid)
+        o.write(">" + "\t".join(t[:12]) + "\n")
+        for st in range(0, len(sr), line_len):
+            o.write("Ref+:  " + sr[st:st + line_len] + "\n")
+            o.write("       " + sm[st:st + line_len] + "\n")
+            o.write("Qry" + (t[4] if t[4] in "+-" else "?") + ":  "
+                    + sq[st:st + line_len] + "\n\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+_CMDS = {
+    "sam2paf": sam2paf,
+    "mapeval": mapeval,
+    "stat": stat,
+    "junceval": junceval,
+    "view": view,
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("Usage: paftools.py <command> [arguments]", file=sys.stderr)
+        print("Commands:", file=sys.stderr)
+        for c in list(_CMDS) + ["version"]:
+            print(f"  {c}", file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "version":
+        print(MM_VERSION.split("-")[0])
+        return 0
+    if cmd not in _CMDS:
+        print(f"ERROR: unrecognized command '{cmd}'", file=sys.stderr)
+        return 1
+    return _CMDS[cmd](rest)
 
 
 if __name__ == "__main__":
