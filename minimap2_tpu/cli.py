@@ -299,12 +299,19 @@ def main(argv=None) -> int:
             return 1
     if tgt.endswith(".npz"):
         mi = MiniIndex.load(tgt)
+    elif open(tgt, "rb").read(4) == b"MMI\x02":
+        from .index.mmi import load_mmi
+        mi = load_mmi(tgt)
     else:
         names, seqs = read_fasta(tgt)
         mi = MiniIndex.build(names, seqs, w=io.w, k=io.k, b=io.bucket_bits,
                              flag=io.flag)
     if args.idx_out:
-        mi.save(args.idx_out)
+        if args.idx_out.endswith(".npz"):
+            mi.save(args.idx_out)
+        else:
+            from .index.mmi import dump_mmi
+            dump_mmi(mi, args.idx_out)
     if args.verbose >= 3:
         el = time.time() - REALTIME0
         print(f"[M::main::{el:.3f}*1.00] loaded/built the index for "
