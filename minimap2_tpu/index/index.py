@@ -62,7 +62,7 @@ class MiniIndex:
         mi = cls(w, k, b, flag)
         total = sum(len(s) for s in seqs)
         mi.S = np.empty(total, dtype=np.uint8)
-        xs, ys = [], []
+        offs, lens = [], []
         off = 0
         for rid, (name, s) in enumerate(zip(names, seqs)):
             if isinstance(s, str):
@@ -70,14 +70,25 @@ class MiniIndex:
             codes = SEQ_NT4[np.frombuffer(s, dtype=np.uint8)]
             mi.S[off:off + len(s)] = codes
             mi.seq.append(SeqMeta(name=name, offset=off, length=len(s)))
+            offs.append(off)
+            lens.append(len(s))
             off += len(s)
-            if len(s) >= k:
-                x, y = sketch(codes, mi.w, mi.k, rid, bool(flag & 0x1))
-                xs.append(x)
-                ys.append(y)
-        if xs:
-            x = np.concatenate(xs)
-            y = np.concatenate(ys)
+        from .. import native
+        if native.available():
+            x, y = native.sketch_many(mi.S, np.array(offs, np.int64),
+                                      np.array(lens, np.int64), mi.w, mi.k,
+                                      bool(flag & 0x1))
+        else:
+            xs, ys = [], []
+            for rid in range(len(mi.seq)):
+                if lens[rid] >= k:
+                    xr, yr = sketch(mi.S[offs[rid]:offs[rid] + lens[rid]],
+                                    mi.w, mi.k, rid, bool(flag & 0x1))
+                    xs.append(xr)
+                    ys.append(yr)
+            x = np.concatenate(xs) if xs else np.empty(0, np.uint64)
+            y = np.concatenate(ys) if ys else np.empty(0, np.uint64)
+        if len(x):
             h = x >> np.uint64(8)              # index key = kmer hash (span dropped)
             order = np.lexsort((y, h))
             h, y = h[order], y[order]

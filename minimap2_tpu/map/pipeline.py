@@ -22,12 +22,18 @@ from .seed import collect_seed_hits, seed_mz_flt
 
 def collect_minimizers(mi: MiniIndex, opt: MapOptions, seqs: list[bytes]):
     """map.c:59-72 (sdust masking not applied unless enabled)."""
+    from .. import native
+    use_native = native.available()
     xs, ys = [], []
     total = 0
     for sid, s in enumerate(seqs):
         codes = SEQ_NT4[np.frombuffer(s, dtype=np.uint8)]
         if len(codes) > 0:
-            x, y = sketch(codes, mi.w, mi.k, sid, bool(mi.flag & 0x1))
+            if use_native:
+                x, y = native.sketch(codes, mi.w, mi.k, sid,
+                                     bool(mi.flag & 0x1))
+            else:
+                x, y = sketch(codes, mi.w, mi.k, sid, bool(mi.flag & 0x1))
             with np.errstate(over="ignore"):
                 y = y + np.uint64((total << 1) & 0xFFFFFFFFFFFFFFFF)
             xs.append(x)

@@ -141,6 +141,17 @@ def collect_seed_hits(mi, opt, max_occ: int, mx, my, qlen: int,
 
     Returns (ax, ay, rep_len, mini_pos).
     """
+    # fast native path (bit-exact) when no ava/strand/qstrand special-casing
+    if not (opt.flag & (MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_FOR_ONLY
+                        | MM_F_REV_ONLY | MM_F_QSTRAND)):
+        from .. import native
+        if native.available():
+            mmo = opt.max_max_occ if (opt.occ_dist > 0
+                                      and opt.max_max_occ > max_occ) else 0
+            ax, ay, rep_len, mini_pos = native.collect_anchors(
+                mx, my, mi.keys, mi.starts, mi.pos, qlen, max_occ,
+                mmo if mmo else max_occ, opt.occ_dist if mmo else 0)
+            return ax, ay, rep_len, mini_pos
     s, n_a, rep_len, mini_pos = collect_matches(
         mi, mx, my, qlen, max_occ, opt.max_max_occ, opt.occ_dist)
     n_m = len(s.n)

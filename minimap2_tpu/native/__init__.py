@@ -1,0 +1,129 @@
+"""ctypes loader for the native host kernels (mmtpu.cpp).
+
+Compiles on first import with g++ (cached next to the source by mtime);
+falls back to `available() == False` if no compiler is present, in which
+case callers use the NumPy paths.
+"""
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "mmtpu.cpp")
+_SO = os.path.join(_DIR, "_mmtpu.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                        _SRC, "-o", _SO + ".tmp"], check=True,
+                       capture_output=True)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    lib = C.CDLL(_SO)
+    lib.mm_sketch_nt4.restype = C.c_int64
+    lib.mm_sketch_nt4.argtypes = [
+        C.c_void_p, C.c_int64, C.c_int, C.c_int, C.c_uint32, C.c_int,
+        C.c_void_p, C.c_void_p, C.c_int64]
+    lib.mm_collect_anchors.restype = C.c_int64
+    lib.mm_collect_anchors.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_int64, C.c_void_p, C.c_void_p,
+        C.c_int64, C.c_void_p, C.c_int64, C.c_int64, C.c_int64, C.c_int64,
+        C.c_void_p, C.c_void_p, C.c_int64, C.c_void_p, C.c_void_p,
+        C.c_void_p]
+    lib.mm_sketch_many.restype = C.c_int64
+    lib.mm_sketch_many.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_int, C.c_int,
+        C.c_int, C.c_void_p, C.c_void_p, C.c_int64]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(C.c_void_p)
+
+
+def sketch(codes: np.ndarray, w: int, k: int, rid: int, is_hpc: bool):
+    """Native mm_sketch over nt4 codes -> (x, y) uint64 arrays."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    cap = max(16, 2 * len(codes) // max(w, 1) + 64)
+    while True:
+        out_x = np.empty(cap, np.uint64)
+        out_y = np.empty(cap, np.uint64)
+        n = lib.mm_sketch_nt4(_ptr(codes), len(codes), w, k, rid,
+                              int(is_hpc), _ptr(out_x), _ptr(out_y), cap)
+        if n <= cap:
+            return out_x[:n], out_y[:n]
+        cap = int(n) + 64
+
+
+def sketch_many(codes: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+                w: int, k: int, is_hpc: bool):
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    cap = max(16, 2 * len(codes) // 2 + 1024)
+    while True:
+        out_x = np.empty(cap, np.uint64)
+        out_y = np.empty(cap, np.uint64)
+        n = lib.mm_sketch_many(_ptr(codes), _ptr(offs), _ptr(lens),
+                               len(offs), w, k, int(is_hpc), _ptr(out_x),
+                               _ptr(out_y), cap)
+        if n <= cap:
+            return out_x[:n], out_y[:n]
+        cap = int(n) + 1024
+
+
+def collect_anchors(mx: np.ndarray, my: np.ndarray, keys: np.ndarray,
+                    starts: np.ndarray, pos: np.ndarray, qlen: int,
+                    max_occ: int, max_max_occ: int, dist: int,
+                    cap: int | None = None):
+    """Native seed lookup + selection + anchor expansion + sort.
+
+    Returns (ax, ay, rep_len, mini_pos)."""
+    lib = _load()
+    mx = np.ascontiguousarray(mx, dtype=np.uint64)
+    my = np.ascontiguousarray(my, dtype=np.uint64)
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    pos = np.ascontiguousarray(pos, dtype=np.uint64)
+    if cap is None:
+        cap = max(1024, 64 * len(mx))
+    rep = np.zeros(1, np.int64)
+    n_mini = np.zeros(1, np.int64)
+    while True:
+        ax = np.empty(cap, np.uint64)
+        ay = np.empty(cap, np.uint64)
+        minipos = np.empty(cap, np.uint64)
+        n = lib.mm_collect_anchors(
+            _ptr(mx), _ptr(my), len(mx), _ptr(keys), _ptr(starts),
+            len(keys), _ptr(pos), qlen, max_occ, max_max_occ, dist,
+            _ptr(ax), _ptr(ay), cap, _ptr(rep), _ptr(minipos),
+            _ptr(n_mini))
+        if n < cap:
+            return ax[:n], ay[:n], int(rep[0]), minipos[:int(n_mini[0])]
+        cap *= 4

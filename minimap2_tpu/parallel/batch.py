@@ -388,7 +388,10 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     found = ((di.keys_hi[idx_c] == mh_hi) & (di.keys_lo[idx_c] == mh_lo)
              & mvalid)
     start = jnp.where(found, di.starts[idx_c], 0)
-    cnt = jnp.where(found, jnp.minimum(di.cnts[idx_c], p.occ_cap), 0)
+    # mid_occ semantics (seed.c:30-52): seeds above the occurrence
+    # threshold are skipped entirely, not truncated
+    cnt_raw = di.cnts[idx_c]
+    cnt = jnp.where(found & (cnt_raw <= p.occ_cap), cnt_raw, 0)
     # per-seed output offsets; anchors beyond capacity A are dropped
     offs = jnp.cumsum(cnt, axis=1) - cnt                      # (B, M)
     ends = offs + cnt
@@ -439,7 +442,7 @@ def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
 
     def step(carry, xs):
         # window planes: (B, WND) of predecessor candidates
-        fw, revw, ridw, rposw, qposw, qsw, rsw, best = carry
+        fw, revw, ridw, rposw, qposw, qsw, rsw, vw, best, i = carry
         rv, ri, rp, qp_, ok = xs                               # (B,) each
         dq = qp_[:, None] - qposw                              # i minus j
         dr = rp[:, None] - rposw
@@ -469,12 +472,20 @@ def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
                          qp_ - qspan + 1)
         rs_i = jnp.where(use_pred, jnp.take_along_axis(rsw, bj[:, None], 1)[:, 0],
                          rp - qspan + 1)
+        # peak score along the chain (lchain.c v[] semantics)
+        v_pred = jnp.take_along_axis(vw, bj[:, None], 1)[:, 0]
+        v_i = jnp.where(use_pred & (v_pred > f_i), v_pred, f_i)
+        # global predecessor index (window slot w holds anchor i - WND + w)
+        pred_i = jnp.where(use_pred & ok, i - WND + bj, -1)
+        qs_i = jnp.where(ok, qs_i, 0)
+        rs_i = jnp.where(ok, rs_i, 0)
+
         # roll window, insert current at the end
         def push(wnd, val):
             return jnp.concatenate([wnd[:, 1:], val[:, None]], axis=1)
         carry2 = (push(fw, f_i), push(revw, rv), push(ridw, ri),
                   push(rposw, rp), push(qposw, qp_), push(qsw, qs_i),
-                  push(rsw, rs_i), best)
+                  push(rsw, rs_i), push(vw, v_i))
         # track the best-ending chain per read
         b_sc, b_qs, b_qe, b_rs, b_re, b_rev, b_rid = best
         better = f_i > b_sc
@@ -485,20 +496,56 @@ def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
                  jnp.where(better, rp + 1, b_re),
                  jnp.where(better, rv, b_rev),
                  jnp.where(better, ri, b_rid))
-        carry2 = carry2[:7] + (best2,)
-        return carry2, f_i
+        carry2 = carry2 + (best2, i + 1)
+        return carry2, (f_i, pred_i, v_i, qs_i, rs_i)
 
     z32 = jnp.zeros((B, WND), jnp.int32)
     init = (jnp.full((B, WND), NEG_INF, jnp.int32), z32, z32, z32, z32,
-            z32, z32,
+            z32, z32, jnp.full((B, WND), NEG_INF, jnp.int32),
             (jnp.full((B,), NEG_INF, jnp.int32), jnp.zeros((B,), jnp.int32),
              jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
              jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-             jnp.zeros((B,), jnp.int32)))
+             jnp.zeros((B,), jnp.int32)),
+            jnp.int32(0))
     xs = (rev.T, rid.T, rpos.T, qpos.T, av.T)
-    carry, f = lax.scan(step, init, xs)
-    best = carry[7]
-    return best, f.T
+    carry, (f, pred, vv, qs_a, rs_a) = lax.scan(step, init, xs)
+    best = carry[8]
+    return best, (f.T, pred.T, vv.T, qs_a.T, rs_a.T)
+
+
+def topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K: int,
+                min_sc: int):
+    """Greedy top-K query-non-overlapping chains per read, on device.
+
+    Device analogue of mg_chain_backtrack + mm_set_parent's primary
+    selection (lchain.c:27-76, hit.c:125-186): repeatedly take the
+    best-scoring chain end, mask out all anchors overlapping its query
+    span, record the runner-up overlapping score as the chain's sub-score.
+    Returns (K, B) planes: score, sub, qs, qe, rs, re, rev, rid, cnt.
+    """
+    B, A = f.shape
+    alive = av & (f >= min_sc)
+    outs = []
+    for _ in range(K):
+        fm = jnp.where(alive, f, NEG_INF)
+        bi = jnp.argmax(fm, axis=1)                            # (B,)
+        take = lambda x: jnp.take_along_axis(x, bi[:, None], 1)[:, 0]
+        sc1 = take(fm)
+        qs1, rs1 = take(qs_a), take(rs_a)
+        qe1 = take(qpos) + 1
+        re1 = take(rpos) + 1
+        rev1, rid1 = take(rev), take(rid)
+        member = (qs_a == qs1[:, None]) & (rs_a == rs1[:, None]) \
+            & (rev == rev1[:, None]) & (rid == rid1[:, None])
+        cnt1 = jnp.sum(member & alive, axis=1).astype(jnp.int32)
+        # query-overlap mask (mask_level analogue); sub-score = best
+        # overlapping non-member chain end
+        ovlp = (qpos >= qs1[:, None]) & (qpos < qe1[:, None])
+        sub_cand = jnp.where(alive & ovlp & ~member, f, NEG_INF)
+        sub1 = jnp.max(sub_cand, axis=1)
+        alive = alive & ~ovlp
+        outs.append((sc1, sub1, qs1, qe1, rs1, re1, rev1, rid1, cnt1))
+    return [jnp.stack(x) for x in zip(*outs)]
 
 
 def _extend_best(di: DeviceIndex, codes, lens, best, p: BatchParams,

@@ -1,0 +1,107 @@
+"""Batched TPU mapping engine: end-to-end PAF throughput path.
+
+The host per-read path (map/pipeline.py) is the bit-exact parity oracle;
+this engine is the high-throughput device path: whole read mega-batches run
+sketch -> seed lookup -> anchor sort -> chain DP -> top-K chain selection as
+ONE jitted device program, and only (K, B) compact chain records return to
+the host for PAF emission.  Quality is gated statistically (paftools
+mapeval ROC on simulated reads) rather than byte parity: the device chain
+scan uses a fixed look-back window (max_iter analogue) and the top-K
+selection approximates mm_set_parent's query-overlap primary marking.
+
+Corresponds to the reference's mapping mode without base alignment
+(minimap2 without -c/-a: seed/chain/mapq only, map.c:227-341).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.intfloat import SEQ_NT4
+from .batch import (BatchParams, DeviceIndex, _chain_scan, _compact_minimizers,
+                    _lookup_anchors, device_sketch, topk_chains)
+
+
+def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
+                  interpret: bool = False):
+    """Jitted device program: read batch -> (K, B) chain records."""
+
+    @jax.jit
+    def step(codes, lens):
+        hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
+        mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(
+            hhi, hlo, z, is_mini, p.M)
+        rev, rid, rpos, qpos, av = _lookup_anchors(
+            di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p)
+        _, (f, pred, vv, qs_a, rs_a) = _chain_scan(rev, rid, rpos, qpos,
+                                                   av, p)
+        return topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K,
+                           min_sc)
+
+    return step
+
+
+def encode_batch(seqs: list[bytes], L: int):
+    """Pack reads into a fixed-shape (B, L) nt4 batch."""
+    B = len(seqs)
+    codes = np.full((B, L), 4, np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        n = min(len(s), L)
+        codes[i, :n] = SEQ_NT4[np.frombuffer(s[:n], np.uint8)]
+        lens[i] = n
+    return codes, lens
+
+
+def _mapq(score: int, sub: int, cnt: int, min_chain_score: int) -> int:
+    """Approximate mm_set_mapq2 (hit.c:432-485) from chain scores only."""
+    if score <= 0:
+        return 0
+    sub = max(sub, 0)
+    x = sub / score
+    mapq = int(40.0 * (1.0 - x) * min(1.0, cnt / 10.0) * np.log(score / 8.0
+                                                                + 1.0))
+    return max(0, min(mapq, 60))
+
+
+def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
+                  p: BatchParams, out, rep_len: int = 0):
+    """Run one encoded batch through the device step and write PAF lines."""
+    codes, lens = encode_batch(seqs, p.L)
+    rec = step(jnp.asarray(codes), jnp.asarray(lens))
+    sc, sub, qs, qe, rs, re_, rev, rid, cnt = (np.asarray(x) for x in rec)
+    K, B = sc.shape
+    n_mapped = 0
+    for b in range(B):
+        qlen = len(seqs[b])
+        wrote = False
+        for k in range(K):
+            if sc[k, b] <= 0:
+                break
+            mq = _mapq(int(sc[k, b]), int(sub[k, b]), int(cnt[k, b]), 40)
+            if k > 0:
+                mq = 0
+            r0 = int(mi.seq[int(rid[k, b])].length) \
+                if int(rid[k, b]) < mi.n_seq else 0
+            qs_, qe_ = int(max(qs[k, b], 0)), int(min(qe[k, b], qlen))
+            rs_, re2 = int(max(rs[k, b], 0)), int(min(re_[k, b], r0))
+            if qe_ <= qs_ or re2 <= rs_:
+                continue
+            if int(rev[k, b]):
+                qs_, qe_ = qlen - qe_, qlen - qs_
+            mlen = min(int(cnt[k, b]) * p.k, qe_ - qs_)
+            blen = max(qe_ - qs_, re2 - rs_)
+            out.write("\t".join(map(str, [
+                names[b], qlen, qs_, qe_, "-" if int(rev[k, b]) else "+",
+                mi.seq[int(rid[k, b])].name, r0, rs_, re2, mlen, blen, mq,
+                "tp:A:" + ("P" if k == 0 else "S"),
+                f"cm:i:{int(cnt[k, b])}", f"s1:i:{int(sc[k, b])}",
+                f"s2:i:{max(int(sub[k, b]), 0)}", f"rl:i:{rep_len}",
+            ])) + "\n")
+            wrote = True
+        if wrote:
+            n_mapped += 1
+    return n_mapped

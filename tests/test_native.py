@@ -1,0 +1,67 @@
+"""Native host kernels (native/mmtpu.cpp) vs the NumPy references."""
+import numpy as np
+import pytest
+
+from minimap2_tpu import native
+from minimap2_tpu.config import MapOptions, mapopt_update
+from minimap2_tpu.index.index import MiniIndex
+from minimap2_tpu.index.sketch import sketch_ref
+from minimap2_tpu.map.seed import Seeds, collect_matches
+from minimap2_tpu.utils.intfloat import SEQ_NT4
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native build failed")
+
+
+def test_sketch_bitexact_random():
+    rng = np.random.default_rng(0)
+    for trial in range(15):
+        L = int(rng.integers(40, 2500))
+        seq = "".join(rng.choice(list("ACGTN"), L,
+                                 p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        codes = SEQ_NT4[np.frombuffer(seq.encode(), np.uint8)]
+        for (w, k, hpc) in [(10, 15, False), (5, 19, True), (19, 19, False),
+                            (1, 14, False), (255, 28, True)]:
+            x0, y0 = sketch_ref(codes, w, k, 7, hpc)
+            x1, y1 = native.sketch(codes, w, k, 7, hpc)
+            np.testing.assert_array_equal(x0, x1)
+            np.testing.assert_array_equal(y0, y1)
+
+
+def test_collect_anchors_bitexact():
+    rng = np.random.default_rng(1)
+    unit = "".join(rng.choice(list("ACGT"), 400))
+    ref = unit * 25 + "".join(rng.choice(list("ACGT"), 40000))
+    mi = MiniIndex.build(["c"], [ref], w=10, k=15)
+    mo = MapOptions()
+    mapopt_update(mo, mi)
+    for t in range(8):
+        ln = int(rng.integers(200, 2500))
+        st = int(rng.integers(0, len(ref) - ln))
+        qc = SEQ_NT4[np.frombuffer(ref[st:st + ln].encode(), np.uint8)]
+        mx, my = native.sketch(qc, 10, 15, 0, False)
+        s, n_a, rep0, minipos0 = collect_matches(
+            mi, mx, my, ln, mo.mid_occ, mo.max_max_occ, mo.occ_dist)
+        ax1, ay1, rep1, minipos1 = native.collect_anchors(
+            mx, my, mi.keys, mi.starts, mi.pos, ln, mo.mid_occ,
+            mo.max_max_occ, mo.occ_dist)
+        assert rep0 == rep1
+        np.testing.assert_array_equal(minipos0, minipos1)
+        assert len(ax1) == n_a
+
+
+def test_index_build_native_equals_numpy():
+    rng = np.random.default_rng(2)
+    ref = "".join(rng.choice(list("ACGTN"), 30000,
+                             p=[0.245, 0.245, 0.245, 0.245, 0.02]))
+    mi = MiniIndex.build(["c"], [ref], w=10, k=15)
+    import minimap2_tpu.native as nat
+    orig = nat.available
+    nat.available = lambda: False
+    try:
+        mi2 = MiniIndex.build(["c"], [ref], w=10, k=15)
+    finally:
+        nat.available = orig
+    np.testing.assert_array_equal(mi.keys, mi2.keys)
+    np.testing.assert_array_equal(mi.starts, mi2.starts)
+    np.testing.assert_array_equal(mi.pos, mi2.pos)
