@@ -1,123 +1,148 @@
 #!/usr/bin/env python
-"""Benchmark: banded extension DP (extd2 Pallas kernel) cell-updates/s on one
-chip, vs the reference's ksw_extd2_sse (single core, x64 as a 64-core-node
-proxy) measured on this machine when the oracle .so is available, else vs a
-recorded single-core rate.
+"""North-star benchmark: end-to-end reads/s per chip, ONT-like ~10kb reads
+vs a synthetic 5Mb genome, batched device PAF mapping (sketch -> seed ->
+chain on TPU). Baseline: the reference minimap2 binary, single thread,
+scaled x64 as the 64-core-Xeon proxy from BASELINE.md, measured on this
+machine when available.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
+import io
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF_LIB = os.environ.get("MM2_REF_LIB", "/tmp/mm2build/libminimap2.so")
-# Fallback single-core baseline (measured on this machine's CPU with
-# ksw_extd2_sse, 2kb x 2kb, w=500, score-only) if the .so is absent.
-FALLBACK_REF_CELLS_PER_S = 2.0e9
+REF_BIN = os.environ.get("MM2_REF_BIN", "/tmp/mm2build/minimap2")
+# single-thread reads/s of the reference on this workload, recorded from
+# this machine, used only if the binary is absent
+FALLBACK_REF_READS_PER_S = 730.0
 XEON_CORES = 64
+B = 256          # reads per device batch
+N_READS = 512
+REF_LEN = 5_000_000
 
 
-def true_cells(qlen, tlen, w):
-    """Banded DP cells the reference computes (pre block-rounding)."""
-    r = np.arange(qlen + tlen - 1)
-    st = np.maximum(np.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
-    en = np.minimum(np.minimum(tlen - 1, r), (r + w) >> 1)
-    return int(np.maximum(en - st + 1, 0).sum())
+def simulate(rng):
+    ref = rng.choice(np.frombuffer(b"ACGT", np.uint8), REF_LEN).tobytes()
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    names, seqs = [], []
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(N_READS):
+        ln = int(rng.integers(8000, 11000))
+        st = int(rng.integers(0, REF_LEN - ln))
+        src = np.frombuffer(ref[st:st + ln], np.uint8)
+        r = rng.random(ln)
+        out = []
+        for j in range(ln):       # ~10% ONT-like errors
+            if r[j] < 0.05:
+                out.append(int(acgt[rng.integers(0, 4)]))
+            elif r[j] < 0.075:
+                pass              # deletion
+            else:
+                out.append(int(src[j]))
+                if r[j] < 0.10:
+                    out.append(int(acgt[rng.integers(0, 4)]))
+        s = bytes(out)
+        if i % 2:
+            s = s.translate(comp)[::-1]
+        names.append(f"r{i}!chr1!{st}!{st + ln}!{'-' if i % 2 else '+'}")
+        seqs.append(s)
+    return ref, names, seqs
 
 
-def gen_pairs(rng, N, QP, TP, div=0.1):
-    lens = np.zeros((N, 2), np.int32)
-    qr = np.zeros((N, QP), np.uint8)
-    sf = np.zeros((N, TP), np.uint8)
-    cases = []
-    for n in range(N):
-        ql = QP
-        tl = TP
-        qs = rng.integers(0, 4, ql).astype(np.uint8)
-        ts = qs[:tl].copy()
-        mut = rng.random(tl) < div
-        ts[mut] = rng.integers(0, 4, int(mut.sum())).astype(np.uint8)
-        lens[n] = (ql, tl)
-        qr[n, :ql] = qs[::-1]
-        sf[n, :tl] = ts
-        cases.append((qs, ts))
-    return qr, sf, lens, cases
-
-
-def bench_tpu(qr, sf, lens, QP, TP, W, w, iters=3, with_cigar=True):
+def bench_ours(mi, names, seqs):
     import jax
-    import jax.numpy as jnp
 
-    from minimap2_tpu.ops.extend_pallas2 import EZ_SCORE, extd2_batch2
+    from minimap2_tpu.config import MapOptions, mapopt_update
+    from minimap2_tpu.parallel import engine
+    from minimap2_tpu.parallel.batch import BatchParams, DeviceIndex
 
+    mo = MapOptions()
+    mapopt_update(mo, mi)
+    p = BatchParams(L=12288, M=2048, A=4096, occ_cap=max(mo.mid_occ, 10),
+                    chain_window=64)
+    di = DeviceIndex.from_host(mi, 1)[0]
     interp = jax.default_backend() != "tpu"
-    R = QP + TP - 1
-    args = dict(G=32, W=W, RB=64 if with_cigar else 128, R=R, QP=QP, TP=TP,
-                q=4, e=2, q2=24, e2=1, w=w, zdrop=400, right_mode=False,
-                approx_max=True, approx_drop=False, sc_mch=2, sc_mis=-4,
-                sc_N=-1, with_cigar=with_cigar, interpret=interp)
-    jq, js, jl = jnp.asarray(qr), jnp.asarray(sf), jnp.asarray(lens)
-    _, ez = extd2_batch2(jq, js, jl, **args)
-    np.asarray(ez[:, EZ_SCORE])                  # compile + warm (real sync:
-    t0 = time.perf_counter()                     # axon block_until_ready
-    for _ in range(iters):                       # does not block)
-        _, ez = extd2_batch2(jq, js, jl, **args)
-        np.asarray(ez[:, EZ_SCORE])
-    dt = (time.perf_counter() - t0) / iters
-    return dt, np.asarray(ez)
-
-
-def bench_ref(cases, w, budget_pairs=4):
-    """Reference ksw_extd2_sse single-core rate via the oracle .so."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "tests"))
-    import refbind
-    if not refbind.available():
-        return None
-    from minimap2_tpu.map.align_engine import gen_simple_mat
-    mat = gen_simple_mat(5, 2, -4, 1)
-    KSW_EZ_APPROX_MAX = 0x08
-    cells = 0
+    step = engine.make_paf_step(di, p, K=5, min_sc=40, interpret=interp)
+    buf = io.StringIO()
+    engine.map_batch_paf(mi, di, step, names[:B], seqs[:B], None, p, buf)
     t0 = time.perf_counter()
-    for qs, ts in cases[:budget_pairs]:
-        refbind.ref_extd2(qs, ts, mat, 4, 2, 24, 1, w, 400, 0,
-                          KSW_EZ_APPROX_MAX)   # same mode as the TPU run
-        cells += true_cells(len(qs), len(ts), w)
+    n = 0
+    buf = io.StringIO()
+    for st in range(0, N_READS, B):
+        engine.map_batch_paf(mi, di, step, names[st:st + B],
+                             seqs[st:st + B], None, p, buf)
+        n += len(names[st:st + B])
     dt = time.perf_counter() - t0
-    return cells / dt
+    # accuracy gate: mapeval at Q60 must stay clean
+    from minimap2_tpu.tools import paftools as pt
+    ev = io.StringIO()
+    with tempfile.NamedTemporaryFile("w", suffix=".paf",
+                                     delete=False) as f:
+        f.write(buf.getvalue())
+        paf = f.name
+    pt.mapeval([paf], out=ev)
+    os.unlink(paf)
+    q60 = ev.getvalue().splitlines()[0].split("\t") if ev.getvalue() else []
+    return n / dt, q60
+
+
+def bench_ref(ref, names, seqs):
+    if not os.path.exists(REF_BIN):
+        return None
+    with tempfile.TemporaryDirectory() as td:
+        fa = os.path.join(td, "ref.fa")
+        fq = os.path.join(td, "reads.fa")
+        mmi = os.path.join(td, "ref.mmi")
+        with open(fa, "w") as f:
+            f.write(">chr1\n")
+            for i in range(0, len(ref), 80):
+                f.write(ref[i:i + 80].decode() + "\n")
+        with open(fq, "w") as f:
+            for nm, s in zip(names, seqs):
+                f.write(f">{nm}\n{s.decode()}\n")
+        subprocess.run([REF_BIN, "-d", mmi, fa], check=True,
+                       capture_output=True)
+        t0 = time.perf_counter()
+        subprocess.run([REF_BIN, "-t1", mmi, fq], check=True,
+                       capture_output=True)
+        dt = time.perf_counter() - t0
+        return N_READS / dt
 
 
 def main():
     import jax
-    N, QP, TP, W, w = 256, 2048, 2048, 640, 500
+
+    from minimap2_tpu.index.index import MiniIndex
+
     rng = np.random.default_rng(0)
-    qr, sf, lens, cases = gen_pairs(rng, N, QP, TP)
-    dt, ez = bench_tpu(qr, sf, lens, QP, TP, W, w)
-    cells = sum(true_cells(int(l[0]), int(l[1]), w) for l in lens)
-    tpu_rate = cells / dt
-    ref_rate = None
+    ref, names, seqs = simulate(rng)
+    mi = MiniIndex.build(["chr1"], [ref], w=10, k=15)
+    ours, q60 = bench_ours(mi, names, seqs)
+    refr = None
     try:
-        ref_rate = bench_ref(cases, w)
+        refr = bench_ref(ref, names, seqs)
     except Exception as e:
-        print(f"[bench] ref oracle failed: {e}", file=sys.stderr)
-    if ref_rate is None:
-        ref_rate = FALLBACK_REF_CELLS_PER_S
-    baseline = ref_rate * XEON_CORES
-    print(f"[bench] backend={jax.default_backend()} N={N} {QP}x{TP} w={w} "
-          f"dt={dt * 1e3:.1f}ms tpu={tpu_rate / 1e9:.2f} Gcells/s "
-          f"ref_1core={ref_rate / 1e9:.2f} Gcells/s", file=sys.stderr)
+        print(f"[bench] ref binary failed: {e}", file=sys.stderr)
+    if refr is None:
+        refr = FALLBACK_REF_READS_PER_S
+    baseline = refr * XEON_CORES
+    print(f"[bench] backend={jax.default_backend()} ours={ours:.1f} reads/s "
+          f"ref_1core={refr:.1f} reads/s mapeval_q60={q60}", file=sys.stderr)
     print(json.dumps({
-        "metric": "extd2 banded DP cell-updates/s (one chip)",
-        "value": round(tpu_rate / 1e9, 3),
-        "unit": "Gcells/s",
-        "vs_baseline": round(tpu_rate / baseline, 4),
+        "metric": "reads/s per chip (ONT ~10kb sim vs 5Mb, batched PAF)",
+        "value": round(ours, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(ours / baseline, 5),
     }))
 
 

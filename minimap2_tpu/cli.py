@@ -47,6 +47,7 @@ class Args:
         self.alt_list = None
         self.n_threads = 3
         self.seed_dump = False
+        self.batch = False
 
 
 LONG_FLAG_OPTS = {
@@ -252,6 +253,8 @@ def main(argv=None) -> int:
         elif a.startswith("--secondary="):
             if a.split("=", 1)[1] == "no":
                 mo.flag |= C.MM_F_NO_PRINT_2ND
+        elif a == "--batch":
+            args.batch = True
         elif a == "--print-seeds":
             dbg_print_seed = True
         elif a == "--print-chains":
@@ -336,6 +339,21 @@ def main(argv=None) -> int:
         cmdline = "minimap2 " + " ".join(orig_argv)
         out.write(fmt.write_sam_hdr(mi, args.rg, C.MM_VERSION, cmdline))
         out.write("\n")
+
+    if args.batch:
+        if mo.flag & C.MM_F_OUT_SAM:
+            print("[ERROR] --batch supports PAF output only (for now)",
+                  file=sys.stderr)
+            return 1
+        from .parallel.engine import run_batched_cli
+        run_batched_cli(mi, mo, queries, out)
+        if args.verbose >= 3:
+            el = time.time() - REALTIME0
+            print(f"[M::main] Version: {C.MM_VERSION}", file=sys.stderr)
+            print(f"[M::main] CMD: minimap2 {' '.join(orig_argv)}",
+                  file=sys.stderr)
+            print(f"[M::main] Real time: {el:.3f} sec", file=sys.stderr)
+        return 0
 
     n_mapped = 0
     frag_mode = len(queries) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)

@@ -67,6 +67,65 @@ def _mapq(score: int, sub: int, cnt: int, min_chain_score: int) -> int:
     return max(0, min(mapq, 60))
 
 
+def run_batched_cli(mi, opt, queries, out, batch_reads: int = 256,
+                    L: int = 16384):
+    """CLI --batch driver: device PAF mapping over read mega-batches.
+
+    Reads longer than L fall back to the host (bit-exact) path."""
+    import sys
+    import time
+
+    import jax
+
+    from ..io.fastx import FastxReader
+    from ..map.pipeline import map_frag_core
+    from ..io import format as fmt
+
+    p = BatchParams(L=L, M=max(256, L // 4), A=4096,
+                    occ_cap=max(opt.mid_occ, 10), chain_window=64,
+                    k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
+                    max_dist_y=opt.max_gap, bw=opt.bw)
+    di = DeviceIndex.from_host(mi, 1)[0]
+    interp = jax.default_backend() != "tpu"
+    step = make_paf_step(di, p, K=opt.best_n if opt.best_n < 8 else 5,
+                         min_sc=opt.min_chain_score, interpret=interp)
+    t0 = time.time()
+    n_reads = n_mapped = 0
+    names, seqs = [], []
+
+    def flush():
+        nonlocal n_mapped, names, seqs
+        if not names:
+            return
+        n_mapped += map_batch_paf(mi, di, step, names, seqs, None, p, out)
+        names, seqs = [], []
+
+    for qf in queries:
+        rd = FastxReader(qf)
+        while True:
+            rec = rd.read1()
+            if rec is None:
+                break
+            n_reads += 1
+            if len(rec.seq) > L:     # host fallback for oversize reads
+                flush()
+                res = map_frag_core(mi, [rec.seq], opt, rec.name)[0]
+                for r in res.regs:
+                    out.write(fmt.write_paf(mi, rec.name, len(rec.seq), r,
+                                            opt.flag, res.rep_len) + "\n")
+                continue
+            names.append(rec.name)
+            seqs.append(rec.seq)
+            if len(names) >= batch_reads:
+                flush()
+        rd.close()
+    flush()
+    dt = time.time() - t0
+    print(f"[M::batch] mapped {n_reads} reads in {dt:.2f}s "
+          f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
+    return n_reads
+
+
 def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
                   p: BatchParams, out, rep_len: int = 0):
     """Run one encoded batch through the device step and write PAF lines."""
