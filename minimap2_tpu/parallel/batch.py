@@ -190,7 +190,8 @@ class DeviceIndex:
     re-expressed as sorted keys + offset/count + int32 position planes)."""
 
     def __init__(self, keys_hi, keys_lo, starts, cnts, pos_rid, pos_rpos,
-                 pos_strand, S, seq_off, seq_len):
+                 pos_strand, S, seq_off, seq_len, bucket_start=None,
+                 key_shift: int = 0):
         self.keys_hi = keys_hi      # (K,) u32 hi words, sorted (hi, lo) pairs
         self.keys_lo = keys_lo      # (K,) u32 lo words, padded with UMAX
         self.starts = starts        # (K,) i32 offsets into pos planes
@@ -201,15 +202,20 @@ class DeviceIndex:
         self.S = S                  # (T,) u8 nt4 codes, concatenated refs
         self.seq_off = seq_off      # (n_seq,) i32
         self.seq_len = seq_len      # (n_seq,) i32
+        # direct-address bucket table over the top key bits (the 2^b-bucket
+        # structure of index.c:50, rebuilt for O(1)-ish device probes)
+        self.bucket_start = bucket_start   # (2^bb + 1,) i32 or None
+        self.key_shift = key_shift         # static: key >> shift = bucket
 
     def tree_flatten(self):
         return ((self.keys_hi, self.keys_lo, self.starts, self.cnts,
                  self.pos_rid, self.pos_rpos, self.pos_strand, self.S,
-                 self.seq_off, self.seq_len), None)
+                 self.seq_off, self.seq_len, self.bucket_start),
+                self.key_shift)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, key_shift=aux)
 
     @classmethod
     def from_host(cls, mi, n_shards: int = 1, pad_pos_to: int | None = None):
@@ -233,12 +239,20 @@ class DeviceIndex:
         if ppad is None:
             ppad = max(1, max((int(mi.starts[bounds[i + 1]] - mi.starts[bounds[i]])
                                for i in range(n_shards)), default=1))
+        import math
+        bb = min(26, max(4, int(math.ceil(math.log2(max(K, 2)))) + 2))
+        key_bits = 2 * mi.k
+        shift = max(0, key_bits - bb)
         for i in range(n_shards):
             lo, hi = bounds[i], bounds[i + 1]
             keys = np.full(kpad, UMAX64_NP, np.uint64)
             keys[:hi - lo] = mi.keys[lo:hi]
             khi = (keys >> np.uint64(32)).astype(np.uint32)
             klo = keys.astype(np.uint32)
+            nb = 1 << min(bb, key_bits)
+            bstart = np.searchsorted(
+                mi.keys[lo:hi] >> np.uint64(shift),
+                np.arange(nb + 1, dtype=np.uint64)).astype(np.int32)
             p0 = int(mi.starts[lo]) if K else 0
             p1 = int(mi.starts[hi]) if K else 0
             starts = np.zeros(kpad, np.int32)
@@ -256,7 +270,8 @@ class DeviceIndex:
                               jnp.asarray(starts), jnp.asarray(cnts),
                               jnp.asarray(pr), jnp.asarray(pp),
                               jnp.asarray(ps), jnp.asarray(S),
-                              jnp.asarray(seq_off), jnp.asarray(seq_len)))
+                              jnp.asarray(seq_off), jnp.asarray(seq_len),
+                              jnp.asarray(bstart), shift))
         return shards
 
 
@@ -383,7 +398,25 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     """
     B, M = mh_hi.shape
     K = di.keys_hi.shape[0]
-    idx = searchsorted_u64pair(di.keys_hi, di.keys_lo, mh_hi, mh_lo)
+    if di.bucket_start is not None:
+        # direct-address bucket probe (index.c bucket structure as a
+        # device table): ~6 bounded-search gathers instead of ~2*log2(K)
+        nb1 = di.bucket_start.shape[0]
+        bhi, blo = _shr64(mh_hi, mh_lo, di.key_shift) \
+            if di.key_shift else (mh_hi, mh_lo)
+        bkt = jnp.clip(blo, 0, nb1 - 2).astype(jnp.int32)
+        lo = di.bucket_start[bkt]
+        hi = di.bucket_start[bkt + 1]
+        for _ in range(6):       # buckets hold K/2^bb <= ~0.25 keys avg
+            mid = (lo + hi) >> 1
+            midc = jnp.clip(mid, 0, K - 1)
+            less = _lt64(di.keys_hi[midc], di.keys_lo[midc], mh_hi,
+                         mh_lo) & (mid < hi)
+            lo = jnp.where(less, mid + 1, lo)
+            hi = jnp.where(less, hi, mid)
+        idx = lo
+    else:
+        idx = searchsorted_u64pair(di.keys_hi, di.keys_lo, mh_hi, mh_lo)
     idx_c = jnp.minimum(idx, K - 1)
     found = ((di.keys_hi[idx_c] == mh_hi) & (di.keys_lo[idx_c] == mh_lo)
              & mvalid)
@@ -395,11 +428,16 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     # per-seed output offsets; anchors beyond capacity A are dropped
     offs = jnp.cumsum(cnt, axis=1) - cnt                      # (B, M)
     ends = offs + cnt
-    slot = jnp.arange(p.A, dtype=jnp.int32)[None, :].repeat(B, 0)  # (B, A)
-    # seed_of[a] = j such that offs[j] <= a < ends[j]
-    seed_of = jax.vmap(lambda e, s: jnp.searchsorted(e, s, side="right"))(
-        ends, slot)
-    seed_of = jnp.minimum(seed_of, M - 1)
+    slot = jnp.arange(p.A, dtype=jnp.int32)[None, :]          # (1, A)
+    # seed_of[a] = j covering slot a: scatter seed ids at run starts,
+    # then a forward running max (replaces a per-row binary search)
+    mark = jnp.full((B, p.A), -1, jnp.int32)
+    jrow = jnp.arange(M, dtype=jnp.int32)[None, :].repeat(B, 0)
+    scat = jnp.where(cnt > 0, jnp.minimum(offs, p.A - 1), p.A - 1)
+    mark = mark.at[jnp.arange(B)[:, None], scat].max(
+        jnp.where(cnt > 0, jrow, -1))
+    seed_of = lax.associative_scan(jnp.maximum, mark, axis=1)
+    seed_of = jnp.clip(seed_of, 0, M - 1)
     a_valid = slot < ends[:, -1:]
     within = slot - jnp.take_along_axis(offs, seed_of, axis=1)
     pidx = jnp.take_along_axis(start, seed_of, axis=1) + within
@@ -415,15 +453,18 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     # span = k here (non-HPC device path)
     qspan = p.k
     qpos_out = jnp.where(same, qpos, qlen[:, None] - (qpos + 1 - qspan) - 1)
-    a_valid = a_valid & (slot < p.A)
-    # sort by (rev<<31|rid, rpos, qpos); invalid to end
+    # sort by (rev<<30|rid, rpos, qpos); invalid to end; all planes are
+    # reconstructible from the three keys, so sort carries no values
     key1 = jnp.where(a_valid, (rev.astype(jnp.uint32) << jnp.uint32(30))
                      | rid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
     key2 = rpos.astype(jnp.uint32)
-    key3 = qpos_out.astype(jnp.uint32)
-    key1, key2, key3, rev, rid, rpos, qpos_s, av = lax.sort(
-        (key1, key2, key3, rev, rid, rpos, qpos_out,
-         a_valid.astype(jnp.int32)), dimension=1, num_keys=3)
+    key3 = jnp.clip(qpos_out, 0, None).astype(jnp.uint32)
+    key1, key2, key3 = lax.sort((key1, key2, key3), dimension=1, num_keys=3)
+    av = key1 != jnp.uint32(0xFFFFFFFF)
+    rev = (key1 >> jnp.uint32(30)).astype(jnp.int32) & 1
+    rid = (key1 & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32)
+    rpos = key2.astype(jnp.int32)
+    qpos_s = key3.astype(jnp.int32)
     return rev, rid, rpos, qpos_s, av.astype(bool)
 
 
@@ -623,7 +664,8 @@ def map_batch(di: DeviceIndex, codes, lens, p: BatchParams,
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_step(mesh, p: BatchParams, interpret: bool = False):
+def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
+                      key_shift: int = 0):
     """Build a pjit-ed mapping step over a ('data', 'idx') mesh.
 
     Reads shard over 'data'.  The index shards over 'idx' by key range; each
@@ -666,7 +708,8 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False):
                "rev": rv, "qs": qs, "qe": qe, "rs": rs, "re": re_}
         return out, n_mapped
 
-    di_spec = jax.tree_util.tree_map(lambda _: P("idx"), _di_proto())
+    di_spec = jax.tree_util.tree_map(lambda _: P("idx"),
+                                     _di_proto(key_shift))
     fn = shard_map(local_step, mesh=mesh,
                    in_specs=(di_spec, P("data", None), P("data")),
                    out_specs=(jax.tree_util.tree_map(
@@ -678,8 +721,8 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False):
     return jax.jit(fn)
 
 
-def _di_proto():
-    return DeviceIndex(*([0] * 10))
+def _di_proto(key_shift: int = 0):
+    return DeviceIndex(*([0] * 11), key_shift=key_shift)
 
 
 def stack_shards(shards: list[DeviceIndex]) -> DeviceIndex:

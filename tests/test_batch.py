@@ -122,7 +122,8 @@ def test_sharded_step_matches_single(tiny_world):
     devs = np.array(jax.devices()[:8]).reshape(4, 2)
     mesh = Mesh(devs, ("data", "idx"))
     di = stack_shards(DeviceIndex.from_host(mi, 2))
-    step = make_sharded_step(mesh, p, interpret=True)
+    step = make_sharded_step(mesh, p, interpret=True,
+                             key_shift=di.key_shift)
     with mesh:
         out, n_mapped = step(di, jnp.asarray(codes), jnp.asarray(lens))
     assert int(n_mapped) == len(truth)
