@@ -264,7 +264,8 @@ class DeviceIndex:
             pp = np.zeros(ppad, np.int32)
             ps = np.zeros(ppad, np.int32)
             pr[:len(pos)] = (pos >> np.uint64(32)).astype(np.int32)
-            pp[:len(pos)] = ((pos & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int32)
+            # packed plane: rpos<<1 | strand (one gather serves both)
+            pp[:len(pos)] = (pos & np.uint64(0xFFFFFFFF)).astype(np.int32)
             ps[:len(pos)] = (pos & np.uint64(1)).astype(np.int32)
             shards.append(cls(jnp.asarray(khi), jnp.asarray(klo),
                               jnp.asarray(starts), jnp.asarray(cnts),
@@ -376,16 +377,22 @@ def device_sketch(codes, lens, k: int, w: int):
 
 
 def _compact_minimizers(hhi, hlo, strand, is_mini, M: int):
-    """Select up to M minimizer positions per read, in position order."""
+    """Select up to M minimizer positions per read, in position order
+    (rank-scatter compaction; cheaper than a per-row argsort)."""
     B, L = hhi.shape
-    posi = jnp.arange(L, dtype=jnp.int32)[None, :].repeat(B, 0)
-    rank = jnp.where(is_mini, posi, jnp.int32(L))
-    order = jnp.argsort(rank, axis=1)[:, :M]                  # (B, M)
-    mpos = jnp.take_along_axis(rank, order, axis=1)           # L = invalid
-    mh_hi = jnp.take_along_axis(hhi, order, axis=1)
-    mh_lo = jnp.take_along_axis(hlo, order, axis=1)
-    mz = jnp.take_along_axis(strand.astype(jnp.int32), order, axis=1)
+    posi = jnp.arange(L, dtype=jnp.int32)[None, :]
+    csum = jnp.cumsum(is_mini.astype(jnp.int32), axis=1)
+    rank = jnp.where(is_mini, csum - 1, M)                    # (B, L)
+    rank = jnp.minimum(rank, M)                               # overflow sink
+    mpos = jnp.full((B, M + 1), L, jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    mpos = mpos.at[rows, rank].min(jnp.where(is_mini, posi, L))
+    mpos = mpos[:, :M]
     mvalid = mpos < L
+    gidx = jnp.clip(mpos, 0, L - 1)
+    mh_hi = jnp.take_along_axis(hhi, gidx, axis=1)
+    mh_lo = jnp.take_along_axis(hlo, gidx, axis=1)
+    mz = jnp.take_along_axis(strand.astype(jnp.int32), gidx, axis=1)
     return mh_hi, mh_lo, mz, mpos, mvalid
 
 
@@ -443,8 +450,9 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     pidx = jnp.take_along_axis(start, seed_of, axis=1) + within
     pidx = jnp.clip(pidx, 0, di.pos_rid.shape[0] - 1)
     rid = di.pos_rid[pidx]
-    rpos = di.pos_rpos[pidx]
-    rstrand = di.pos_strand[pidx]
+    rps = di.pos_rpos[pidx]          # rpos<<1 | strand (packed plane)
+    rpos = rps >> 1
+    rstrand = rps & 1
     qz = jnp.take_along_axis(mz, seed_of, axis=1)
     qpos = jnp.take_along_axis(mpos, seed_of, axis=1)
     same = rstrand == qz

@@ -29,9 +29,17 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
                   interpret: bool = False):
     """Jitted device program: read batch -> (K, B) chain records."""
 
+    use_pallas_sketch = (not interpret and p.L % 512 == 0
+                         and p.k + p.w <= 128)
+
     @jax.jit
     def step(codes, lens):
-        hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
+        if use_pallas_sketch:
+            from ..ops.sketch_pallas import sketch_batch
+            hhi, hlo, z, is_mini = sketch_batch(codes, lens, G=8, T=512,
+                                                k=p.k, w=p.w)
+        else:
+            hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
         mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(
             hhi, hlo, z, is_mini, p.M)
         rev, rid, rpos, qpos, av = _lookup_anchors(
