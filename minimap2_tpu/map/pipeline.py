@@ -21,7 +21,7 @@ from .seed import collect_seed_hits, seed_mz_flt
 
 
 def collect_minimizers(mi: MiniIndex, opt: MapOptions, seqs: list[bytes]):
-    """map.c:59-72 (sdust masking not applied unless enabled)."""
+    """map.c:59-72, incl. the -T sdust minimizer mask."""
     from .. import native
     use_native = native.available()
     xs, ys = [], []
@@ -36,6 +36,9 @@ def collect_minimizers(mi: MiniIndex, opt: MapOptions, seqs: list[bytes]):
                 x, y = sketch(codes, mi.w, mi.k, sid, bool(mi.flag & 0x1))
             with np.errstate(over="ignore"):
                 y = y + np.uint64((total << 1) & 0xFFFFFFFFFFFFFFFF)
+            if opt.sdust_thres > 0:   # mask low-complexity minimizers
+                from .sdust import dust_minier
+                x, y = dust_minier(x, y, len(s), s, opt.sdust_thres)
             xs.append(x)
             ys.append(y)
         total += len(s)

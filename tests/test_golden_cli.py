@@ -89,6 +89,12 @@ def test_sr_paired_paf():
            f"{DATA}/sr-r2.fq"], "sr-paf.out")
 
 
+@pytest.mark.slow
+def test_mt_dust():
+    check(["-c", "-T20", f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"],
+          "mt-dust.out")
+
+
 def test_mt_ava_ont():
     check(["-x", "ava-ont", f"{DATA}/MT-both.fa", f"{DATA}/MT-both.fa"], "mt-ava.out")
 
