@@ -48,6 +48,7 @@ class Args:
         self.n_threads = 3
         self.seed_dump = False
         self.batch = False
+        self.split_prefix = None
 
 
 LONG_FLAG_OPTS = {
@@ -261,6 +262,12 @@ def main(argv=None) -> int:
             dbg_print_chain = True
         elif a == "--junc-bed" or a == "--bed":
             args.junc_bed = val()
+        elif a == "--alt":
+            args.alt_list = val()
+        elif a == "--alt-drop":
+            mo.alt_drop = float(val())
+        elif a == "--split-prefix":
+            args.split_prefix = val()
         elif a == "--cs":
             mo.flag |= C.MM_F_OUT_CS | C.MM_F_CIGAR
         elif a.startswith("--cs="):
@@ -300,6 +307,7 @@ def main(argv=None) -> int:
         if not os.path.exists(f_):
             print(f"ERROR: failed to open file '{f_}'", file=sys.stderr)
             return 1
+    multipart = None
     if tgt.endswith(".npz"):
         mi = MiniIndex.load(tgt)
     elif open(tgt, "rb").read(4) == b"MMI\x02":
@@ -307,14 +315,41 @@ def main(argv=None) -> int:
         mi = load_mmi(tgt)
     else:
         names, seqs = read_fasta(tgt)
-        mi = MiniIndex.build(names, seqs, w=io.w, k=io.k, b=io.bucket_bits,
-                             flag=io.flag)
-    if args.idx_out:
+        if sum(len(s_) for s_ in seqs) > io.batch_size and queries:
+            multipart = (names, seqs)   # multi-part index (-I) split/merge
+            mi = None
+        else:
+            mi = MiniIndex.build(names, seqs, w=io.w, k=io.k,
+                                 b=io.bucket_bits, flag=io.flag)
+    if args.idx_out and mi is not None:
         if args.idx_out.endswith(".npz"):
             mi.save(args.idx_out)
         else:
             from .index.mmi import dump_mmi
             dump_mmi(mi, args.idx_out)
+    if multipart is not None:
+        from .map.driver import run_multipart
+        out = sys.stdout
+
+        def write_hdr(meta):
+            if args.sam:
+                cmdline = "minimap2 " + " ".join(orig_argv)
+                out.write(fmt.write_sam_hdr(meta, args.rg, C.MM_VERSION,
+                                            cmdline))
+                out.write("\n")
+
+        n_mapped = run_multipart(multipart[0], multipart[1], io, mo,
+                                 queries, out, args.verbose, write_hdr)
+        if args.verbose >= 3:
+            el = time.time() - REALTIME0
+            print(f"[M::worker_pipeline::{el:.3f}*1.00] mapped {n_mapped} "
+                  "sequences", file=sys.stderr)
+            print(f"[M::main] Version: {C.MM_VERSION}", file=sys.stderr)
+            print(f"[M::main] CMD: minimap2 {' '.join(orig_argv)}",
+                  file=sys.stderr)
+            print(f"[M::main] Real time: {el:.3f} sec", file=sys.stderr)
+        return 0
+
     if args.verbose >= 3:
         el = time.time() - REALTIME0
         print(f"[M::main::{el:.3f}*1.00] loaded/built the index for "
@@ -328,6 +363,12 @@ def main(argv=None) -> int:
     if args.junc_bed:
         from .index.sidedata import read_bed_junc
         mi.intervals = read_bed_junc(args.junc_bed, mi)
+    if args.alt_list:
+        from .index.sidedata import read_alt
+        n_alt = read_alt(args.alt_list, mi)
+        if args.verbose >= 3:
+            print(f"[M::mm_idx_alt_read] found {n_alt} ALT contigs",
+                  file=sys.stderr)
 
     out = sys.stdout
     if args.sam:
@@ -355,103 +396,15 @@ def main(argv=None) -> int:
             print(f"[M::main] Real time: {el:.3f} sec", file=sys.stderr)
         return 0
 
+    from .map.driver import iter_fragments, map_fragment, write_fragment
+
     n_mapped = 0
     frag_mode = len(queries) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)
-
-    def read_stream():
-        """bseq record stream: multi-file interleave (mm_bseq_read_frag2,
-        bseq.c:131-159) or single-file sequential."""
-        if len(queries) > 1:
-            readers = [FastxReader(q) for q in queries]
-            while True:
-                recs = [rd.read1() for rd in readers]
-                if any(r is None for r in recs):
-                    if any(r is not None for r in recs):
-                        print("[W::main] query files have different number of"
-                              " records; extra records skipped.",
-                              file=sys.stderr)
-                    break
-                yield from recs
-            for rd in readers:
-                rd.close()
-        else:
-            rd = FastxReader(queries[0])
-            while True:
-                rec = rd.read1()
-                if rec is None:
-                    break
-                yield rec
-            rd.close()
-
-    def map_one_fragment(frag):
-        """worker_for (map.c:425-474): pe_ori revcomp, map, flip back."""
-        nonlocal n_mapped
-        from .io.fastx import qname_same, revcomp_record
-        n_seg = len(frag)
-        pe_ori = mo.pe_ori
-        flipped = [n_seg == 2 and ((j == 0 and (pe_ori >> 1) & 1)
-                                   or (j == 1 and pe_ori & 1))
-                   for j in range(n_seg)]
-        mseqs = [revcomp_record(r).seq if flipped[j] else r.seq
-                 for j, r in enumerate(frag)]
-        if mo.flag & C.MM_F_INDEPEND_SEG:
-            results = [map_frag_core(mi, [mseqs[j]], mo, frag[j].name)[0]
-                       for j in range(n_seg)]
-        else:
-            results = map_frag_core(mi, mseqs, mo, frag[0].name)
-        for j in range(n_seg):
-            if not flipped[j]:
-                continue
-            qlen = len(frag[j].seq)
-            for r in results[j].regs:  # flip back to the read strand
-                r.qs, r.qe = qlen - r.qe, qlen - r.qs
-                r.rev = 0 if r.rev else 1
-                if r.p is not None:
-                    if r.p.trans_strand == 1:
-                        r.p.trans_strand = 2
-                    elif r.p.trans_strand == 2:
-                        r.p.trans_strand = 1
-        n_mapped += n_seg
-        regss = [res.regs for res in results]
-        n_regss = [len(rs) for rs in regss]
-        for j, rec in enumerate(frag):
-            regs = regss[j]
-            rep_len = results[j].rep_len
-            if regs:
-                for k, r in enumerate(regs):
-                    if (mo.flag & C.MM_F_NO_PRINT_2ND) and r.id != r.parent:
-                        continue
-                    if mo.flag & C.MM_F_OUT_SAM:
-                        out.write(fmt.write_sam(mi, rec, j, k, n_seg, n_regss,
-                                                regss, mo.flag, rep_len))
-                    else:
-                        out.write(fmt.write_paf(mi, rec.name, len(rec.seq), r,
-                                                mo.flag, rep_len, n_seg, j,
-                                                qseq=rec.seq,
-                                                comment=rec.comment))
-                    out.write("\n")
-            elif (mo.flag & C.MM_F_PAF_NO_HIT) or \
-                    ((mo.flag & C.MM_F_OUT_SAM)
-                     and not (mo.flag & C.MM_F_SAM_HIT_ONLY)):
-                if mo.flag & C.MM_F_OUT_SAM:
-                    out.write(fmt.write_sam(mi, rec, j, -1, n_seg, n_regss,
-                                            regss, mo.flag, rep_len))
-                else:
-                    out.write(fmt.write_paf(mi, rec.name, len(rec.seq), None,
-                                            mo.flag, rep_len, n_seg, j))
-                out.write("\n")
-
-    from .io.fastx import qname_same
-    pending: list = []
-    for rec in read_stream():
-        if pending and (not frag_mode
-                        or not qname_same(pending[-1].name, rec.name)
-                        or len(pending) >= C.MM_MAX_SEG):
-            map_one_fragment(pending)
-            pending = []
-        pending.append(rec)
-    if pending:
-        map_one_fragment(pending)
+    for frag in iter_fragments(queries, frag_mode):
+        results = map_fragment(mi, mo, frag)
+        write_fragment(out, mi, mo, frag, [res.regs for res in results],
+                       [res.rep_len for res in results])
+        n_mapped += len(frag)
     if args.verbose >= 3:
         el = time.time() - REALTIME0
         print(f"[M::worker_pipeline::{el:.3f}*1.00] mapped {n_mapped} sequences",

@@ -62,3 +62,18 @@ def read_bed_junc(path, mi):
     for lst in iv.per_ctg:
         lst.sort()
     return iv
+
+
+def read_alt(path, mi) -> int:
+    """mm_idx_alt_read (index.c:648-670): flag ALT contigs by name."""
+    op = gzip.open if path.endswith(".gz") else open
+    n_alt = 0
+    with op(path, "rt") as f:
+        for line in f:
+            name = line.split()[0] if line.split() else ""
+            cid = mi.name2id(name)
+            if cid >= 0:
+                mi.seq[cid].is_alt = True
+                n_alt += 1
+    mi.n_alt = n_alt
+    return n_alt

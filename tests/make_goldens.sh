@@ -28,6 +28,8 @@ run mt-asm          -cx asm20 "$D/MT-human.fa" "$D/MT-orang.fa"
 run mt-nocig        "$D/MT-human.fa" "$D/MT-orang.fa"
 run sr-sam          -ax sr "$D/MT-human.fa" "$D/sr-r1.fq" "$D/sr-r2.fq"
 run mt-dust         -c -T20 "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-alt          -c --alt "$D/alt.txt" "$D/MT-both.fa" "$D/MT-orang.fa"
+run mt-split        -c -I 10k --split-prefix /tmp/mm2sp "$D/MT-both.fa" "$D/MT-orang.fa"
 run sr-paf          -x sr "$D/MT-human.fa" "$D/sr-r1.fq" "$D/sr-r2.fq"
 
 # Intermediate goldens: deterministic debug dumps (single-threaded by design)

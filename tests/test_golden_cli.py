@@ -89,6 +89,16 @@ def test_sr_paired_paf():
            f"{DATA}/sr-r2.fq"], "sr-paf.out")
 
 
+def test_mt_alt_contigs():
+    check(["-c", "--alt", f"{DATA}/alt.txt", f"{DATA}/MT-both.fa",
+           f"{DATA}/MT-orang.fa"], "mt-alt.out")
+
+
+def test_mt_multipart_split_merge():
+    check(["-c", "-I", "10k", f"{DATA}/MT-both.fa", f"{DATA}/MT-orang.fa"],
+          "mt-split.out")
+
+
 @pytest.mark.slow
 def test_mt_dust():
     check(["-c", "-T20", f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"],
