@@ -890,12 +890,323 @@ def view(argv, out=None):
 # driver
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# call (paftools.js:386-610): assembly-to-reference variant calling from cs
+# ---------------------------------------------------------------------------
+
+
+def call(argv, out=None, err=None):
+    err = err or sys.stderr
+    re_cs = re.compile(r"([:=*+\-])(\d+|[A-Za-z]+)")
+    re_tag = re.compile(r"\t(\S\S:[AZif]):(\S+)")
+    min_cov_len, min_var_len = 10000, 50000
+    gap_thres, gap_thres_long, min_mapq = 50, 1000, 5
+    fa, fa_lens, is_vcf, sample_name = None, [], False, "sample"
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-l":
+            i += 1
+            min_cov_len = int(argv[i])
+        elif a == "-L":
+            i += 1
+            min_var_len = int(argv[i])
+        elif a == "-g":
+            i += 1
+            gap_thres = int(argv[i])
+        elif a == "-G":
+            i += 1
+            gap_thres_long = int(argv[i])
+        elif a == "-q":
+            i += 1
+            min_mapq = int(argv[i])
+        elif a == "-s":
+            i += 1
+            sample_name = argv[i]
+        elif a == "-f":
+            i += 1
+            fa, fa_lens = {}, []
+            name, parts = None, []
+            for line in _open(argv[i]):
+                line = line.rstrip("\n")
+                if line.startswith(">"):
+                    if name is not None:
+                        fa[name] = "".join(parts)
+                        fa_lens.append((name, len(fa[name])))
+                    name = line[1:].split()[0]
+                    parts = []
+                else:
+                    parts.append(line)
+            if name is not None:
+                fa[name] = "".join(parts)
+                fa_lens.append((name, len(fa[name])))
+            is_vcf = True
+        else:
+            args.append(a)
+        i += 1
+    if not args:
+        print("Usage: sort -k6,6 -k8,8n <with-cs.paf> | paftools.py call "
+              "[options] -", file=err)
+        return 1
+
+    tot_len = 0
+    n_sub = [0, 0, 0]
+    n_ins = [0] * 5
+    n_del = [0] * 5
+    rev = False   # print_vcf quirk: QSTRAND uses the current alignment
+
+    def print_vcf(o):
+        if o[3] != 1:
+            return
+        if o[5] == "-" and o[6] == "-":
+            return
+        if o[5] != "-" and o[6] != "-":
+            v = [o[0], o[1] + 1, ".", o[5].upper(), o[6].upper()]
+        elif o[1] > 0:
+            ref = fa[o[0]][o[1] - 1].upper()
+            if o[5] == "-":
+                v = [o[0], o[1], ".", ref, ref + o[6].upper()]
+            else:
+                v = [o[0], o[1], ".", ref + o[5].upper(), ref]
+        else:
+            return
+        v += [o[4], ".", f"QNAME={o[7]};QSTART={o[8] + 1};QSTRAND="
+              + ("-" if rev else "+"), "GT", "1/1"]
+        _print(*v, out=out)
+
+    def count_var(o):
+        if o[3] > 1 or (o[5] == "-" and o[6] == "-"):
+            return
+        if o[5] == "-":
+            ln = len(o[6])
+            n_ins[0 if ln == 1 else 1 if ln == 2 else
+                  2 if ln < gap_thres else 3 if ln < gap_thres_long
+                  else 4] += 1
+        elif o[6] == "-":
+            ln = len(o[5])
+            n_del[0 if ln == 1 else 1 if ln == 2 else
+                  2 if ln < gap_thres else 3 if ln < gap_thres_long
+                  else 4] += 1
+        else:
+            n_sub[0] += 1
+            sx = (o[5] + o[6]).lower()
+            if sx in ("ag", "ga", "ct", "tc"):
+                n_sub[1] += 1
+            else:
+                n_sub[2] += 1
+
+    if is_vcf:
+        _print("##fileformat=VCFv4.1", out=out)
+        for nm, ln in fa_lens:
+            _print(f"##contig=<ID={nm},length={ln}>", out=out)
+        _print('##INFO=<ID=QNAME,Number=1,Type=String,Description='
+               '"Query name">', out=out)
+        _print('##INFO=<ID=QSTART,Number=1,Type=Integer,Description='
+               '"Query start">', out=out)
+        _print('##INFO=<ID=QSTRAND,Number=1,Type=String,Description='
+               '"Query strand">', out=out)
+        _print('##FORMAT=<ID=GT,Number=1,Type=String,Description='
+               '"Genotype">', out=out)
+        _print("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+               + sample_name, out=out)
+
+    a = []
+    outq = []
+    c1_ctg, c1_start, c1_end, c1_counted, c1_len = None, 0, 0, False, 0
+    for line in _open(args[0]):
+        line = line.rstrip("\n")
+        t = line.split("\t")
+        if len(t) < 12 or t[5] == "*":
+            continue
+        for ix in range(6, 12):
+            t[ix] = int(t[ix])
+        if t[10] < min_cov_len or t[11] < min_mapq:
+            continue
+        for ix in range(1, 4):
+            t[ix] = int(t[ix])
+        ctg, x, end = t[5], t[7], t[8]
+        query = t[0]
+        rev = t[4] == "-"
+        y = t[3] if rev else t[2]
+        cs = tp = None
+        have_s1 = have_s2 = False
+        for m in re_tag.finditer(line):
+            if m.group(1) == "cs:Z":
+                cs = m.group(2)
+            elif m.group(1) == "tp:A":
+                tp = m.group(2)
+            elif m.group(1) == "s1:i":
+                have_s1 = True
+            elif m.group(1) == "s2:i":
+                have_s2 = True
+        if have_s1 and not have_s2:
+            continue
+        if tp in ("S", "i"):
+            continue
+        if ctg != c1_ctg or x >= c1_end:
+            if c1_counted and c1_end > c1_start:
+                c1_len += c1_end - c1_start
+                if not is_vcf:
+                    _print("R", c1_ctg, c1_start, c1_end, out=out)
+            c1_ctg, c1_start, c1_end = ctg, x, end
+            c1_counted = t[10] >= min_var_len
+        elif end > c1_end:
+            if c1_counted and x > c1_start:
+                c1_len += x - c1_start
+                if not is_vcf:
+                    _print("R", c1_ctg, c1_start, x, out=out)
+            c1_start, c1_end = c1_end, end
+            c1_counted = t[10] >= min_var_len
+        elif end > c1_start:
+            if c1_counted and x > c1_start:
+                c1_len += x - c1_start
+                if not is_vcf:
+                    _print("R", c1_ctg, c1_start, x, out=out)
+            c1_start = end
+        while outq:
+            if outq[0][0] != ctg or outq[0][2] <= x:
+                o = outq.pop(0)
+                count_var(o)
+                if is_vcf:
+                    print_vcf(o)
+                else:
+                    _print("V", *o, out=out)
+            else:
+                break
+        for o in outq:
+            if o[1] >= x and o[2] <= end:
+                o[3] += 1
+        a = [ai for ai in a if ai[0] == ctg and ai[2] > x]
+        if t[10] >= min_var_len:
+            if cs is None:
+                continue
+            tot_len += t[10]
+            for m in re_cs.finditer(cs):
+                cov = 1
+                if m.group(1) in "*+-":
+                    cov += sum(1 for ai in a if ai[2] > x)
+                if m.group(1) in "=:":
+                    ln = len(m.group(2)) if m.group(1) == "=" \
+                        else int(m.group(2))
+                    y = y - ln if rev else y + ln
+                    x += ln
+                elif m.group(1) == "*":
+                    if rev:
+                        qs, qe = y - 1, y
+                        y -= 1
+                    else:
+                        qs, qe = y, y + 1
+                        y += 1
+                    br, bq = m.group(2)[0], m.group(2)[1]
+                    if br != "n" and bq != "n":
+                        outq.append([t[5], x, x + 1, cov, t[11], br, bq,
+                                     query, qs, qe, "-" if rev else "+"])
+                    x += 1
+                elif m.group(1) == "+":
+                    ln = len(m.group(2))
+                    if rev:
+                        qs, qe = y - ln, y
+                        y -= ln
+                    else:
+                        qs, qe = y, y + ln
+                        y += ln
+                    outq.append([t[5], x, x, cov, t[11], "-", m.group(2),
+                                 query, qs, qe, "-" if rev else "+"])
+                elif m.group(1) == "-":
+                    ln = len(m.group(2))
+                    outq.append([t[5], x, x + ln, cov, t[11], m.group(2),
+                                 "-", query, y, y, "-" if rev else "+"])
+                    x += ln
+        a.append([t[5], t[7], t[8]])
+    if c1_counted and c1_end > c1_start:
+        c1_len += c1_end - c1_start
+        if not is_vcf:
+            _print("R", c1_ctg, c1_start, c1_end, out=out)
+    while outq:
+        o = outq.pop(0)
+        count_var(o)
+        if is_vcf:
+            print_vcf(o)
+        else:
+            _print("V", *o, out=out)
+    print(f"{c1_len} reference bases covered by exactly one contig",
+          file=err)
+    tstv = n_sub[1] / n_sub[2] if n_sub[2] else 0.0
+    print(f"{n_sub[0]} substitutions; ts/tv = {tstv:.3f}", file=err)
+    print(f"{n_del[0]} 1bp deletions", file=err)
+    print(f"{n_ins[0]} 1bp insertions", file=err)
+    print(f"{n_del[1]} 2bp deletions", file=err)
+    print(f"{n_ins[1]} 2bp insertions", file=err)
+    print(f"{n_del[2]} [3,{gap_thres}) deletions", file=err)
+    print(f"{n_ins[2]} [3,{gap_thres}) insertions", file=err)
+    print(f"{n_del[3]} [{gap_thres},{gap_thres_long}) deletions", file=err)
+    print(f"{n_ins[3]} [{gap_thres},{gap_thres_long}) insertions", file=err)
+    print(f"{n_del[4]} >={gap_thres_long} deletions", file=err)
+    print(f"{n_ins[4]} >={gap_thres_long} insertions", file=err)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# ov_eval (paftools.js ov-eval): overlap sensitivity from simulated reads
+# ---------------------------------------------------------------------------
+
+
+def ov_eval(argv, out=None):
+    """Evaluate ava overlaps against pbsim-named read truth (misc/README
+    ov-eval): an overlap is true if the reads' source intervals overlap
+    by >= min_ovlp."""
+    min_ovlp, min_frac = 100, 0.95
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-l":
+            i += 1
+            min_ovlp = int(argv[i])
+        elif argv[i] == "-f":
+            i += 1
+            min_frac = float(argv[i])
+        else:
+            args.append(argv[i])
+        i += 1
+    if not args:
+        print("Usage: paftools.py ov-eval [-l min_ovlp] <ava.paf>",
+              file=sys.stderr)
+        return 1
+
+    def parse(qn):
+        m = _RE_PBSIM.match(qn)
+        if m is None:
+            raise ValueError(f"failed to parse read name '{qn}'")
+        return m.group(2), int(m.group(3)), int(m.group(4))
+
+    n, n_ov = 0, 0
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        if len(t) < 11 or t[0] == t[5]:
+            continue
+        c1, s1, e1 = parse(t[0])
+        c2, s2, e2 = parse(t[5])
+        n += 1
+        if c1 == c2:
+            o = min(e1, e2) - max(s1, s2)
+            if o >= min_ovlp:
+                n_ov += 1
+    _print(f"{n_ov} / {n} reported overlaps are true "
+           f"({(n_ov / n * 100 if n else 0):.2f}%)", out=out)
+    return 0
+
+
 _CMDS = {
     "sam2paf": sam2paf,
     "mapeval": mapeval,
     "stat": stat,
     "junceval": junceval,
     "view": view,
+    "call": call,
+    "ov-eval": ov_eval,
 }
 
 

@@ -1,5 +1,6 @@
 """paftools.py subcommands (port of misc/paftools.js)."""
 import io
+from contextlib import redirect_stdout
 
 from minimap2_tpu.tools import paftools as pt
 
@@ -95,3 +96,51 @@ def test_view_aln():
     out = run(pt.view, [f"{GOLD}/mt-paf.out"])
     assert out.startswith(">MT_orang")
     assert "Ref+:  " in out and "Qry+:  " in out and "|" in out
+
+
+def test_call_known_variants(tmp_path):
+    """call recovers exact SNP/ins/del planted in an assembly-vs-ref PAF."""
+    import numpy as np
+
+    from minimap2_tpu.cli import main as cli_main
+    rng = np.random.default_rng(9)
+    ref = "".join(rng.choice(list("ACGT"), 60000))
+    # plant: SNP at 10000 (ref->C if not C else A), 3bp del at 20000,
+    # 2bp ins at 30000
+    alt = list(ref)
+    snp_ref = alt[10000]
+    snp_alt = "C" if snp_ref != "C" else "A"
+    alt[10000] = snp_alt
+    qry = "".join(alt[:20000]) + "".join(alt[20003:30000]) + "GG" + \
+        "".join(alt[30000:])
+    fa_r = tmp_path / "r.fa"
+    fa_q = tmp_path / "q.fa"
+    fa_r.write_text(f">chr1\n{ref}\n")
+    fa_q.write_text(f">asm\n{qry}\n")
+    paf = tmp_path / "a.paf"
+    with open(paf, "w") as f:
+        with redirect_stdout(f):
+            cli_main(["-cx", "asm5", "--cs", str(fa_r), str(fa_q)])
+    out = run(pt.call, ["-l", "1000", "-L", "1000", str(paf)])
+    vlines = [l.split("\t") for l in out.splitlines() if l.startswith("V")]
+    assert ["V", "chr1", "10000", "10001", "1", "60", snp_ref.lower(),
+            snp_alt.lower()] == vlines[0][:8]
+    assert any(v[2] == "20000" and v[6] == ref[20000:20003].lower()
+               and v[7] == "-" for v in vlines)
+    assert any(v[2] == "30000" and v[6] == "-" and v[7] == "gg"
+               for v in vlines)
+    assert len(vlines) == 3
+
+
+def test_ov_eval():
+    import io as _io
+    lines = [
+        "r0!c!100!5000!+\t4900\t0\t4000\t+\tr1!c!3000!9000!+\t6000\t0\t4000"
+        "\t3000\t4000\t0",
+        "r2!c!100!2000!+\t1900\t0\t1000\t+\tr3!c!50000!52000!+\t2000\t0\t1000"
+        "\t900\t1000\t0",
+    ]
+    p = "/tmp/ov_eval_test.paf"
+    open(p, "w").write("\n".join(lines) + "\n")
+    out = run(pt.ov_eval, [p])
+    assert out.startswith("1 / 2 reported overlaps are true (50.00%)")
