@@ -26,7 +26,7 @@ REF_BIN = os.environ.get("MM2_REF_BIN", "/tmp/mm2build/minimap2")
 # this machine, used only if the binary is absent
 FALLBACK_REF_READS_PER_S = 730.0
 XEON_CORES = 64
-B = 256          # reads per device batch
+B = 512          # reads per device batch
 N_READS = 512
 REF_LEN = 5_000_000
 

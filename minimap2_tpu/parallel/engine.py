@@ -44,10 +44,20 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
             hhi, hlo, z, is_mini, p.M)
         rev, rid, rpos, qpos, av = _lookup_anchors(
             di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p)
-        _, (f, pred, vv, qs_a, rs_a) = _chain_scan(rev, rid, rpos, qpos,
-                                                   av, p)
-        return topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K,
+        B = codes.shape[0]
+        if not interpret and B % 128 == 0 and p.A % 256 == 0:
+            from ..ops.chain_pallas import chain_batch
+            f, pred, qs_a, rs_a = chain_batch(
+                rev, rid, rpos, qpos, av, BL=128, WND=p.chain_window,
+                AC=256, k=p.k, max_dist_x=p.max_dist_x,
+                max_dist_y=p.max_dist_y, bw=p.bw,
+                chn_pen_gap=p.chn_pen_gap, chn_pen_skip=p.chn_pen_skip)
+        else:
+            _, (f, pred, vv, qs_a, rs_a) = _chain_scan(rev, rid, rpos,
+                                                       qpos, av, p)
+        recs = topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K,
                            min_sc)
+        return jnp.stack(recs)     # one (9, K, B) array -> one host fetch
 
     return step
 
@@ -75,7 +85,7 @@ def _mapq(score: int, sub: int, cnt: int, min_chain_score: int) -> int:
     return max(0, min(mapq, 60))
 
 
-def run_batched_cli(mi, opt, queries, out, batch_reads: int = 256,
+def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
                     L: int = 16384):
     """CLI --batch driver: device PAF mapping over read mega-batches.
 
@@ -138,8 +148,8 @@ def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
                   p: BatchParams, out, rep_len: int = 0):
     """Run one encoded batch through the device step and write PAF lines."""
     codes, lens = encode_batch(seqs, p.L)
-    rec = step(jnp.asarray(codes), jnp.asarray(lens))
-    sc, sub, qs, qe, rs, re_, rev, rid, cnt = (np.asarray(x) for x in rec)
+    rec = np.asarray(step(jnp.asarray(codes), jnp.asarray(lens)))
+    sc, sub, qs, qe, rs, re_, rev, rid, cnt = rec
     K, B = sc.shape
     n_mapped = 0
     for b in range(B):
