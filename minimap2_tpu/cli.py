@@ -49,6 +49,8 @@ class Args:
         self.seed_dump = False
         self.batch = False
         self.split_prefix = None
+        self.spsc = None
+        self.spsc_scale = 0.7
 
 
 LONG_FLAG_OPTS = {
@@ -262,6 +264,14 @@ def main(argv=None) -> int:
             dbg_print_chain = True
         elif a == "--junc-bed" or a == "--bed":
             args.junc_bed = val()
+        elif a == "--spsc":
+            args.spsc = val()
+        elif a == "--spsc-scale":
+            args.spsc_scale = float(val())
+        elif a == "--spsc0" or a == "--junc-pen":
+            mo.junc_pen = int(val())
+        elif a == "--junc-bonus":
+            mo.junc_bonus = int(val())
         elif a == "--alt":
             args.alt_list = val()
         elif a == "--alt-drop":
@@ -363,6 +373,14 @@ def main(argv=None) -> int:
     if args.junc_bed:
         from .index.sidedata import read_bed_junc
         mi.intervals = read_bed_junc(args.junc_bed, mi)
+    if args.spsc:
+        from .config import max_spsc_bonus
+        from .index.sidedata import read_spsc
+        n_spsc = read_spsc(args.spsc, mi, max_spsc_bonus(mo),
+                           args.spsc_scale)
+        if args.verbose >= 3:
+            print(f"[M::mm_idx_spsc_read2] read {n_spsc} splice scores",
+                  file=sys.stderr)
     if args.alt_list:
         from .index.sidedata import read_alt
         n_alt = read_alt(args.alt_list, mi)

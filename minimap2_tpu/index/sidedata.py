@@ -77,3 +77,72 @@ def read_alt(path, mi) -> int:
                 n_alt += 1
     mi.n_alt = n_alt
     return n_alt
+
+
+class SpliceScores:
+    """mm_idx_spsc_t tables (index.c:965-1074): per (contig, strand) sorted
+    pos<<8 | (score+64)<<1 | acceptor records; .get fills the per-position
+    score array consumed by the splice extension kernel."""
+
+    KSW_SPSC_OFFSET = 64
+
+    def __init__(self, n_seq):
+        self.tab = [[] for _ in range(n_seq * 2)]
+        self.sorted = False
+
+    def _finish(self):
+        if not self.sorted:
+            for t in self.tab:
+                t.sort()
+            self.sorted = True
+
+    def get(self, cid, st, en, rev):
+        """mm_idx_spsc_get (index.c:1054-1074)."""
+        import bisect
+        self._finish()
+        sc = np.full(en - st, 0xFF, np.uint8)
+        a = self.tab[(cid << 1) | (1 if rev else 0)]
+        if a:
+            lo = bisect.bisect_right(a, (st << 8) | 0x1FF) - 1
+            hi = bisect.bisect_right(a, (en << 8) | 0x1FF) - 1
+            for j in range(lo + 1, hi + 1):
+                x = (a[j] >> 8) - st
+                score = a[j] & 0xFF
+                if x == en - st:
+                    continue
+                if sc[x] == 0xFF or sc[x] < score:
+                    sc[x] = score
+        return sc
+
+
+def read_spsc(path, mi, max_sc: int, scale: float) -> int:
+    """mm_idx_spsc_read2 (index.c:970-1037).
+
+    Input lines: ctg  pos  strand(+/-)  type(D/A)  score."""
+    max_sc = min(max_sc, 63)
+    sp = SpliceScores(mi.n_seq)
+    n_read = 0
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rt") as f:
+        for line in f:
+            fl = line.rstrip("\n").split("\t")
+            if len(fl) < 5:
+                continue
+            name, pos, strand_s, type_s, score = (
+                fl[0], int(fl[1]), fl[2], fl[3], int(float(fl[4])))
+            strand = 1 if strand_s == "+" else -1 if strand_s == "-" else 0
+            ty = 0 if type_s == "D" else 1 if type_s == "A" else -1
+            if 0.0 < scale < 1.0:
+                score = int(score * scale + 0.499) if score > 0 \
+                    else int(score * scale - 0.499)
+            score = max(-max_sc, min(score, max_sc))
+            cid = mi.name2id(name)
+            if cid < 0 or ty < 0 or strand == 0 or pos < 0:
+                continue
+            if 0 < pos < mi.seq[cid].length:
+                sp.tab[(cid << 1) | (0 if strand > 0 else 1)].append(
+                    (pos << 8) | ((score + SpliceScores.KSW_SPSC_OFFSET) << 1)
+                    | ty)
+                n_read += 1
+    mi.spsc = sp
+    return n_read

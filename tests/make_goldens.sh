@@ -22,6 +22,8 @@ run inv-paf         -c --cs "$D/t-inv.fa" "$D/q-inv.fa"
 run inv-sam         -a "$D/t-inv.fa" "$D/q-inv.fa"
 run x3s-splice-sam  -ax splice "$D/x3s-ref.fa" "$D/x3s-qry.fa"
 run x3s-splice-paf  -cx splice --cs "$D/x3s-ref.fa" "$D/x3s-qry.fa"
+run x3s-juncbed     -ax splice --junc-bed "$D/x3s-junc.bed" "$D/x3s-ref.fa" "$D/x3s-qry.fa"
+run x3s-spsc        -ax splice --spsc "$D/x3s.spsc" "$D/x3s-ref.fa" "$D/x3s-qry.fa"
 cat "$D/MT-human.fa" "$D/MT-orang.fa" > "$D/MT-both.fa"
 run mt-ava          -x ava-ont "$D/MT-both.fa" "$D/MT-both.fa"
 run mt-asm          -cx asm20 "$D/MT-human.fa" "$D/MT-orang.fa"

@@ -89,6 +89,16 @@ def test_sr_paired_paf():
            f"{DATA}/sr-r2.fq"], "sr-paf.out")
 
 
+def test_x3s_junc_bed():
+    check(["-ax", "splice", "--junc-bed", f"{DATA}/x3s-junc.bed",
+           f"{DATA}/x3s-ref.fa", f"{DATA}/x3s-qry.fa"], "x3s-juncbed.out")
+
+
+def test_x3s_spsc():
+    check(["-ax", "splice", "--spsc", f"{DATA}/x3s.spsc",
+           f"{DATA}/x3s-ref.fa", f"{DATA}/x3s-qry.fa"], "x3s-spsc.out")
+
+
 def test_mt_alt_contigs():
     check(["-c", "--alt", f"{DATA}/alt.txt", f"{DATA}/MT-both.fa",
            f"{DATA}/MT-orang.fa"], "mt-alt.out")
