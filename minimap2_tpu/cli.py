@@ -51,6 +51,8 @@ class Args:
         self.split_prefix = None
         self.spsc = None
         self.spsc_scale = 0.7
+        self.jump_bed = None
+        self.pass1 = None
 
 
 LONG_FLAG_OPTS = {
@@ -264,6 +266,14 @@ def main(argv=None) -> int:
             dbg_print_chain = True
         elif a == "--junc-bed" or a == "--bed":
             args.junc_bed = val()
+        elif a == "-j" or a == "--jump":
+            args.jump_bed = val()
+        elif a == "--pass1":
+            args.pass1 = val()
+        elif a == "--write-junc":
+            mo.flag |= C.MM_F_OUT_JUNC | C.MM_F_CIGAR
+        elif a == "--jump-min-match":
+            mo.jump_min_match = int(val())
         elif a == "--spsc":
             args.spsc = val()
         elif a == "--spsc-scale":
@@ -373,6 +383,12 @@ def main(argv=None) -> int:
     if args.junc_bed:
         from .index.sidedata import read_bed_junc
         mi.intervals = read_bed_junc(args.junc_bed, mi)
+    if args.jump_bed:
+        from .index.sidedata import jjump_read
+        jjump_read(args.jump_bed, mi, 0x1, -1)     # MM_JUNC_ANNO
+    if args.pass1:
+        from .index.sidedata import jjump_read
+        jjump_read(args.pass1, mi, 0x2, 5)         # MM_JUNC_MISC
     if args.spsc:
         from .config import max_spsc_bonus
         from .index.sidedata import read_spsc

@@ -146,3 +146,108 @@ def read_spsc(path, mi, max_sc: int, scale: float) -> int:
                 n_read += 1
     mi.spsc = sp
     return n_read
+
+
+def read_bed_merge(path, mi, read_junc: bool, min_sc: int):
+    """mm_idx_bed_read_merge (index.c:683-795): per-contig (st, en, score,
+    strand, cnt) interval lists, sorted by (st, en), duplicates merged
+    with cnt = multiplicity."""
+    per_ctg = [[] for _ in range(mi.n_seq)]
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rt") as f:
+        for line in f:
+            fl = line.rstrip("\n").split("\t")
+            if len(fl) < 3 or not fl[1].lstrip("-").isdigit():
+                continue
+            cid = mi.name2id(fl[0])
+            if cid < 0:
+                continue
+            st, en = int(fl[1]), int(fl[2])
+            score = int(fl[4]) if len(fl) > 4 and fl[4][:1].isdigit() else -1
+            strand = 0
+            if len(fl) > 5:
+                strand = 1 if fl[5] == "+" else -1 if fl[5] == "-" else 0
+            if st < 0 or st >= en:
+                continue
+            if min_sc > 0 and score < min_sc:
+                continue
+            if len(fl) >= 12 and read_junc:    # BED12 -> introns
+                n_blk = int(fl[9])
+                sizes = [int(x) for x in fl[10].rstrip(",").split(",")]
+                starts = [int(x) for x in fl[11].rstrip(",").split(",")]
+                en_b = st + starts[0] + sizes[0]
+                for b in range(1, n_blk):
+                    ist, ien = en_b, st + starts[b]
+                    en_b = st + starts[b] + sizes[b]
+                    if ien > ist:
+                        per_ctg[cid].append([ist, ien, score, strand, 0])
+            else:
+                per_ctg[cid].append([st, en, score, strand, 0])
+    out = []
+    for lst in per_ctg:
+        lst.sort(key=lambda t: (t[0], t[1]))
+        merged = []
+        j0 = 0
+        for j in range(1, len(lst) + 1):
+            if j == len(lst) or lst[j][0] != lst[j0][0] \
+                    or lst[j][1] != lst[j0][1]:
+                rec = lst[j0][:]
+                rec[4] = j - j0
+                merged.append(rec)
+                j0 = j
+        out.append(merged)
+    return out
+
+
+class JJump:
+    """mm_idx_jjump_t (index.c:45-48, 832-930): per-contig sorted jump
+    records (off, off2, cnt, strand, flag), both intron directions."""
+
+    def __init__(self, n_seq):
+        self.per_ctg = [[] for _ in range(n_seq)]
+
+    @staticmethod
+    def _sort_merge(lst):
+        lst.sort(key=lambda t: (t[0], t[1]))
+        merged = []
+        j0 = 0
+        for j in range(1, len(lst) + 1):
+            if j == len(lst) or lst[j][0] != lst[j0][0] \
+                    or lst[j][1] != lst[j0][1]:
+                cnt = sum(t[2] for t in lst[j0:j])
+                flag = 0
+                for t in lst[j0:j]:
+                    flag |= t[4]
+                merged.append((lst[j0][0], lst[j0][1], cnt, lst[j0][3],
+                               flag))
+                j0 = j
+        return merged
+
+    def add_intervals(self, intervals, flag):
+        """mm_idx_bed2jjump + jjump_merge (index.c:865-930)."""
+        for cid, intv in enumerate(intervals):
+            lst = list(self.per_ctg[cid])
+            for st, en, score, strand, cnt in intv:
+                lst.append((st, en, cnt, strand, flag))
+                lst.append((en, st, cnt, strand, flag))
+            self.per_ctg[cid] = self._sort_merge(lst)
+
+    def get(self, cid, st, en):
+        """mm_idx_jump_get (index.c:946-959): records with off in (st, en]."""
+        import bisect
+        if cid < 0 or cid >= len(self.per_ctg):
+            return []
+        a = self.per_ctg[cid]
+        if not a:
+            return []
+        lo = bisect.bisect_right(a, (st,) + (float("inf"),)) - 1
+        hi = bisect.bisect_right(a, (en,) + (float("inf"),)) - 1
+        return a[lo + 1:hi + 1]
+
+
+def jjump_read(path, mi, flag: int, min_sc: int) -> None:
+    """mm_idx_jjump_read (index.c:905-930)."""
+    intervals = read_bed_merge(path, mi, True, min_sc)
+    if mi.jumps is None:
+        mi.jumps = JJump(mi.n_seq)
+    mi.jumps.add_intervals(intervals, flag)

@@ -87,6 +87,16 @@ def write_fragment(out, mi, mo, frag, regss, rep_lens):
     """step-2 output (map.c:604-627)."""
     n_seg = len(frag)
     n_regss = [len(rs) for rs in regss]
+    if mo.flag & C.MM_F_OUT_JUNC:      # --write-junc (map.c:601-608)
+        from ..io.format import write_junc
+        for j, rec in enumerate(frag):
+            for r in regss[j]:
+                if r.id != r.parent or r.mapq < 10:
+                    continue
+                line = write_junc(mi, rec.name, r)
+                if line:
+                    out.write(line + "\n")
+        return
     for j, rec in enumerate(frag):
         regs = regss[j]
         rep_len = rep_lens[j]

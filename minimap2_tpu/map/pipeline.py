@@ -173,6 +173,10 @@ def map_frag_core(mi: MiniIndex, seqs: list[bytes], opt: MapOptions,
         regs0 = align_regs(opt, mi, qlens[0], seqs[0], regs0, ax, ay)
         hitmod.set_mapq(regs0, opt.min_chain_score, opt.a, rep_len,
                         is_sr or is_sr_rna, is_splice)
+        if mi.jumps is not None and is_splice:   # map.c:363-365
+            from .jump import jump_split
+            for r in regs0:
+                jump_split(mi, opt, qlens[0], seqs[0], r, 0)
         results[0].regs = regs0
     else:
         from .pe import pair as mm_pair, seg_gen

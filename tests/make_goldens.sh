@@ -24,6 +24,9 @@ run x3s-splice-sam  -ax splice "$D/x3s-ref.fa" "$D/x3s-qry.fa"
 run x3s-splice-paf  -cx splice --cs "$D/x3s-ref.fa" "$D/x3s-qry.fa"
 run x3s-juncbed     -ax splice --junc-bed "$D/x3s-junc.bed" "$D/x3s-ref.fa" "$D/x3s-qry.fa"
 run x3s-spsc        -ax splice --spsc "$D/x3s.spsc" "$D/x3s-ref.fa" "$D/x3s-qry.fa"
+run x3s-jump        -ax splice:sr -j "$D/x3s-anno.bed" "$D/x3s-ref.fa" "$D/jumpreads.fa"
+run x3s-wj          -cx splice --write-junc "$D/x3s-ref.fa" "$D/x3s-qry.fa"
+run x3s-srrna       -ax splice:sr "$D/x3s-ref.fa" "$D/jumpreads.fa"
 cat "$D/MT-human.fa" "$D/MT-orang.fa" > "$D/MT-both.fa"
 run mt-ava          -x ava-ont "$D/MT-both.fa" "$D/MT-both.fa"
 run mt-asm          -cx asm20 "$D/MT-human.fa" "$D/MT-orang.fa"

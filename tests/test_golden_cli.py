@@ -99,6 +99,21 @@ def test_x3s_spsc():
            f"{DATA}/x3s-ref.fa", f"{DATA}/x3s-qry.fa"], "x3s-spsc.out")
 
 
+def test_x3s_jump_rescue():
+    check(["-ax", "splice:sr", "-j", f"{DATA}/x3s-anno.bed",
+           f"{DATA}/x3s-ref.fa", f"{DATA}/jumpreads.fa"], "x3s-jump.out")
+
+
+def test_x3s_write_junc():
+    check(["-cx", "splice", "--write-junc", f"{DATA}/x3s-ref.fa",
+           f"{DATA}/x3s-qry.fa"], "x3s-wj.out")
+
+
+def test_x3s_sr_rna():
+    check(["-ax", "splice:sr", f"{DATA}/x3s-ref.fa",
+           f"{DATA}/jumpreads.fa"], "x3s-srrna.out")
+
+
 def test_mt_alt_contigs():
     check(["-c", "--alt", f"{DATA}/alt.txt", f"{DATA}/MT-both.fa",
            f"{DATA}/MT-orang.fa"], "mt-alt.out")
