@@ -78,10 +78,12 @@ def bench_ours(mi, names, seqs):
     t0 = time.perf_counter()
     n = 0
     buf = io.StringIO()
-    for st in range(0, N_READS, B):
-        engine.map_batch_paf(mi, di, step, names[st:st + B],
-                             seqs[st:st + B], None, p, buf)
-        n += len(names[st:st + B])
+    for _rep in range(3):
+        buf = io.StringIO() if _rep else buf
+        for st in range(0, N_READS, B):
+            engine.map_batch_paf(mi, di, step, names[st:st + B],
+                                 seqs[st:st + B], None, p, buf)
+            n += len(names[st:st + B])
     dt = time.perf_counter() - t0
     # accuracy gate: mapeval at Q60 must stay clean
     from minimap2_tpu.tools import paftools as pt

@@ -1,0 +1,73 @@
+"""Pallas TPU bitonic row sort for anchor keys.
+
+lax.sort on TPU costs ~150ms for (256, 4096) 3-key rows; the same bitonic
+network in a Pallas kernel is ~1-2ms: rows live in lanes, the i^j partner
+exchange is two static rolls + a bit-select, and the whole network is a
+static double loop (log^2(A) compare-exchange stages).
+
+Sorts rows ascending by the lexicographic (k1, k2, k3) uint32 triple.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sort_kernel(k1_ref, k2_ref, k3_ref, o1_ref, o2_ref, o3_ref, *, G, A):
+    lane = lax.broadcasted_iota(jnp.int32, (G, A), 1)
+    k1 = k1_ref[0]
+    k2 = k2_ref[0]
+    k3 = k3_ref[0]
+    kk = 2
+    while kk <= A:
+        asc = (lane & kk) == 0
+        j = kk >> 1
+        while j >= 1:
+            bitj = (lane & j) != 0
+            def partner(v):
+                return jnp.where(bitj, pltpu.roll(v, j, axis=1),
+                                 pltpu.roll(v, A - j, axis=1))
+            p1, p2, p3 = partner(k1), partner(k2), partner(k3)
+            lt = (k1 < p1) | ((k1 == p1)
+                              & ((k2 < p2) | ((k2 == p2) & (k3 < p3))))
+            gt = (k1 > p1) | ((k1 == p1)
+                             & ((k2 > p2) | ((k2 == p2) & (k3 > p3))))
+            # lane with bit j clear keeps min (if asc) else max; bit j set
+            # keeps the other (boolean algebra: Mosaic rejects select-of-i1)
+            bx = bitj ^ asc
+            keep_self = (bx & ~gt) | (~bx & ~lt)
+            k1 = jnp.where(keep_self, k1, p1)
+            k2 = jnp.where(keep_self, k2, p2)
+            k3 = jnp.where(keep_self, k3, p3)
+            j >>= 1
+        kk <<= 1
+    o1_ref[0] = k1
+    o2_ref[0] = k2
+    o3_ref[0] = k3
+
+
+@functools.partial(jax.jit, static_argnames=("G", "interpret"))
+def sort3_rows(k1, k2, k3, *, G=8, interpret=False):
+    """Row-wise ascending lexicographic sort of three u32 key planes."""
+    B, A = k1.shape
+    assert B % G == 0 and (A & (A - 1)) == 0, (B, G, A)
+    NB = B // G
+    kernel = functools.partial(_sort_kernel, G=G, A=A)
+    shape = jax.ShapeDtypeStruct((NB, G, A), jnp.uint32)
+    spec = pl.BlockSpec((1, G, A), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[spec] * 3,
+        out_specs=(spec,) * 3,
+        out_shape=(shape,) * 3,
+        interpret=interpret,
+    )(k1.reshape(NB, G, A), k2.reshape(NB, G, A), k3.reshape(NB, G, A))
+    return tuple(o.reshape(B, A) for o in outs)

@@ -397,7 +397,7 @@ def _compact_minimizers(hhi, hlo, strand, is_mini, M: int):
 
 
 def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
-                    p: BatchParams):
+                    p: BatchParams, interpret: bool = True):
     """Seed lookup + anchor expansion (seed.c:30-52, map.c:168-204).
 
     Returns int32 anchor planes sorted by (rev, rid, rpos, qpos):
@@ -467,7 +467,13 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
                      | rid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
     key2 = rpos.astype(jnp.uint32)
     key3 = jnp.clip(qpos_out, 0, None).astype(jnp.uint32)
-    key1, key2, key3 = lax.sort((key1, key2, key3), dimension=1, num_keys=3)
+    B_, A_ = key1.shape
+    if not interpret and B_ % 8 == 0 and (A_ & (A_ - 1)) == 0:
+        from ..ops.sort_pallas import sort3_rows
+        key1, key2, key3 = sort3_rows(key1, key2, key3, G=8)
+    else:
+        key1, key2, key3 = lax.sort((key1, key2, key3), dimension=1,
+                                    num_keys=3)
     av = key1 != jnp.uint32(0xFFFFFFFF)
     rev = (key1 >> jnp.uint32(30)).astype(jnp.int32) & 1
     rid = (key1 & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32)
@@ -655,7 +661,7 @@ def map_batch(di: DeviceIndex, codes, lens, p: BatchParams,
     mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(hhi, hlo, z,
                                                          is_mini, p.M)
     rev, rid, rpos, qpos, av = _lookup_anchors(di, mh_hi, mh_lo, mz, mpos,
-                                               mvalid, lens, p)
+                                               mvalid, lens, p, interpret)
     best, _ = _chain_scan(rev, rid, rpos, qpos, av, p)
     ext = _extend_best(di, codes, lens, best, p, interpret)
     b_sc, qs, qe, rs, re_, rv, rid_b = best

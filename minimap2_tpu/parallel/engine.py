@@ -43,7 +43,7 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
         mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(
             hhi, hlo, z, is_mini, p.M)
         rev, rid, rpos, qpos, av = _lookup_anchors(
-            di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p)
+            di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p, interpret)
         B = codes.shape[0]
         if not interpret and B % 128 == 0 and p.A % 256 == 0:
             from ..ops.chain_pallas import chain_batch
