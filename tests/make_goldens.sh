@@ -31,6 +31,8 @@ cat "$D/MT-human.fa" "$D/MT-orang.fa" > "$D/MT-both.fa"
 run mt-ava          -x ava-ont "$D/MT-both.fa" "$D/MT-both.fa"
 run mt-asm          -cx asm20 "$D/MT-human.fa" "$D/MT-orang.fa"
 run mt-nocig        "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-hifi         -cx map-hifi "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-pb           -cx map-pb "$D/MT-human.fa" "$D/MT-orang.fa"
 run sr-sam          -ax sr "$D/MT-human.fa" "$D/sr-r1.fq" "$D/sr-r2.fq"
 run mt-dust         -c -T20 "$D/MT-human.fa" "$D/MT-orang.fa"
 run mt-alt          -c --alt "$D/alt.txt" "$D/MT-both.fa" "$D/MT-orang.fa"

@@ -99,6 +99,18 @@ def test_x3s_spsc():
            f"{DATA}/x3s-ref.fa", f"{DATA}/x3s-qry.fa"], "x3s-spsc.out")
 
 
+@pytest.mark.slow
+def test_mt_map_hifi():
+    check(["-cx", "map-hifi", f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"],
+          "mt-hifi.out")
+
+
+@pytest.mark.slow
+def test_mt_map_pb_hpc():
+    check(["-cx", "map-pb", f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"],
+          "mt-pb.out")
+
+
 def test_x3s_jump_rescue():
     check(["-ax", "splice:sr", "-j", f"{DATA}/x3s-anno.bed",
            f"{DATA}/x3s-ref.fa", f"{DATA}/jumpreads.fa"], "x3s-jump.out")
