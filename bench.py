@@ -78,12 +78,22 @@ def bench_ours(mi, names, seqs):
     t0 = time.perf_counter()
     n = 0
     buf = io.StringIO()
+    inflight = []
     for _rep in range(3):
         buf = io.StringIO() if _rep else buf
         for st in range(0, N_READS, B):
-            engine.map_batch_paf(mi, di, step, names[st:st + B],
-                                 seqs[st:st + B], None, p, buf)
-            n += len(names[st:st + B])
+            nm, sq = names[st:st + B], seqs[st:st + B]
+            inflight.append((nm, sq, engine.dispatch_batch(step, sq, p)))
+            while len(inflight) > 1:
+                nm0, sq0, fut = inflight.pop(0)
+                engine.map_batch_paf(mi, di, step, nm0, sq0, None, p, buf,
+                                     pending=fut)
+                n += len(nm0)
+    while inflight:
+        nm0, sq0, fut = inflight.pop(0)
+        engine.map_batch_paf(mi, di, step, nm0, sq0, None, p, buf,
+                             pending=fut)
+        n += len(nm0)
     dt = time.perf_counter() - t0
     # accuracy gate: mapeval at Q60 must stay clean
     from minimap2_tpu.tools import paftools as pt

@@ -111,12 +111,24 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
     n_reads = n_mapped = 0
     names, seqs = [], []
 
+    inflight = []    # [(names, seqs, device_future)] double buffering:
+                     # the next batch is dispatched before fetching the
+                     # previous one, overlapping upload/compute/host-emit
+
+    def drain(keep: int):
+        nonlocal n_mapped
+        while len(inflight) > keep:
+            nm, sq, fut = inflight.pop(0)
+            n_mapped += map_batch_paf(mi, di, step, nm, sq, None, p, out,
+                                      pending=fut)
+
     def flush():
-        nonlocal n_mapped, names, seqs
+        nonlocal names, seqs
         if not names:
             return
-        n_mapped += map_batch_paf(mi, di, step, names, seqs, None, p, out)
+        inflight.append((names, seqs, dispatch_batch(step, seqs, p)))
         names, seqs = [], []
+        drain(1)
 
     for qf in queries:
         rd = FastxReader(qf)
@@ -127,6 +139,7 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
             n_reads += 1
             if len(rec.seq) > L:     # host fallback for oversize reads
                 flush()
+                drain(0)
                 res = map_frag_core(mi, [rec.seq], opt, rec.name)[0]
                 for r in res.regs:
                     out.write(fmt.write_paf(mi, rec.name, len(rec.seq), r,
@@ -138,17 +151,25 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
                 flush()
         rd.close()
     flush()
+    drain(0)
     dt = time.time() - t0
     print(f"[M::batch] mapped {n_reads} reads in {dt:.2f}s "
           f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
     return n_reads
 
 
-def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
-                  p: BatchParams, out, rep_len: int = 0):
-    """Run one encoded batch through the device step and write PAF lines."""
+def dispatch_batch(step, seqs, p: BatchParams):
+    """Encode + enqueue one device batch (async; pairs with emit_batch)."""
     codes, lens = encode_batch(seqs, p.L)
-    rec = np.asarray(step(jnp.asarray(codes), jnp.asarray(lens)))
+    return step(jnp.asarray(codes), jnp.asarray(lens))
+
+
+def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
+                  p: BatchParams, out, rep_len: int = 0, pending=None):
+    """Run one encoded batch through the device step and write PAF lines."""
+    if pending is None:
+        pending = dispatch_batch(step, seqs, p)
+    rec = np.asarray(pending)
     sc, sub, qs, qe, rs, re_, rev, rid, cnt = rec
     K, B = sc.shape
     n_mapped = 0
