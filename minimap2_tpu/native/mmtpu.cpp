@@ -309,3 +309,288 @@ int64_t mm_sketch_many(const uint8_t *codes, const int64_t *offs,
 }
 
 }  // extern "C"
+
+// =====================================================================
+// ksw2 extension kernels: scalar C++ ports of this framework's verified
+// NumPy oracles (ops/ksw2_np.py), themselves bit-exact with the
+// reference SIMD kernels (ksw2_extz2_sse.c / ksw2_extd2_sse.c).
+// Host-parity-path speed: the per-read CLI route uses these when built.
+// =====================================================================
+
+extern "C" {
+
+static const int KSW_NEG_INF = -0x40000000;
+enum { EZF_SCORE_ONLY = 1, EZF_RIGHT = 2, EZF_GENERIC_SC = 4,
+       EZF_APPROX_MAX = 8, EZF_APPROX_DROP = 0x10, EZF_EXTZ_ONLY = 0x40,
+       EZF_REV_CIGAR = 0x80 };
+
+struct EzOut {
+    int32_t max, zdropped, max_q, max_t, mqe, mqe_t, mte, mte_q, score,
+        reach_end, n_cigar, pad;
+};
+
+static inline int8_t wrap8(int v) { return (int8_t)(((v + 128) & 255) - 128); }
+
+static void push_cigar(std::vector<uint32_t> &c, int op, int len)
+{
+    if (c.empty() || (int)(c.back() & 0xF) != op)
+        c.push_back((uint32_t)len << 4 | op);
+    else
+        c.back() += (uint32_t)len << 4;
+}
+
+static int apply_zdrop(EzOut *ez, int64_t H, int r, int t, int zdrop, int e)
+{
+    if (H > ez->max) {
+        ez->max = (int32_t)H; ez->max_t = t; ez->max_q = r - t;
+    } else if (t >= ez->max_t && r - t >= ez->max_q) {
+        int tl = t - ez->max_t, ql = (r - t) - ez->max_q;
+        int l = tl > ql ? tl - ql : ql - tl;
+        if (zdrop >= 0 && ez->max - H > zdrop + (int64_t)l * e) {
+            ez->zdropped = 1;
+            return 1;
+        }
+    }
+    return 0;
+}
+
+// backtrack over rotated rows (ksw2.h:130-162, is_rot=1, forward cigar)
+static void bt_rot(const uint8_t *p, const int64_t *p_off,
+                   const int64_t *off, const int64_t *off_end,
+                   int i0, int j0, int min_intron,
+                   std::vector<uint32_t> &cigar)
+{
+    int i = i0, j = j0, state = 0;
+    while (i >= 0 && j >= 0) {
+        int r = i + j, force_state = -1;
+        if (i < off[r]) force_state = 2;
+        if (off_end && i > off_end[r]) force_state = 1;
+        int tmp = force_state < 0 ? p[p_off[r] + (i - off[r])] : 0;
+        if (state == 0) state = tmp & 7;
+        else if (!(tmp >> (state + 2) & 1)) state = 0;
+        if (state == 0) state = tmp & 7;
+        if (force_state >= 0) state = force_state;
+        if (state == 0) { push_cigar(cigar, 0, 1); --i; --j; }
+        else if (state == 1 || (state == 3 && min_intron <= 0)) {
+            push_cigar(cigar, 2, 1); --i;
+        } else if (state == 3 && min_intron > 0) {
+            push_cigar(cigar, 3, 1); --i;
+        } else { push_cigar(cigar, 1, 1); --j; }
+    }
+    if (i >= 0)
+        push_cigar(cigar, (min_intron > 0 && i >= min_intron) ? 3 : 2, i + 1);
+    if (j >= 0) push_cigar(cigar, 1, j + 1);
+    std::vector<uint32_t> rv(cigar.rbegin(), cigar.rend());
+    cigar.swap(rv);
+}
+
+// ksw_extd2 (dual affine), scalar port of ops/ksw2_np.ksw_extd2
+int64_t ksw_extd2_cpp(int qlen, const uint8_t *query, int tlen,
+                      const uint8_t *target, int m, const int8_t *mat,
+                      int q, int e, int q2, int e2, int w, int zdrop,
+                      int end_bonus, int flag, EzOut *ez,
+                      uint32_t *cigar_out, int64_t cigar_cap)
+{
+    ez->max = 0; ez->zdropped = 0; ez->max_q = ez->max_t = -1;
+    ez->mqe = ez->mte = KSW_NEG_INF; ez->mqe_t = ez->mte_q = -1;
+    ez->score = KSW_NEG_INF; ez->reach_end = 0; ez->n_cigar = 0;
+    if (m <= 1 || qlen <= 0 || tlen <= 0) return 0;
+    int with_cigar = !(flag & EZF_SCORE_ONLY);
+    int approx_max = !!(flag & EZF_APPROX_MAX);
+    int right_mode = !!(flag & EZF_RIGHT);
+    int generic = !!(flag & EZF_GENERIC_SC);
+    if (q2 + e2 < q + e) { int t = q; q = q2; q2 = t; t = e; e = e2; e2 = t; }
+    int8_t sc_N = mat[m * m - 1] == 0 ? (int8_t)-e2 : mat[m * m - 1];
+    if (w < 0) w = tlen > qlen ? tlen : qlen;
+    int64_t tlen_ = (tlen + 15) / 16;
+    int64_t n_col_ = qlen < tlen ? qlen : tlen;
+    n_col_ = ((n_col_ < w + 1 ? n_col_ : w + 1) + 15) / 16 + 1;
+    int max_sc = mat[0], min_sc = mat[1];
+    for (int i = 0; i < m * m; ++i) {
+        if (mat[i] > max_sc) max_sc = mat[i];
+        if (i >= 1 && mat[i] < min_sc) min_sc = mat[i];
+    }
+    if (-min_sc > 2 * (q + e)) return 0;
+    int long_thres = e != e2 ? (q2 - q) / (e - e2) - 1 : 0;
+    if (q2 + e2 + long_thres * e2 > q + e + long_thres * e) ++long_thres;
+    int long_diff = long_thres * (e - e2) - (q2 - q) - e2;
+
+    int64_t L = tlen_ * 16 + 16;
+    std::vector<int8_t> u(L, wrap8(-q - e)), v(L, wrap8(-q - e));
+    std::vector<int8_t> x(L, wrap8(-q - e)), y(L, wrap8(-q - e));
+    std::vector<int8_t> x2(L, wrap8(-q2 - e2)), y2(L, wrap8(-q2 - e2));
+    std::vector<int8_t> s(L, 0);
+    std::vector<uint8_t> sf(L, 0);
+    std::memcpy(sf.data(), target, tlen);
+    int64_t qpad = (qlen + 15) / 16 * 16 + 32;
+    std::vector<uint8_t> qr(qpad, 0);
+    for (int i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
+    std::vector<int64_t> H;
+    if (!approx_max) H.assign(tlen_ * 16 + 16, KSW_NEG_INF);
+    int64_t R = (int64_t)qlen + tlen - 1;
+    std::vector<int64_t> off(R, 0), off_end(R, 0), p_off(R, 0);
+    std::vector<uint8_t> p;
+    if (with_cigar) p.reserve((size_t)(R * (n_col_ * 16 + 16) < (int64_t)5e8
+                                       ? R * (n_col_ * 16 + 16) : 1));
+    int qe_pen = q + e, qe2_pen = q2 + e2;
+    int8_t sc_mch = mat[0];
+    int64_t H0 = 0; int last_H0_t = 0;
+    int64_t last_st = -1, last_en = -1;
+
+    for (int64_t r = 0; r < R; ++r) {
+        int64_t st = 0, en = tlen - 1;
+        if (st < r - qlen + 1) st = r - qlen + 1;
+        if (en > r) en = r;
+        if (st < (r - w + 1) >> 1) st = (r - w + 1) >> 1;
+        if (en > (r + w) >> 1) en = (r + w) >> 1;
+        if (st > en) { ez->zdropped = 1; break; }
+        int64_t st0 = st, en0 = en;
+        st = st / 16 * 16;
+        en = (en + 16) / 16 * 16 - 1;
+        int x1, x21, v1;
+        if (st > 0) {
+            if (last_st <= st - 1 && st - 1 <= last_en) {
+                x1 = x[st - 1]; x21 = x2[st - 1]; v1 = v[st - 1];
+            } else { x1 = -q - e; x21 = -q2 - e2; v1 = -q - e; }
+        } else {
+            x1 = -q - e; x21 = -q2 - e2;
+            v1 = r == 0 ? -q - e : r < long_thres ? -e
+                : r == long_thres ? long_diff : -e2;
+        }
+        if (en >= r) {
+            y[r] = wrap8(-q - e); y2[r] = wrap8(-q2 - e2);
+            u[r] = wrap8(r == 0 ? -q - e : r < long_thres ? -e
+                         : r == long_thres ? long_diff : -e2);
+        }
+        int64_t base = qlen - 1 - r;
+        if (!generic) {
+            for (int64_t t = st0; t <= en0; t += 16)
+                for (int64_t k2 = t; k2 < t + 16; ++k2) {
+                    int sq = sf[k2], tq = qr[base + k2];
+                    s[k2] = (sq == m - 1 || tq == m - 1) ? sc_N
+                        : (sq == tq ? mat[0] : mat[1]);
+                }
+        } else {
+            for (int64_t k2 = st0; k2 <= en0; ++k2)
+                s[k2] = mat[(int)sf[k2] * m + qr[base + k2]];
+        }
+        uint8_t *prow = 0;
+        if (with_cigar) {
+            p_off[r] = (int64_t)p.size();
+            p.resize(p.size() + (en - st + 1));
+            prow = p.data() + p_off[r];
+        }
+        int8_t xp = (int8_t)x1, vp = (int8_t)v1, x2p = (int8_t)x21;
+        for (int64_t k2 = st; k2 <= en; ++k2) {
+            int8_t z = s[k2];
+            int8_t xt1 = xp, vt1 = vp, x2t1 = x2p;
+            xp = x[k2]; vp = v[k2]; x2p = x2[k2];   // pre-update (shifted)
+            int8_t ut = u[k2];
+            int8_t a = wrap8(xt1 + vt1);
+            int8_t b = wrap8(y[k2] + ut);
+            int8_t a2 = wrap8(x2t1 + vt1);
+            int8_t b2 = wrap8(y2[k2] + ut);
+            uint8_t d = 0;
+            if (with_cigar) {
+                if (!right_mode) {
+                    d = a > z ? 1 : 0; if (a > z) z = a;
+                    if (b > z) { d = 2; z = b; }
+                    if (a2 > z) { d = 3; z = a2; }
+                    if (b2 > z) { d = 4; z = b2; }
+                } else {
+                    d = z > a ? 0 : 1; if (a > z) z = a;
+                    if (!(z > b)) d = 2; if (b > z) z = b;
+                    if (!(z > a2)) d = 3; if (a2 > z) z = a2;
+                    if (!(z > b2)) d = 4; if (b2 > z) z = b2;
+                }
+            } else {
+                if (a > z) z = a; if (b > z) z = b;
+                if (a2 > z) z = a2; if (b2 > z) z = b2;
+            }
+            if (z > sc_mch) z = sc_mch;
+            u[k2] = wrap8(z - vt1);
+            v[k2] = wrap8(z - ut);
+            int8_t t1 = wrap8(z - q);
+            a = wrap8(a - t1); b = wrap8(b - t1);
+            int8_t t2 = wrap8(z - q2);
+            a2 = wrap8(a2 - t2); b2 = wrap8(b2 - t2);
+            bool ga, gb, ga2, gb2;
+            if (!right_mode) { ga = a > 0; gb = b > 0; ga2 = a2 > 0; gb2 = b2 > 0; }
+            else { ga = a >= 0; gb = b >= 0; ga2 = a2 >= 0; gb2 = b2 >= 0; }
+            x[k2] = wrap8((ga ? a : 0) - qe_pen);
+            y[k2] = wrap8((gb ? b : 0) - qe_pen);
+            x2[k2] = wrap8((ga2 ? a2 : 0) - qe2_pen);
+            y2[k2] = wrap8((gb2 ? b2 : 0) - qe2_pen);
+            if (with_cigar) {
+                if (ga) d |= 0x08; if (gb) d |= 0x10;
+                if (ga2) d |= 0x20; if (gb2) d |= 0x40;
+                prow[k2 - st] = d;
+            }
+        }
+        if (with_cigar) { off[r] = st; off_end[r] = en; }
+        if (!approx_max) {
+            int64_t max_H, max_t;
+            if (r > 0) {
+                if (en0 > 0) H[en0] = H[en0 - 1] + u[en0];
+                else H[en0] = H[en0] + v[en0];
+                max_H = H[en0]; max_t = en0;
+                for (int64_t t = st0; t < en0; ++t) {
+                    H[t] += v[t];
+                    if (H[t] > max_H) { max_H = H[t]; max_t = t; }
+                }
+            } else {
+                H[0] = v[0] - qe_pen;
+                max_H = H[0]; max_t = 0;
+            }
+            if (en0 == tlen - 1 && H[en0] > ez->mte) {
+                ez->mte = (int32_t)H[en0]; ez->mte_q = (int32_t)(r - en0);
+            }
+            if (r - st0 == qlen - 1 && H[st0] > ez->mqe) {
+                ez->mqe = (int32_t)H[st0]; ez->mqe_t = (int32_t)st0;
+            }
+            if (apply_zdrop(ez, max_H, (int)r, (int)max_t, zdrop, e2)) break;
+            if (r == R - 1 && en0 == tlen - 1) ez->score = (int32_t)H[tlen - 1];
+        } else {
+            if (r > 0) {
+                if (st0 <= last_H0_t && last_H0_t <= en0
+                        && st0 <= last_H0_t + 1 && last_H0_t + 1 <= en0) {
+                    int d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    if (d0 > d1) H0 += d0;
+                    else { H0 += d1; ++last_H0_t; }
+                } else if (st0 <= last_H0_t && last_H0_t <= en0) {
+                    H0 += v[last_H0_t];
+                } else {
+                    ++last_H0_t; H0 += u[last_H0_t];
+                }
+                if ((flag & EZF_APPROX_DROP)
+                        && apply_zdrop(ez, H0, (int)r, last_H0_t, zdrop, e2))
+                    break;
+            } else { H0 = v[0] - qe_pen; last_H0_t = 0; }
+            if (r == R - 1 && en0 == tlen - 1) ez->score = (int32_t)H0;
+        }
+        last_st = st; last_en = en;
+    }
+    if (with_cigar) {
+        std::vector<uint32_t> cig;
+        if (!ez->zdropped && !(flag & EZF_EXTZ_ONLY))
+            bt_rot(p.data(), p_off.data(), off.data(), off_end.data(),
+                   tlen - 1, qlen - 1, 0, cig);
+        else if (!ez->zdropped && (flag & EZF_EXTZ_ONLY)
+                 && ez->mqe + end_bonus > ez->max) {
+            ez->reach_end = 1;
+            bt_rot(p.data(), p_off.data(), off.data(), off_end.data(),
+                   ez->mqe_t, qlen - 1, 0, cig);
+        } else if (ez->max_t >= 0 && ez->max_q >= 0)
+            bt_rot(p.data(), p_off.data(), off.data(), off_end.data(),
+                   ez->max_t, ez->max_q, 0, cig);
+        if (flag & EZF_REV_CIGAR)
+            std::reverse(cig.begin(), cig.end());
+        ez->n_cigar = (int32_t)cig.size();
+        int64_t n = (int64_t)cig.size() < cigar_cap ? (int64_t)cig.size()
+            : cigar_cap;
+        std::memcpy(cigar_out, cig.data(), n * 4);
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -65,3 +65,38 @@ def test_index_build_native_equals_numpy():
     np.testing.assert_array_equal(mi.keys, mi2.keys)
     np.testing.assert_array_equal(mi.starts, mi2.starts)
     np.testing.assert_array_equal(mi.pos, mi2.pos)
+
+
+def test_native_extd2_bitexact():
+    """C++ ksw_extd2 vs the NumPy oracle across modes/flags."""
+    import os
+
+    from minimap2_tpu.map.align_engine import gen_simple_mat
+    from minimap2_tpu.ops import ksw2_np
+    rng = np.random.default_rng(7)
+    mat = gen_simple_mat(5, 2, -4, 1)
+    os.environ["MM2TPU_NO_NATIVE"] = "1"   # oracle side stays NumPy
+    try:
+        for t in range(25):
+            ql = int(rng.integers(1, 300))
+            tl = int(rng.integers(1, 300))
+            qs = rng.integers(0, 5, ql, dtype=np.int64).astype(np.uint8)
+            ts = qs[:min(ql, tl)].copy()
+            ts = np.concatenate(
+                [ts, rng.integers(0, 4, max(0, tl - len(ts)))
+                 .astype(np.uint8)])[:tl]
+            mut = rng.random(tl) < rng.choice([0.05, 0.3])
+            ts[mut] = rng.integers(0, 5, int(mut.sum())).astype(np.uint8)
+            w = int(rng.choice([-1, 50, 300]))
+            zd = int(rng.choice([-1, 400]))
+            fl = int(rng.choice([0, 0x01, 0x02, 0x08, 0x40, 0x42, 0xC0]))
+            ref = ksw2_np.ksw_extd2(ql, qs, tl, ts, 5, mat, 4, 2, 24, 1,
+                                    w, zd, 17, fl)
+            d, cig = native.ksw_extd2(ql, qs, tl, ts, 5, mat, 4, 2, 24, 1,
+                                      w, zd, 17, fl)
+            assert ref.score == d["score"] and \
+                int(ref.zdropped) == d["zdropped"] and \
+                ref.max == d["max"] and ref.mqe == d["mqe"] and \
+                ref.mte == d["mte"] and list(ref.cigar) == cig, (t, fl)
+    finally:
+        del os.environ["MM2TPU_NO_NATIVE"]
