@@ -594,3 +594,185 @@ int64_t ksw_extd2_cpp(int qlen, const uint8_t *query, int tlen,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ksw_extz2 (single affine), scalar port of ops/ksw2_np.ksw_extz2;
+// DP state kept as offset uint8 exactly like the SSE kernel.
+int64_t ksw_extz2_cpp(int qlen, const uint8_t *query, int tlen,
+                      const uint8_t *target, int m, const int8_t *mat,
+                      int q, int e, int w, int zdrop, int end_bonus,
+                      int flag, EzOut *ez, uint32_t *cigar_out,
+                      int64_t cigar_cap)
+{
+    ez->max = 0; ez->zdropped = 0; ez->max_q = ez->max_t = -1;
+    ez->mqe = ez->mte = KSW_NEG_INF; ez->mqe_t = ez->mte_q = -1;
+    ez->score = KSW_NEG_INF; ez->reach_end = 0; ez->n_cigar = 0;
+    if (m <= 0 || qlen <= 0 || tlen <= 0) return 0;
+    int with_cigar = !(flag & EZF_SCORE_ONLY);
+    int approx_max = !!(flag & EZF_APPROX_MAX);
+    int right_mode = !!(flag & EZF_RIGHT);
+    int generic = !!(flag & EZF_GENERIC_SC);
+    int8_t sc_N = mat[m * m - 1] == 0 ? (int8_t)-e : mat[m * m - 1];
+    int qe2 = (q + e) * 2;
+    uint8_t max_sc_clip = (uint8_t)(mat[0] + (q + e) * 2);
+    if (w < 0) w = tlen > qlen ? tlen : qlen;
+    int64_t tlen_ = (tlen + 15) / 16;
+    int min_sc = mat[0];
+    for (int i = 0; i < m * m; ++i) if (mat[i] < min_sc) min_sc = mat[i];
+    if (-min_sc > 2 * (q + e)) return 0;
+    int64_t L = tlen_ * 16 + 16;
+    std::vector<uint8_t> u(L, 0), v(L, 0), x(L, 0), y(L, 0);
+    std::vector<int8_t> s(L, 0);
+    std::vector<uint8_t> sf(L, 0);
+    std::memcpy(sf.data(), target, tlen);
+    int64_t qpad = (qlen + 15) / 16 * 16 + 32;
+    std::vector<uint8_t> qr(qpad, 0);
+    for (int i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
+    std::vector<int64_t> H;
+    if (!approx_max) H.assign(tlen_ * 16 + 16, KSW_NEG_INF);
+    int64_t R = (int64_t)qlen + tlen - 1;
+    std::vector<int64_t> off(R, 0), off_end(R, 0), p_off(R, 0);
+    std::vector<uint8_t> p;
+    int qe_pen = q + e;
+    int64_t H0 = 0; int last_H0_t = 0;
+    int64_t last_st = -1, last_en = -1;
+
+    for (int64_t r = 0; r < R; ++r) {
+        int64_t st = 0, en = tlen - 1;
+        if (st < r - qlen + 1) st = r - qlen + 1;
+        if (en > r) en = r;
+        if (st < (r - w + 1) >> 1) st = (r - w + 1) >> 1;
+        if (en > (r + w) >> 1) en = (r + w) >> 1;
+        if (st > en) { ez->zdropped = 1; break; }
+        int64_t st0 = st, en0 = en;
+        st = st / 16 * 16;
+        en = (en + 16) / 16 * 16 - 1;
+        uint8_t x1, v1;
+        if (st > 0) {
+            if (last_st <= st - 1 && st - 1 <= last_en) {
+                x1 = x[st - 1]; v1 = v[st - 1];
+            } else { x1 = 0; v1 = 0; }
+        } else { x1 = 0; v1 = (uint8_t)(r ? q : 0); }
+        if (en >= r) { y[r] = 0; u[r] = (uint8_t)(r ? q : 0); }
+        int64_t base = qlen - 1 - r;
+        if (!generic) {
+            for (int64_t t = st0; t <= en0; t += 16)
+                for (int64_t k2 = t; k2 < t + 16; ++k2) {
+                    int sq = sf[k2], tq = qr[base + k2];
+                    s[k2] = (sq == m - 1 || tq == m - 1) ? sc_N
+                        : (sq == tq ? mat[0] : mat[1]);
+                }
+        } else {
+            for (int64_t k2 = st0; k2 <= en0; ++k2)
+                s[k2] = mat[(int)sf[k2] * m + qr[base + k2]];
+        }
+        uint8_t *prow = 0;
+        if (with_cigar) {
+            p_off[r] = (int64_t)p.size();
+            p.resize(p.size() + (en - st + 1));
+            prow = p.data() + p_off[r];
+        }
+        uint8_t xp = x1, vp = v1;
+        for (int64_t k2 = st; k2 <= en; ++k2) {
+            int8_t z = wrap8((int)s[k2] + qe2);
+            uint8_t xt1 = xp, vt1 = vp;
+            xp = x[k2]; vp = v[k2];
+            uint8_t ut = u[k2];
+            int8_t a = wrap8((int8_t)xt1 + (int8_t)vt1);
+            int8_t b = wrap8((int8_t)y[k2] + (int8_t)ut);
+            uint8_t d = 0;
+            if (with_cigar) {
+                if (!right_mode) {
+                    d = a > z ? 1 : 0; if (a > z) z = a;
+                    if (b > z) d = 2;
+                } else {
+                    d = z > a ? 0 : 1; if (a > z) z = a;
+                    if (!(z > b)) d = 2;
+                }
+            } else { if (a > z) z = a; }
+            uint8_t zu = (uint8_t)z > (uint8_t)b ? (uint8_t)z : (uint8_t)b;
+            if (zu > max_sc_clip) zu = max_sc_clip;
+            u[k2] = (uint8_t)wrap8((int8_t)zu - (int8_t)vt1);
+            v[k2] = (uint8_t)wrap8((int8_t)zu - (int8_t)ut);
+            int8_t zq = wrap8((int8_t)zu - q);
+            a = wrap8(a - zq);
+            b = wrap8((int8_t)b - zq);
+            bool ga, gb;
+            if (!right_mode) { ga = a > 0; gb = b > 0; }
+            else { ga = a >= 0; gb = b >= 0; }
+            x[k2] = (uint8_t)(ga ? a : 0);
+            y[k2] = (uint8_t)(gb ? b : 0);
+            if (with_cigar) {
+                if (ga) d |= 0x08; if (gb) d |= 0x10;
+                prow[k2 - st] = d;
+            }
+        }
+        if (with_cigar) { off[r] = st; off_end[r] = en; }
+        if (!approx_max) {
+            int64_t max_H, max_t;
+            if (r > 0) {
+                if (en0 > 0) H[en0] = H[en0 - 1] + u[en0] - qe_pen;
+                else H[en0] = H[en0] + v[en0] - qe_pen;
+                max_H = H[en0]; max_t = en0;
+                for (int64_t t = st0; t < en0; ++t) {
+                    H[t] += (int64_t)v[t] - qe_pen;
+                    if (H[t] > max_H) { max_H = H[t]; max_t = t; }
+                }
+            } else {
+                H[0] = (int64_t)v[0] - qe_pen - qe_pen;
+                max_H = H[0]; max_t = 0;
+            }
+            if (en0 == tlen - 1 && H[en0] > ez->mte) {
+                ez->mte = (int32_t)H[en0]; ez->mte_q = (int32_t)(r - en0);
+            }
+            if (r - st0 == qlen - 1 && H[st0] > ez->mqe) {
+                ez->mqe = (int32_t)H[st0]; ez->mqe_t = (int32_t)st0;
+            }
+            if (apply_zdrop(ez, max_H, (int)r, (int)max_t, zdrop, e)) break;
+            if (r == R - 1 && en0 == tlen - 1) ez->score = (int32_t)H[tlen - 1];
+        } else {
+            if (r > 0) {
+                if (st0 <= last_H0_t && last_H0_t <= en0
+                        && st0 <= last_H0_t + 1 && last_H0_t + 1 <= en0) {
+                    int d0 = (int)v[last_H0_t] - qe_pen;
+                    int d1 = (int)u[last_H0_t + 1] - qe_pen;
+                    if (d0 > d1) H0 += d0;
+                    else { H0 += d1; ++last_H0_t; }
+                } else if (st0 <= last_H0_t && last_H0_t <= en0) {
+                    H0 += (int)v[last_H0_t] - qe_pen;
+                } else {
+                    ++last_H0_t; H0 += (int)u[last_H0_t] - qe_pen;
+                }
+                if ((flag & EZF_APPROX_DROP)
+                        && apply_zdrop(ez, H0, (int)r, last_H0_t, zdrop, e))
+                    break;
+            } else { H0 = (int64_t)v[0] - qe_pen - qe_pen; last_H0_t = 0; }
+            if (r == R - 1 && en0 == tlen - 1) ez->score = (int32_t)H0;
+        }
+        last_st = st; last_en = en;
+    }
+    if (with_cigar) {
+        std::vector<uint32_t> cig;
+        if (!ez->zdropped && !(flag & EZF_EXTZ_ONLY))
+            bt_rot(p.data(), p_off.data(), off.data(), off_end.data(),
+                   tlen - 1, qlen - 1, 0, cig);
+        else if (!ez->zdropped && (flag & EZF_EXTZ_ONLY)
+                 && ez->mqe + end_bonus > ez->max) {
+            ez->reach_end = 1;
+            bt_rot(p.data(), p_off.data(), off.data(), off_end.data(),
+                   ez->mqe_t, qlen - 1, 0, cig);
+        } else if (ez->max_t >= 0 && ez->max_q >= 0)
+            bt_rot(p.data(), p_off.data(), off.data(), off_end.data(),
+                   ez->max_t, ez->max_q, 0, cig);
+        if (flag & EZF_REV_CIGAR)
+            std::reverse(cig.begin(), cig.end());
+        ez->n_cigar = (int32_t)cig.size();
+        int64_t n = (int64_t)cig.size() < cigar_cap ? (int64_t)cig.size()
+            : cigar_cap;
+        std::memcpy(cigar_out, cig.data(), n * 4);
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -402,10 +402,25 @@ def ksw_extz2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
               m: int, mat: np.ndarray, q: int, e: int, w: int, zdrop: int,
               end_bonus: int, flag: int, ez: ExtzResult | None = None) -> ExtzResult:
     """ksw_extz2_sse (ksw2_extz2_sse.c), bit-exact. Offset arithmetic: all
-    DP state stored as non-negative uint8 values (z offset by 2*(q+e))."""
+    DP state stored as non-negative uint8 values (z offset by 2*(q+e)).
+
+    Dispatches to the native C++ port when built."""
     if ez is None:
         ez = ExtzResult()
     ez.reset()
+    import os
+    if not os.environ.get("MM2TPU_NO_NATIVE"):
+        from .. import native
+        if native.available() and m > 0 and qlen > 0 and tlen > 0:
+            d, cig = native.ksw_extz2(qlen, query, tlen, target, m, mat,
+                                      q, e, w, zdrop, end_bonus, flag)
+            ez.max, ez.zdropped = d["max"], bool(d["zdropped"])
+            ez.max_q, ez.max_t = d["max_q"], d["max_t"]
+            ez.mqe, ez.mqe_t = d["mqe"], d["mqe_t"]
+            ez.mte, ez.mte_q = d["mte"], d["mte_q"]
+            ez.score, ez.reach_end = d["score"], bool(d["reach_end"])
+            ez.cigar = cig
+            return ez
     if m <= 0 or qlen <= 0 or tlen <= 0:
         return ez
     with_cigar = not (flag & KSW_EZ_SCORE_ONLY)
