@@ -64,6 +64,12 @@ def _load():
         C.c_int, C.c_void_p, C.c_int, C.c_void_p, C.c_int, C.c_void_p,
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
         C.POINTER(_EzOut), C.c_void_p, C.c_int64]
+    lib.ksw_exts2_cpp.restype = C.c_int64
+    lib.ksw_exts2_cpp.argtypes = [
+        C.c_int, C.c_void_p, C.c_int, C.c_void_p, C.c_int, C.c_void_p,
+        C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
+        C.c_int, C.c_int, C.c_void_p, C.POINTER(_EzOut), C.c_void_p,
+        C.c_int64]
     lib.mm_sketch_many.restype = C.c_int64
     lib.mm_sketch_many.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_int, C.c_int,
@@ -174,5 +180,26 @@ def ksw_extz2(qlen, query, tlen, target, m, mat, q, e, w, zdrop,
     lib.ksw_extz2_cpp(qlen, _ptr(query), tlen, _ptr(target), m, _ptr(mat),
                       q, e, w, zdrop, end_bonus, flag, C.byref(ez),
                       _ptr(cig), cap)
+    d = {n: getattr(ez, n) for n, _t in ez._fields_}
+    return d, cig[:ez.n_cigar].tolist()
+
+
+def ksw_exts2(qlen, query, tlen, target, m, mat, q, e, q2, noncan, zdrop,
+              end_bonus, junc_bonus, junc_pen, flag, junc):
+    """Native exts2; returns (ez_dict, cigar list)."""
+    lib = _load()
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    target = np.ascontiguousarray(target, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    jptr = None
+    if junc is not None:
+        junc = np.ascontiguousarray(junc, dtype=np.uint8)
+        jptr = _ptr(junc)
+    ez = lib.EzOut()
+    cap = 2 * (qlen + tlen) + 16
+    cig = np.empty(cap, np.uint32)
+    lib.ksw_exts2_cpp(qlen, _ptr(query), tlen, _ptr(target), m, _ptr(mat),
+                      q, e, q2, noncan, zdrop, end_bonus, junc_bonus,
+                      junc_pen, flag, jptr, C.byref(ez), _ptr(cig), cap)
     d = {n: getattr(ez, n) for n, _t in ez._fields_}
     return d, cig[:ez.n_cigar].tolist()

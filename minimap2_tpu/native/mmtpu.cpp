@@ -776,3 +776,312 @@ int64_t ksw_extz2_cpp(int qlen, const uint8_t *query, int tlen,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+enum { EZF_SPLICE_FOR = 0x100, EZF_SPLICE_REV = 0x200,
+       EZF_SPLICE_FLANK = 0x400, EZF_SPLICE_CMPLX = 0x800,
+       EZF_SPLICE_SCORE = 0x1000 };
+static const int KSW_SPSC_OFFSET2 = 64;
+
+// ksw_exts2 (splice-aware), scalar port of ops/ksw2_exts.ksw_exts2
+int64_t ksw_exts2_cpp(int qlen, const uint8_t *query, int tlen,
+                      const uint8_t *target, int m, const int8_t *mat,
+                      int q, int e, int q2, int noncan, int zdrop,
+                      int end_bonus, int junc_bonus, int junc_pen,
+                      int flag, const uint8_t *junc, EzOut *ez,
+                      uint32_t *cigar_out, int64_t cigar_cap)
+{
+    ez->max = 0; ez->zdropped = 0; ez->max_q = ez->max_t = -1;
+    ez->mqe = ez->mte = KSW_NEG_INF; ez->mqe_t = ez->mte_q = -1;
+    ez->score = KSW_NEG_INF; ez->reach_end = 0; ez->n_cigar = 0;
+    if (m <= 1 || qlen <= 0 || tlen <= 0 || q2 <= q + e) return 0;
+    int with_cigar = !(flag & EZF_SCORE_ONLY);
+    int approx_max = !!(flag & EZF_APPROX_MAX);
+    int right_mode = !!(flag & EZF_RIGHT);
+    int generic = !!(flag & EZF_GENERIC_SC);
+    int8_t sc_N = mat[m * m - 1] == 0 ? (int8_t)-e : mat[m * m - 1];
+    int min_sc = mat[0];
+    for (int i = 0; i < m * m; ++i) if (mat[i] < min_sc) min_sc = mat[i];
+    if (-min_sc > 2 * (q + e)) return 0;
+    int long_thres = (q2 - q) / e - 1;
+    if (q2 > q + e + long_thres * e) ++long_thres;
+    int long_diff = long_thres * e - (q2 - q);
+    int64_t tlen_ = (tlen + 15) / 16;
+    int64_t L = tlen_ * 16 + 16;
+    std::vector<int8_t> u(L, wrap8(-q - e)), v(L, wrap8(-q - e));
+    std::vector<int8_t> x(L, wrap8(-q - e)), y(L, wrap8(-q - e));
+    std::vector<int8_t> x2(L, wrap8(-q2)), s(L, 0);
+    std::vector<uint8_t> sf(L, 0);
+    std::memcpy(sf.data(), target, tlen);
+    int64_t qpad = (qlen + 15) / 16 * 16 + 32;
+    std::vector<uint8_t> qr(qpad, 0);
+    for (int i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
+
+    // donor/acceptor arrays (ksw2_exts2_sse.c:120-192)
+    std::vector<int64_t> donor64(L, 0), acceptor64(L, 0);
+    if (flag & (EZF_SPLICE_FOR | EZF_SPLICE_REV)) {
+        int sp0[4] = {8, 15, 21, 30};
+        int sp[4];
+        if (flag & EZF_SPLICE_CMPLX)
+            for (int i = 0; i < 4; ++i)
+                sp[i] = (int)(sp0[i] / 3.0 + 0.499);
+        else {
+            sp[0] = (flag & EZF_SPLICE_FLANK) ? noncan / 2 : 0;
+            sp[1] = sp[2] = sp[3] = noncan;
+        }
+        for (int64_t i = 0; i < L; ++i) donor64[i] = acceptor64[i] = -sp[3];
+        const uint8_t *tg = target;
+        if (!(flag & EZF_REV_CIGAR)) {
+            for (int t = 0; t < tlen - 4; ++t) {
+                int z = 3;
+                if (flag & EZF_SPLICE_FOR) {
+                    if (tg[t+1] == 2 && tg[t+2] == 3)
+                        z = (tg[t+3] == 0 || tg[t+3] == 2) ? -1 : 0;
+                    else if (tg[t+1] == 2 && tg[t+2] == 1) z = 1;
+                    else if (tg[t+1] == 0 && tg[t+2] == 3) z = 2;
+                } else if (flag & EZF_SPLICE_REV) {
+                    if (tg[t+1] == 1 && tg[t+2] == 3)
+                        z = (tg[t+3] == 0 || tg[t+3] == 2) ? -1 : 0;
+                    else if (tg[t+1] == 2 && tg[t+2] == 3) z = 2;
+                }
+                donor64[t] = z < 0 ? 0 : -sp[z];
+            }
+            for (int t = 2; t < tlen; ++t) {
+                int z = 3;
+                if (flag & EZF_SPLICE_FOR) {
+                    if (tg[t-1] == 0 && tg[t] == 2)
+                        z = (tg[t-2] == 1 || tg[t-2] == 3) ? -1 : 0;
+                    else if (tg[t-1] == 0 && tg[t] == 1) z = 2;
+                } else if (flag & EZF_SPLICE_REV) {
+                    if (tg[t-1] == 0 && tg[t] == 1)
+                        z = (tg[t-2] == 1 || tg[t-2] == 3) ? -1 : 0;
+                    else if (tg[t-1] == 2 && tg[t] == 1) z = 1;
+                    else if (tg[t-1] == 0 && tg[t] == 3) z = 2;
+                }
+                acceptor64[t] = z < 0 ? 0 : -sp[z];
+            }
+        } else {
+            for (int t = 0; t < tlen - 4; ++t) {
+                int z = 3;
+                if (flag & EZF_SPLICE_FOR) {
+                    if (tg[t+1] == 2 && tg[t+2] == 0)
+                        z = (tg[t+3] == 1 || tg[t+3] == 3) ? -1 : 0;
+                    else if (tg[t+1] == 1 && tg[t+2] == 0) z = 2;
+                } else if (flag & EZF_SPLICE_REV) {
+                    if (tg[t+1] == 1 && tg[t+2] == 0)
+                        z = (tg[t+3] == 1 || tg[t+3] == 3) ? -1 : 0;
+                    else if (tg[t+1] == 1 && tg[t+2] == 2) z = 1;
+                    else if (tg[t+1] == 3 && tg[t+2] == 0) z = 2;
+                }
+                donor64[t] = z < 0 ? 0 : -sp[z];
+            }
+            for (int t = 2; t < tlen; ++t) {
+                int z = 3;
+                if (flag & EZF_SPLICE_FOR) {
+                    if (tg[t-1] == 3 && tg[t] == 2)
+                        z = (tg[t-2] == 0 || tg[t-2] == 2) ? -1 : 0;
+                    else if (tg[t-1] == 1 && tg[t] == 2) z = 1;
+                    else if (tg[t-1] == 3 && tg[t] == 0) z = 2;
+                } else if (flag & EZF_SPLICE_REV) {
+                    if (tg[t-1] == 3 && tg[t] == 1)
+                        z = (tg[t-2] == 0 || tg[t-2] == 2) ? -1 : 0;
+                    else if (tg[t-1] == 3 && tg[t] == 2) z = 2;
+                }
+                acceptor64[t] = z < 0 ? 0 : -sp[z];
+            }
+        }
+    }
+    if (junc && (flag & EZF_SPLICE_SCORE)) {
+        int donor_val = ((!!(flag & EZF_SPLICE_FOR))
+                         == !(flag & EZF_REV_CIGAR)) ? 0 : 1;
+        for (int t = 0; t < tlen - 1; ++t) {
+            int jv = junc[t + 1];
+            donor64[t] += (jv == 0xFF || (jv & 1) != donor_val)
+                ? -junc_pen : (int)(int8_t)(jv >> 1) - KSW_SPSC_OFFSET2;
+            acceptor64[t] += (jv == 0xFF || (jv & 1) != (1 - donor_val))
+                ? -junc_pen : (int)(int8_t)(jv >> 1) - KSW_SPSC_OFFSET2;
+        }
+    } else if (junc) {
+        if (!(flag & EZF_REV_CIGAR)) {
+            for (int t = 0; t < tlen - 1; ++t)
+                if (((flag & EZF_SPLICE_FOR) && (junc[t+1] & 1))
+                        || ((flag & EZF_SPLICE_REV) && (junc[t+1] & 8)))
+                    donor64[t] += junc_bonus;
+            for (int t = 0; t < tlen; ++t)
+                if (((flag & EZF_SPLICE_FOR) && (junc[t] & 2))
+                        || ((flag & EZF_SPLICE_REV) && (junc[t] & 4)))
+                    acceptor64[t] += junc_bonus;
+        } else {
+            for (int t = 0; t < tlen - 1; ++t)
+                if (((flag & EZF_SPLICE_FOR) && (junc[t+1] & 2))
+                        || ((flag & EZF_SPLICE_REV) && (junc[t+1] & 4)))
+                    donor64[t] += junc_bonus;
+            for (int t = 0; t < tlen; ++t)
+                if (((flag & EZF_SPLICE_FOR) && (junc[t] & 1))
+                        || ((flag & EZF_SPLICE_REV) && (junc[t] & 8)))
+                    acceptor64[t] += junc_bonus;
+        }
+    }
+    std::vector<int8_t> donor(L), acceptor(L);
+    for (int64_t i = 0; i < L; ++i) {
+        donor[i] = (int8_t)donor64[i];
+        acceptor[i] = (int8_t)acceptor64[i];
+    }
+
+    std::vector<int64_t> H;
+    if (!approx_max) H.assign(tlen_ * 16 + 16, KSW_NEG_INF);
+    int64_t R = (int64_t)qlen + tlen - 1;
+    std::vector<int64_t> off(R, 0), off_end(R, 0), p_off(R, 0);
+    std::vector<uint8_t> p;
+    int qe_pen = q + e;
+    int64_t H0 = 0; int last_H0_t = 0;
+    int64_t last_st = -1, last_en = -1;
+
+    for (int64_t r = 0; r < R; ++r) {
+        int64_t st = 0, en = tlen - 1;
+        if (st < r - qlen + 1) st = r - qlen + 1;
+        if (en > r) en = r;
+        int64_t st0 = st, en0 = en;
+        st = st / 16 * 16;
+        en = (en + 16) / 16 * 16 - 1;
+        int x1, x21, v1;
+        if (st > 0) {
+            if (last_st <= st - 1 && st - 1 <= last_en) {
+                x1 = x[st - 1]; x21 = x2[st - 1]; v1 = v[st - 1];
+            } else { x1 = -q - e; x21 = -q2; v1 = -q - e; }
+        } else {
+            x1 = -q - e; x21 = -q2;
+            v1 = r == 0 ? -q - e : r < long_thres ? -e
+                : r == long_thres ? long_diff : 0;
+        }
+        if (en >= r) {
+            y[r] = wrap8(-q - e);
+            u[r] = wrap8(r == 0 ? -q - e : r < long_thres ? -e
+                         : r == long_thres ? long_diff : 0);
+        }
+        int64_t base = qlen - 1 - r;
+        if (!generic) {
+            for (int64_t t = st0; t <= en0; t += 16)
+                for (int64_t k2 = t; k2 < t + 16; ++k2) {
+                    int sq = sf[k2], tq = qr[base + k2];
+                    s[k2] = (sq == m - 1 || tq == m - 1) ? sc_N
+                        : (sq == tq ? mat[0] : mat[1]);
+                }
+        } else {
+            for (int64_t k2 = st0; k2 <= en0; ++k2)
+                s[k2] = mat[(int)sf[k2] * m + qr[base + k2]];
+        }
+        uint8_t *prow = 0;
+        if (with_cigar) {
+            p_off[r] = (int64_t)p.size();
+            p.resize(p.size() + (en - st + 1));
+            prow = p.data() + p_off[r];
+        }
+        int8_t xp = (int8_t)x1, vp = (int8_t)v1, x2p = (int8_t)x21;
+        for (int64_t k2 = st; k2 <= en; ++k2) {
+            int8_t z = s[k2];
+            int8_t xt1 = xp, vt1 = vp, x2t1 = x2p;
+            xp = x[k2]; vp = v[k2]; x2p = x2[k2];
+            int8_t ut = u[k2];
+            int8_t a = wrap8(xt1 + vt1);
+            int8_t b = wrap8(y[k2] + ut);
+            int8_t a2 = wrap8(x2t1 + vt1);
+            int8_t a2a = wrap8(a2 + acceptor[k2]);
+            uint8_t d = 0;
+            if (with_cigar) {
+                if (!right_mode) {
+                    d = a > z ? 1 : 0; if (a > z) z = a;
+                    if (b > z) { d = 2; z = b; }
+                    if (a2a > z) { d = 3; z = a2a; }
+                } else {
+                    d = z > a ? 0 : 1; if (a > z) z = a;
+                    if (!(z > b)) d = 2; if (b > z) z = b;
+                    if (!(z > a2a)) d = 3; if (a2a > z) z = a2a;
+                }
+            } else {
+                if (a > z) z = a; if (b > z) z = b; if (a2a > z) z = a2a;
+            }
+            u[k2] = wrap8(z - vt1);
+            v[k2] = wrap8(z - ut);
+            int8_t t1 = wrap8(z - q);
+            a = wrap8(a - t1); b = wrap8(b - t1);
+            a2 = wrap8(a2 - wrap8(z - q2));
+            bool ga, gb, g2;
+            if (!right_mode) { ga = a > 0; gb = b > 0; }
+            else { ga = a >= 0; gb = b >= 0; }
+            x[k2] = wrap8((ga ? a : 0) - qe_pen);
+            y[k2] = wrap8((gb ? b : 0) - qe_pen);
+            int8_t dn = donor[k2];
+            if (!right_mode) g2 = a2 > dn; else g2 = a2 >= dn;
+            x2[k2] = wrap8((g2 ? a2 : dn) - q2);
+            if (with_cigar) {
+                if (ga) d |= 0x08; if (gb) d |= 0x10; if (g2) d |= 0x20;
+                prow[k2 - st] = d;
+            }
+        }
+        if (with_cigar) { off[r] = st; off_end[r] = en; }
+        if (!approx_max) {
+            int64_t max_H, max_t;
+            if (r > 0) {
+                if (en0 > 0) H[en0] = H[en0 - 1] + u[en0];
+                else H[en0] = H[en0] + v[en0];
+                max_H = H[en0]; max_t = en0;
+                for (int64_t t = st0; t < en0; ++t) {
+                    H[t] += v[t];
+                    if (H[t] > max_H) { max_H = H[t]; max_t = t; }
+                }
+            } else {
+                H[0] = v[0] - qe_pen;
+                max_H = H[0]; max_t = 0;
+            }
+            if (en0 == tlen - 1 && H[en0] > ez->mte) {
+                ez->mte = (int32_t)H[en0]; ez->mte_q = (int32_t)(r - en0);
+            }
+            if (r - st0 == qlen - 1 && H[st0] > ez->mqe) {
+                ez->mqe = (int32_t)H[st0]; ez->mqe_t = (int32_t)st0;
+            }
+            if (apply_zdrop(ez, max_H, (int)r, (int)max_t, zdrop, 0)) break;
+            if (r == R - 1 && en0 == tlen - 1) ez->score = (int32_t)H[tlen - 1];
+        } else {
+            if (r > 0) {
+                if (st0 <= last_H0_t && last_H0_t <= en0
+                        && st0 <= last_H0_t + 1 && last_H0_t + 1 <= en0) {
+                    int d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    if (d0 > d1) H0 += d0;
+                    else { H0 += d1; ++last_H0_t; }
+                } else if (st0 <= last_H0_t && last_H0_t <= en0) {
+                    H0 += v[last_H0_t];
+                } else { ++last_H0_t; H0 += u[last_H0_t]; }
+                if ((flag & EZF_APPROX_DROP)
+                        && apply_zdrop(ez, H0, (int)r, last_H0_t, zdrop, 0))
+                    break;
+            } else { H0 = v[0] - qe_pen; last_H0_t = 0; }
+            if (r == R - 1 && en0 == tlen - 1) ez->score = (int32_t)H0;
+        }
+        last_st = st; last_en = en;
+    }
+    if (with_cigar) {
+        std::vector<uint32_t> cig;
+        if (!ez->zdropped && !(flag & EZF_EXTZ_ONLY))
+            bt_rot(p.data(), p_off.data(), off.data(), off_end.data(),
+                   tlen - 1, qlen - 1, long_thres, cig);
+        else if (!ez->zdropped && (flag & EZF_EXTZ_ONLY)
+                 && ez->mqe + end_bonus > ez->max) {
+            ez->reach_end = 1;
+            bt_rot(p.data(), p_off.data(), off.data(), off_end.data(),
+                   ez->mqe_t, qlen - 1, long_thres, cig);
+        } else if (ez->max_t >= 0 && ez->max_q >= 0)
+            bt_rot(p.data(), p_off.data(), off.data(), off_end.data(),
+                   ez->max_t, ez->max_q, long_thres, cig);
+        if (flag & EZF_REV_CIGAR)
+            std::reverse(cig.begin(), cig.end());
+        ez->n_cigar = (int32_t)cig.size();
+        int64_t n = (int64_t)cig.size() < cigar_cap ? (int64_t)cig.size()
+            : cigar_cap;
+        std::memcpy(cigar_out, cig.data(), n * 4);
+    }
+    return 0;
+}
+
+}  // extern "C"

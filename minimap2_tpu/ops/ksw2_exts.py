@@ -107,6 +107,20 @@ def ksw_exts2(qlen, query, tlen, target, m, mat, q, e, q2, noncan, zdrop,
     ez.reset()
     if m <= 1 or qlen <= 0 or tlen <= 0 or q2 <= q + e:
         return ez
+    import os
+    if not os.environ.get("MM2TPU_NO_NATIVE"):
+        from .. import native
+        if native.available():
+            d, cig = native.ksw_exts2(qlen, query, tlen, target, m, mat,
+                                      q, e, q2, noncan, zdrop, end_bonus,
+                                      junc_bonus, junc_pen, flag, junc)
+            ez.max, ez.zdropped = d["max"], bool(d["zdropped"])
+            ez.max_q, ez.max_t = d["max_q"], d["max_t"]
+            ez.mqe, ez.mqe_t = d["mqe"], d["mqe_t"]
+            ez.mte, ez.mte_q = d["mte"], d["mte_q"]
+            ez.score, ez.reach_end = d["score"], bool(d["reach_end"])
+            ez.cigar = cig
+            return ez
     assert not ((flag & KSW_EZ_SPLICE_FOR) and (flag & KSW_EZ_SPLICE_REV))
     with_cigar = not (flag & KSW_EZ_SCORE_ONLY)
     approx_max = bool(flag & KSW_EZ_APPROX_MAX)

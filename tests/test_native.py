@@ -100,3 +100,47 @@ def test_native_extd2_bitexact():
                 ref.mte == d["mte"] and list(ref.cigar) == cig, (t, fl)
     finally:
         del os.environ["MM2TPU_NO_NATIVE"]
+
+
+def test_native_extz2_exts2_bitexact():
+    """C++ extz2/exts2 vs the NumPy oracles (spliced targets, junc arrays)."""
+    import os
+
+    from minimap2_tpu.map.align_engine import gen_simple_mat
+    from minimap2_tpu.ops import ksw2_exts, ksw2_np
+    rng = np.random.default_rng(11)
+    mat = gen_simple_mat(5, 2, -4, 1)
+    mat1 = gen_simple_mat(5, 1, -2, 1)
+    os.environ["MM2TPU_NO_NATIVE"] = "1"
+    try:
+        for t in range(12):
+            ql = int(rng.integers(10, 200))
+            tl = int(rng.integers(10, 200))
+            qs = rng.integers(0, 5, ql, dtype=np.int64).astype(np.uint8)
+            ts = rng.integers(0, 5, tl, dtype=np.int64).astype(np.uint8)
+            fl = int(rng.choice([0, 0x01, 0x02, 0x40, 0x42]))
+            ref = ksw2_np.ksw_extz2(ql, qs, tl, ts, 5, mat, 4, 2, 200, 400,
+                                    17, fl)
+            d, cig = native.ksw_extz2(ql, qs, tl, ts, 5, mat, 4, 2, 200,
+                                      400, 17, fl)
+            assert ref.score == d["score"] and list(ref.cigar) == cig, t
+        for t in range(12):
+            ql = int(rng.integers(20, 180))
+            e1 = int(rng.integers(5, ql))
+            intron = int(rng.integers(40, 200))
+            qs = rng.integers(0, 4, ql).astype(np.uint8)
+            ts = np.concatenate([qs[:e1], np.array([2, 3], np.uint8),
+                                 rng.integers(0, 4, intron - 4)
+                                 .astype(np.uint8),
+                                 np.array([0, 2], np.uint8), qs[e1:]])
+            tl = len(ts)
+            fl = int(rng.choice([0x100, 0x200, 0x900, 0x108]))
+            junc = rng.choice(np.array([0, 1, 2, 4, 8], np.uint8), tl) \
+                if t % 2 else None
+            ref = ksw2_exts.ksw_exts2(ql, qs, tl, ts, 5, mat1, 4, 2, 24, 9,
+                                      200, 17, 9, 12, fl, junc)
+            d, cig = native.ksw_exts2(ql, qs, tl, ts, 5, mat1, 4, 2, 24, 9,
+                                      200, 17, 9, 12, fl, junc)
+            assert ref.score == d["score"] and list(ref.cigar) == cig, t
+    finally:
+        del os.environ["MM2TPU_NO_NATIVE"]
