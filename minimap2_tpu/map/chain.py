@@ -84,6 +84,13 @@ def chain_dp(max_dist_x, max_dist_y, bw, max_skip, max_iter, min_cnt, min_sc,
     n = len(ax)
     if n == 0:
         return np.empty(0, np.uint64), ax, ay
+    import os
+    if not os.environ.get("MM2TPU_NO_NATIVE"):
+        from .. import native
+        if native.available():
+            return native.lchain_dp(max_dist_x, max_dist_y, bw, max_skip,
+                                    max_iter, min_cnt, min_sc, chn_pen_gap,
+                                    chn_pen_skip, is_cdna, n_seg, ax, ay)
     max_drop = bw
     if max_dist_x < bw:
         max_dist_x = bw

@@ -70,6 +70,12 @@ def _load():
         C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
         C.c_int, C.c_int, C.c_void_p, C.POINTER(_EzOut), C.c_void_p,
         C.c_int64]
+    lib.mg_lchain_dp_cpp.restype = C.c_int64
+    lib.mg_lchain_dp_cpp.argtypes = [
+        C.c_int64, C.c_int64, C.c_int64, C.c_int64, C.c_int64, C.c_int64,
+        C.c_int64, C.c_float, C.c_float, C.c_int, C.c_int, C.c_int64,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p]
     lib.mm_sketch_many.restype = C.c_int64
     lib.mm_sketch_many.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_int, C.c_int,
@@ -203,3 +209,23 @@ def ksw_exts2(qlen, query, tlen, target, m, mat, q, e, q2, noncan, zdrop,
                       junc_pen, flag, jptr, C.byref(ez), _ptr(cig), cap)
     d = {n: getattr(ez, n) for n, _t in ez._fields_}
     return d, cig[:ez.n_cigar].tolist()
+
+
+def lchain_dp(max_dist_x, max_dist_y, bw, max_skip, max_iter, min_cnt,
+              min_sc, chn_pen_gap, chn_pen_skip, is_cdna, n_seg, ax, ay):
+    """Native mg_lchain_dp; returns (u, new_ax, new_ay)."""
+    lib = _load()
+    ax = np.ascontiguousarray(ax, dtype=np.uint64)
+    ay = np.ascontiguousarray(ay, dtype=np.uint64)
+    n = len(ax)
+    out_u = np.empty(max(n, 1), np.uint64)
+    out_ax = np.empty(max(n, 1), np.uint64)
+    out_ay = np.empty(max(n, 1), np.uint64)
+    n_anchor = np.zeros(1, np.int64)
+    n_u = lib.mg_lchain_dp_cpp(
+        max_dist_x, max_dist_y, bw, max_skip, max_iter, min_cnt, min_sc,
+        float(chn_pen_gap), float(chn_pen_skip), int(is_cdna), int(n_seg),
+        n, _ptr(ax), _ptr(ay), _ptr(out_u), _ptr(out_ax), _ptr(out_ay),
+        _ptr(n_anchor))
+    na = int(n_anchor[0])
+    return out_u[:n_u].copy(), out_ax[:na].copy(), out_ay[:na].copy()

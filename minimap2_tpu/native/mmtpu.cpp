@@ -1085,3 +1085,210 @@ int64_t ksw_exts2_cpp(int qlen, const uint8_t *query, int tlen,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// =====================================================================
+// chaining DP (mg_lchain_dp, lchain.c:148-217) + backtrack/compact
+// (lchain.c:9-111): scalar port of the verified map/chain.py oracle.
+// =====================================================================
+
+static inline float mg_log2f(float x)
+{
+    uint32_t zi;
+    std::memcpy(&zi, &x, 4);
+    float log2i = (float)(int)((zi >> 23 & 255) - 128);
+    zi = (zi & 0x007FFFFFu) | (127u << 23);
+    float zf;
+    std::memcpy(&zf, &zi, 4);
+    return log2i + ((-0.34484843f * zf + 2.02466578f) * zf - 0.67487759f);
+}
+
+static const int64_t CH_NEG_INF = -((int64_t)1 << 62);
+
+static inline int64_t comput_sc(uint64_t xi, uint64_t yi, uint64_t xj,
+                                uint64_t yj, int64_t max_dist_x,
+                                int64_t max_dist_y, int64_t bw,
+                                float chn_pen_gap, float chn_pen_skip,
+                                int is_cdna, int n_seg)
+{
+    int64_t dq = (int64_t)(int32_t)(uint32_t)yi - (int64_t)(uint32_t)yj;
+    int sidi = (int)(yi >> 48 & 0xFF), sidj = (int)(yj >> 48 & 0xFF);
+    int64_t dr = (int32_t)(xi - xj);
+    int same = sidi == sidj;
+    if (dq <= 0 || dq > max_dist_x) return CH_NEG_INF;
+    if (same && (dr == 0 || dq > max_dist_y)) return CH_NEG_INF;
+    int64_t dd = dr > dq ? dr - dq : dq - dr;
+    if (same && dd > bw) return CH_NEG_INF;
+    if (n_seg > 1 && !is_cdna && same && dr > max_dist_y) return CH_NEG_INF;
+    int64_t dg = dr < dq ? dr : dq;
+    int64_t q_span = (int64_t)(yj >> 32 & 0xFF);
+    int64_t sc = q_span < dg ? q_span : dg;
+    if (dd || dg > q_span) {
+        float lin_pen = chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
+        float log_pen = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
+        if (is_cdna || sidi != sidj) {
+            if (sidi != sidj && dr == 0) ++sc;            // weird splice gap
+            else if (dr > dq || sidi != sidj)
+                sc -= (int64_t)(lin_pen < log_pen ? lin_pen : log_pen);
+            else
+                sc -= (int64_t)(lin_pen + 0.5f * log_pen);
+        } else {
+            sc -= (int64_t)(lin_pen + 0.5f * log_pen);
+        }
+    }
+    return sc;
+}
+
+static int64_t chain_bk_end(int64_t max_drop, const int64_t *zx,
+                            const int64_t *zy, const int64_t *f,
+                            const int64_t *pp, int64_t *t, int64_t k)
+{
+    int64_t i = zy[k], end_i = -1, max_i = i;
+    int32_t max_s = 0;
+    if (i < 0 || t[i] != 0) return i;
+    do {
+        t[i] = 2;
+        i = pp[i];
+        end_i = i;
+        int32_t s = (int32_t)(i < 0 ? zx[k] : zx[k] - f[i]);
+        if (s > max_s) { max_s = s; max_i = i; }
+        else if (max_s - s > max_drop) break;
+    } while (i >= 0 && t[i] == 0);
+    for (i = zy[k]; i >= 0 && i != end_i; i = pp[i])
+        t[i] = 0;
+    return max_i;
+}
+
+// returns number of chains; fills u (score<<32|cnt), out_ax/out_ay
+int64_t mg_lchain_dp_cpp(int64_t max_dist_x, int64_t max_dist_y, int64_t bw,
+                         int64_t max_skip, int64_t max_iter,
+                         int64_t min_cnt, int64_t min_sc,
+                         float chn_pen_gap, float chn_pen_skip,
+                         int is_cdna, int n_seg, int64_t n,
+                         const uint64_t *ax, const uint64_t *ay,
+                         uint64_t *out_u, uint64_t *out_ax,
+                         uint64_t *out_ay, int64_t *out_n_anchor)
+{
+    *out_n_anchor = 0;
+    if (n == 0) return 0;
+    int64_t max_drop = bw;
+    if (max_dist_x < bw) max_dist_x = bw;
+    if (max_dist_y < bw && !is_cdna) max_dist_y = bw;
+    if (is_cdna) max_drop = 0x7FFFFFFF;
+    std::vector<int64_t> f(n, 0), pp(n, -1), vv(n, 0), t(n, -1);
+    int64_t st = 0, max_ii = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t ri = ax[i];
+        int64_t max_f = (int64_t)(ay[i] >> 32 & 0xFF);
+        int64_t max_j = -1;
+        int n_skip = 0;
+        while (st < i && ((ri >> 32) != (ax[st] >> 32)
+                          || ri > ax[st] + (uint64_t)max_dist_x))
+            ++st;
+        if (i - st > max_iter) st = i - max_iter;
+        int64_t end_j = st - 1;
+        int64_t j;
+        for (j = i - 1; j >= st; --j) {
+            int64_t sc = comput_sc(ri, ay[i], ax[j], ay[j], max_dist_x,
+                                   max_dist_y, bw, chn_pen_gap,
+                                   chn_pen_skip, is_cdna, n_seg);
+            if (sc == CH_NEG_INF) continue;
+            sc += f[j];
+            if (sc > max_f) {
+                max_f = sc; max_j = j;
+                if (n_skip > 0) --n_skip;
+            } else if (t[j] == i) {
+                if (++n_skip > max_skip) { end_j = j; break; }
+            }
+            if (pp[j] >= 0) t[pp[j]] = i;
+        }
+        if (j < st) end_j = st - 1;
+        if (max_ii < 0 || (int64_t)(ri - ax[max_ii]) > max_dist_x) {
+            max_ii = -1;
+            if (st < i) {
+                // rightmost argmax (C scans descending with strict '<')
+                int64_t max_fj = CH_NEG_INF;
+                for (int64_t jj = i - 1; jj >= st; --jj)
+                    if (f[jj] > max_fj) { max_fj = f[jj]; max_ii = jj; }
+                // rightmost: prefer larger index on ties
+                for (int64_t jj = i - 1; jj >= st; --jj)
+                    if (f[jj] == max_fj) { max_ii = jj; break; }
+            }
+        }
+        if (max_ii >= 0 && max_ii < end_j) {
+            int64_t tsc = comput_sc(ri, ay[i], ax[max_ii], ay[max_ii],
+                                    max_dist_x, max_dist_y, bw, chn_pen_gap,
+                                    chn_pen_skip, is_cdna, n_seg);
+            if (tsc != CH_NEG_INF && max_f < tsc + f[max_ii]) {
+                max_f = tsc + f[max_ii];
+                max_j = max_ii;
+            }
+        }
+        f[i] = max_f; pp[i] = max_j;
+        vv[i] = (max_j >= 0 && vv[max_j] > max_f) ? vv[max_j] : max_f;
+        if (max_ii < 0 || ((int64_t)(ri - ax[max_ii]) <= max_dist_x
+                           && f[max_ii] < f[i]))
+            max_ii = i;
+        t[i] = 0;   // oracle uses -1 sentinel; reuse as 'not marked'
+    }
+    // reset t for backtrack
+    std::fill(t.begin(), t.end(), 0);
+    // z: anchors with f >= min_sc, sorted by (f, index) ascending (stable)
+    std::vector<int64_t> sel;
+    for (int64_t i = 0; i < n; ++i)
+        if (f[i] >= min_sc) sel.push_back(i);
+    if (sel.empty()) return 0;
+    std::stable_sort(sel.begin(), sel.end(),
+                     [&](int64_t a, int64_t b) { return f[a] < f[b]; });
+    int64_t n_z = (int64_t)sel.size();
+    std::vector<int64_t> zx(n_z), zy(n_z);
+    for (int64_t k = 0; k < n_z; ++k) { zx[k] = f[sel[k]]; zy[k] = sel[k]; }
+    std::vector<int64_t> v_list;
+    std::vector<std::pair<int64_t, int64_t>> u_list;   // (sc, cnt)
+    for (int64_t k = n_z - 1; k >= 0; --k) {
+        if (t[zy[k]] != 0) continue;
+        size_t n_v0 = v_list.size();
+        int64_t end_i = chain_bk_end(max_drop, zx.data(), zy.data(),
+                                     f.data(), pp.data(), t.data(), k);
+        for (int64_t i = zy[k]; i != end_i; i = pp[i]) {
+            v_list.push_back(i);
+            t[i] = 1;
+        }
+        int64_t sc = (int32_t)(end_i < 0 ? zx[k] : zx[k] - f[end_i]);
+        int64_t n_vi = (int64_t)(v_list.size() - n_v0);
+        if (sc >= min_sc && n_vi > 0 && n_vi >= min_cnt)
+            u_list.push_back({sc, n_vi});
+        else
+            v_list.resize(n_v0);
+    }
+    if (u_list.empty()) return 0;
+    // compact: chains in v_list reversed; order chains by first anchor x
+    int64_t n_u = (int64_t)u_list.size();
+    std::vector<int64_t> starts(n_u + 1, 0);
+    for (int64_t j = 0; j < n_u; ++j)
+        starts[j + 1] = starts[j] + u_list[j].second;
+    std::vector<int64_t> corder(n_u);
+    for (int64_t j = 0; j < n_u; ++j) corder[j] = j;
+    std::stable_sort(corder.begin(), corder.end(), [&](int64_t a, int64_t b) {
+        // first anchor of chain = LAST entry of its v_list segment
+        uint64_t fa = ax[v_list[starts[a + 1] - 1]];
+        uint64_t fb = ax[v_list[starts[b + 1] - 1]];
+        return fa < fb;
+    });
+    int64_t kpos = 0;
+    for (int64_t jj = 0; jj < n_u; ++jj) {
+        int64_t j = corder[jj];
+        out_u[jj] = (uint64_t)u_list[j].first << 32
+            | (uint64_t)u_list[j].second;
+        for (int64_t i = starts[j + 1] - 1; i >= starts[j]; --i) {
+            out_ax[kpos] = ax[v_list[i]];
+            out_ay[kpos] = ay[v_list[i]];
+            ++kpos;
+        }
+    }
+    *out_n_anchor = kpos;
+    return n_u;
+}
+
+}  // extern "C"

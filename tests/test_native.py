@@ -144,3 +144,32 @@ def test_native_extz2_exts2_bitexact():
             assert ref.score == d["score"] and list(ref.cigar) == cig, t
     finally:
         del os.environ["MM2TPU_NO_NATIVE"]
+
+
+def test_native_chain_dp_bitexact():
+    import os
+
+    from minimap2_tpu.map.chain import chain_dp
+    rng = np.random.default_rng(5)
+    os.environ["MM2TPU_NO_NATIVE"] = "1"
+    try:
+        for t in range(10):
+            n = int(rng.integers(5, 800))
+            rpos = np.sort(rng.integers(0, 100000, n)).astype(np.uint64)
+            qpos = (rpos - rpos[0]
+                    + rng.integers(0, 60, n).astype(np.uint64)) \
+                & np.uint64(0xFFFFFFFF)
+            rev = (rng.random(n) < 0.3).astype(np.uint64)
+            ax = (rev << np.uint64(63)) | rpos
+            ay = (np.uint64(15) << np.uint64(32)) | qpos
+            order = np.argsort(ax, kind="stable")
+            ax, ay = ax[order], ay[order]
+            args = (5000, 5000, 500, 25, 5000, 3, 40, np.float32(0.12),
+                    np.float32(0.0), False, 1)
+            u0, ax0, ay0 = chain_dp(*args, ax, ay)
+            u1, ax1, ay1 = native.lchain_dp(*args, ax, ay)
+            np.testing.assert_array_equal(u0, u1)
+            np.testing.assert_array_equal(ax0, ax1)
+            np.testing.assert_array_equal(ay0, ay1)
+    finally:
+        del os.environ["MM2TPU_NO_NATIVE"]
