@@ -119,6 +119,8 @@ def main(argv=None) -> int:
     mo = MapOptions()
     args = Args(argv)
     dbg_print_seed = dbg_print_chain = False
+    from .map import pipeline as _pl0
+    _pl0.DBG_PRINT_SEED = _pl0.DBG_PRINT_CHAIN = False
 
     # pass 1: preset
     it = iter(range(len(argv)))
@@ -262,8 +264,12 @@ def main(argv=None) -> int:
             args.batch = True
         elif a == "--print-seeds":
             dbg_print_seed = True
+            from .map import pipeline as _pl
+            _pl.DBG_PRINT_SEED = True
         elif a == "--print-chains":
             dbg_print_chain = True
+            from .map import pipeline as _pl
+            _pl.DBG_PRINT_CHAIN = True
         elif a == "--junc-bed" or a == "--bed":
             args.junc_bed = val()
         elif a == "-j" or a == "--jump":

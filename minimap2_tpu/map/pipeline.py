@@ -19,6 +19,52 @@ from . import hit as hitmod
 from .chain import chain_dp, chain_rmq
 from .seed import collect_seed_hits, seed_mz_flt
 
+# mm_dbg_flag analogues (mmpriv.h:12-17); set by the CLI
+DBG_PRINT_SEED = False
+DBG_PRINT_CHAIN = False
+
+
+def _dbg_seed_dump(mi, ax, ay, rep_len):
+    """--print-seeds RS/SD lines (map.c:255-260)."""
+    import sys
+    print(f"RS\t{rep_len}", file=sys.stderr)
+    for i in range(len(ax)):
+        rid = int((int(ax[i]) << 1) & 0xFFFFFFFFFFFFFFFF) >> 33
+        rpos = int(np.int32(np.uint32(ax[i] & np.uint64(0xFFFFFFFF))))
+        strand = "+-"[int(ax[i] >> np.uint64(63))]
+        qpos = int(np.int32(np.uint32(ay[i] & np.uint64(0xFFFFFFFF))))
+        span = int((ay[i] >> np.uint64(32)) & np.uint64(0xFF))
+        if i == 0:
+            gap = 0
+        else:
+            qprev = int(np.int32(np.uint32(ay[i - 1] & np.uint64(0xFFFFFFFF))))
+            rprev = int(np.int32(np.uint32(ax[i - 1] & np.uint64(0xFFFFFFFF))))
+            gap = (qpos - qprev) - (rpos - rprev)
+        print(f"SD\t{mi.seq[rid].name}\t{rpos}\t{strand}\t{qpos}\t{span}"
+              f"\t{gap}", file=sys.stderr)
+
+
+def _dbg_chain_dump(mi, regs0, ax, ay):
+    """--print-chains CN lines (map.c:326-330)."""
+    import sys
+    for j, r in enumerate(regs0):
+        for i in range(r.as_, r.as_ + r.cnt):
+            rid = int((int(ax[i]) << 1) & 0xFFFFFFFFFFFFFFFF) >> 33
+            rpos = int(np.int32(np.uint32(ax[i] & np.uint64(0xFFFFFFFF))))
+            strand = "+-"[int(ax[i] >> np.uint64(63))]
+            qpos = int(np.int32(np.uint32(ay[i] & np.uint64(0xFFFFFFFF))))
+            span = int((ay[i] >> np.uint64(32)) & np.uint64(0xFF))
+            if i == r.as_:
+                gap = 0
+            else:
+                qprev = int(np.int32(np.uint32(ay[i - 1]
+                                               & np.uint64(0xFFFFFFFF))))
+                rprev = int(np.int32(np.uint32(ax[i - 1]
+                                               & np.uint64(0xFFFFFFFF))))
+                gap = (qpos - qprev) - (rpos - rprev)
+            print(f"CN\t{j}\t{mi.seq[rid].name}\t{rpos}\t{strand}\t{qpos}"
+                  f"\t{span}\t{gap}", file=sys.stderr)
+
 
 def collect_minimizers(mi: MiniIndex, opt: MapOptions, seqs: list[bytes]):
     """map.c:59-72, incl. the -T sdust minimizer mask."""
@@ -80,6 +126,8 @@ def map_frag_core(mi: MiniIndex, seqs: list[bytes], opt: MapOptions,
         mx, my = seed_mz_flt(mx, my, opt.mid_occ, opt.q_occ_frac)
     ax, ay, rep_len, mini_pos = collect_seed_hits(
         mi, opt, opt.mid_occ, mx, my, qlen_sum, qname)
+    if DBG_PRINT_SEED:
+        _dbg_seed_dump(mi, ax, ay, rep_len)
 
     # chaining gaps (map.c:262-274)
     if is_sr:
@@ -151,6 +199,8 @@ def map_frag_core(mi: MiniIndex, seqs: list[bytes], opt: MapOptions,
     if mi.n_alt:
         hitmod.mark_alt(mi, regs0)
         regs0 = hitmod.hit_sort(regs0, opt.alt_drop)
+    if DBG_PRINT_SEED or DBG_PRINT_CHAIN:
+        _dbg_chain_dump(mi, regs0, ax, ay)
 
     # chain_post (map.c:206-213)
     if not (opt.flag & MM_F_ALL_CHAINS):

@@ -148,3 +148,30 @@ def test_mt_ava_ont():
 
 def test_mt_nocig():
     check([f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"], "mt-nocig.out")
+
+
+def run_cli_stderr(args):
+    import contextlib
+    buf, err = io.StringIO(), io.StringIO()
+    with redirect_stdout(buf), contextlib.redirect_stderr(err):
+        rc = cli_main(args)
+    assert rc == 0
+    return err.getvalue()
+
+
+def test_print_seeds_golden():
+    err = run_cli_stderr(["-t1", "--print-seeds", f"{DATA}/MT-human.fa",
+                          f"{DATA}/MT-orang.fa"])
+    got = [l for l in err.splitlines() if l[:3] in ("SD\t", "RS\t")]
+    want = [l for l in open(f"{GOLD}/mt-seeds.err").read().splitlines()
+            if l[:3] in ("SD\t", "RS\t")]
+    assert got == want
+
+
+def test_print_chains_golden():
+    err = run_cli_stderr(["-t1", "--print-chains", f"{DATA}/MT-human.fa",
+                          f"{DATA}/MT-orang.fa"])
+    got = [l for l in err.splitlines() if l.startswith("CN\t")]
+    want = [l for l in open(f"{GOLD}/mt-chains.err").read().splitlines()
+            if l.startswith("CN\t")]
+    assert got == want
