@@ -1199,6 +1199,125 @@ def ov_eval(argv, out=None):
     return 0
 
 
+
+
+# ---------------------------------------------------------------------------
+# gff2bed (paftools.js:1579-1740): GTF/GFF3 -> BED12 / junction BED
+# ---------------------------------------------------------------------------
+
+_RE_GTF = re.compile(r'\b(transcript_id|transcript_type|transcript_biotype'
+                     r'|gene_name|gene_id|gbkey|transcript_name|tag)'
+                     r' "([^"]+)";')
+_RE_GFF3 = re.compile(r'\b(transcript_id|transcript_type|transcript_biotype'
+                      r'|gene_name|gene_id|gbkey|transcript_name)=([^;]+)')
+
+_BED_COLORS = {"protein_coding": "0,128,255", "mRNA": "0,128,255",
+               "lincRNA": "0,192,0", "snRNA": "0,192,0",
+               "miRNA": "0,192,0", "misc_RNA": "0,192,0"}
+
+
+def gff2bed(argv, out=None):
+    is_short = print_junc = ens_canon_only = False
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-s":
+            is_short = True
+        elif a == "-j":
+            print_junc = True
+        elif a == "-e":
+            ens_canon_only = True
+        else:
+            args.append(a)
+        i += 1
+    if not args:
+        print("Usage: paftools.py gff2bed [-j] [-s] [-e] <in.gff>",
+              file=sys.stderr)
+        return 1
+
+    def print_bed12(exons, cds_st, cds_en):
+        if not exons:
+            return
+        name = (exons[0][7] + "|" + exons[0][5]) if is_short \
+            else "|".join(str(x) for x in exons[0][4:7])
+        a = sorted(exons, key=lambda x: x[1])
+        if print_junc:
+            for k in range(1, len(a)):
+                _print(a[k][0], a[k - 1][2], a[k][1], name, 1000, a[k][3],
+                       out=out)
+            return
+        st, en = a[0][1], a[-1][2]
+        if cds_st == 1 << 30:
+            cds_st = st
+        if cds_en == 0:
+            cds_en = en
+        sizes = ",".join(str(x[2] - x[1]) for x in a) + ","
+        starts = ",".join(str(x[1] - st) for x in a) + ","
+        color = _BED_COLORS.get(a[0][5], "196,196,196")
+        _print(a[0][0], st, en, name, 1000, a[0][3], cds_st, cds_en, color,
+               len(a), sizes, starts, out=out)
+
+    exons = []
+    cds_st, cds_en = 1 << 30, 0
+    last_id = None
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        if not t or t[0].startswith("#") or len(t) < 9:
+            continue
+        if t[2] not in ("CDS", "exon"):
+            continue
+        st3 = int(t[3]) - 1
+        en4 = int(t[4])
+        tid, ttype, name, biotype, tname = None, "", "N/A", "", "N/A"
+        ens_canonical = False
+        for m in _RE_GTF.finditer(t[8]):
+            k, vv = m.group(1), m.group(2)
+            if k == "transcript_id":
+                tid = vv
+            elif k == "transcript_type":
+                ttype = vv
+            elif k in ("transcript_biotype", "gbkey"):
+                biotype = vv
+            elif k in ("gene_name", "gene_id"):
+                name = vv
+            elif k == "transcript_name":
+                tname = vv
+            elif k == "tag" and vv == "Ensembl_canonical":
+                ens_canonical = True
+        for m in _RE_GFF3.finditer(t[8]):
+            k, vv = m.group(1), m.group(2)
+            if k == "transcript_id":
+                tid = vv
+            elif k == "transcript_type":
+                ttype = vv
+            elif k in ("transcript_biotype", "gbkey"):
+                biotype = vv
+            elif k in ("gene_name", "gene_id"):
+                name = vv
+            elif k == "transcript_name":
+                tname = vv
+        if ens_canon_only and not ens_canonical:
+            continue
+        if ttype == "" and biotype != "":
+            ttype = biotype
+        if tid is None:
+            raise ValueError("No transcript_id")
+        if tid != last_id:
+            print_bed12(exons, cds_st, cds_en)
+            exons = []
+            cds_st, cds_en = 1 << 30, 0
+            last_id = tid
+        if t[2] == "CDS":
+            cds_st = min(cds_st, st3)
+            cds_en = max(cds_en, en4)
+        else:
+            exons.append([t[0], st3, en4, t[6], tid, ttype, name, tname])
+    if last_id is not None:
+        print_bed12(exons, cds_st, cds_en)
+    return 0
+
+
 _CMDS = {
     "sam2paf": sam2paf,
     "mapeval": mapeval,
@@ -1207,6 +1326,7 @@ _CMDS = {
     "view": view,
     "call": call,
     "ov-eval": ov_eval,
+    "gff2bed": gff2bed,
 }
 
 

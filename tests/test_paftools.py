@@ -144,3 +144,21 @@ def test_ov_eval():
     open(p, "w").write("\n".join(lines) + "\n")
     out = run(pt.ov_eval, [p])
     assert out.startswith("1 / 2 reported overlaps are true (50.00%)")
+
+
+def test_gff2bed(tmp_path):
+    gtf = tmp_path / "a.gtf"
+    gtf.write_text(
+        'chr1\tx\texon\t1\t100\t.\t+\t.\tgene_id "g1"; transcript_id "t1"; '
+        'transcript_type "protein_coding";\n'
+        'chr1\tx\texon\t201\t300\t.\t+\t.\tgene_id "g1"; transcript_id '
+        '"t1"; transcript_type "protein_coding";\n'
+        'chr1\tx\tCDS\t10\t280\t.\t+\t.\tgene_id "g1"; transcript_id '
+        '"t1";\n')
+    out = run(pt.gff2bed, [str(gtf)])
+    f = out.strip().split("\t")
+    assert f[:6] == ["chr1", "0", "300", "t1|protein_coding|g1", "1000", "+"]
+    assert f[6:9] == ["9", "280", "0,128,255"]
+    assert f[9:] == ["2", "100,100,", "0,200,"]
+    junc = run(pt.gff2bed, ["-j", str(gtf)]).strip().split("\t")
+    assert junc[:4] == ["chr1", "100", "200", "t1|protein_coding|g1"]
