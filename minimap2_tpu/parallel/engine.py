@@ -27,13 +27,17 @@ from .batch import (BatchParams, DeviceIndex, _chain_scan, _compact_minimizers,
 
 def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
                   interpret: bool = False):
-    """Jitted device program: read batch -> (K, B) chain records."""
+    """Jitted device program: read batch -> (K, B) chain records.
+
+    The index is an argument (not a closure constant): jit constants are
+    embedded in the compile payload, which breaks for real-size indices."""
 
     use_pallas_sketch = (not interpret and p.L % 512 == 0
                          and p.k + p.w <= 128)
+    di_dev = jax.device_put(di)
 
     @jax.jit
-    def step(codes, lens):
+    def step_di(di, codes, lens):
         if use_pallas_sketch:
             from ..ops.sketch_pallas import sketch_batch
             hhi, hlo, z, is_mini = sketch_batch(codes, lens, G=8, T=512,
@@ -58,6 +62,9 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
         recs = topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K,
                            min_sc)
         return jnp.stack(recs)     # one (9, K, B) array -> one host fetch
+
+    def step(codes, lens):
+        return step_di(di_dev, codes, lens)
 
     return step
 
