@@ -78,8 +78,8 @@ LONG_FLAG_OPTS = {
 }
 
 
-_OPTS_WITH_ARG = set("kwIdtfUgGFNpMnmABOErzsKuRTqx")
-_OPTS_FLAG = set("acHXPD2LQyS")
+_OPTS_WITH_ARG = set("kwIdtfUgGFNpMnmABOErzsKuRTqxv")
+_OPTS_FLAG = set("acHXPD2LQySY")
 
 
 def _expand_short(argv):
@@ -165,6 +165,11 @@ def main(argv=None) -> int:
             args.idx_out = val()
         elif a == "-t":
             args.n_threads = int(val())
+        elif a == "-v":
+            args.verbose = int(val())
+        elif a == "--version" or a == "-V":
+            print(C.MM_VERSION.split("-")[0])
+            return 0
         elif a == "-f":
             v = val()
             parts = v.split(",")
@@ -241,6 +246,8 @@ def main(argv=None) -> int:
                     mo.flag &= ~C.MM_F_SPLICE_FOR
                 elif ch == "n":
                     mo.flag &= ~(C.MM_F_SPLICE_FOR | C.MM_F_SPLICE_REV)
+        elif a == "-Y":
+            mo.flag |= C.MM_F_SOFTCLIP
         elif a == "-L":
             mo.flag |= C.MM_F_LONG_CIGAR
         elif a == "-Q":
@@ -412,11 +419,12 @@ def main(argv=None) -> int:
 
     out = sys.stdout
     if args.sam:
-        rg_id = None
+        rg_id = None  # threaded to SAM records via mo.rg_id
         if args.rg:
             for f_ in args.rg.replace("\\t", "\t").split("\t"):
                 if f_.startswith("ID:"):
                     rg_id = f_[3:]
+        mo.rg_id = rg_id
         cmdline = "minimap2 " + " ".join(orig_argv)
         out.write(fmt.write_sam_hdr(mi, args.rg, C.MM_VERSION, cmdline))
         out.write("\n")

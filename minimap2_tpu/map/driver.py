@@ -106,7 +106,9 @@ def write_fragment(out, mi, mo, frag, regss, rep_lens):
                     continue
                 if mo.flag & C.MM_F_OUT_SAM:
                     out.write(fmt.write_sam(mi, rec, j, k, n_seg, n_regss,
-                                            regss, mo.flag, rep_len))
+                                            regss, mo.flag, rep_len,
+                                            rg_id=getattr(mo, "rg_id",
+                                                          None)))
                 else:
                     out.write(fmt.write_paf(mi, rec.name, len(rec.seq), r,
                                             mo.flag, rep_len, n_seg, j,
@@ -118,7 +120,8 @@ def write_fragment(out, mi, mo, frag, regss, rep_lens):
                  and not (mo.flag & C.MM_F_SAM_HIT_ONLY)):
             if mo.flag & C.MM_F_OUT_SAM:
                 out.write(fmt.write_sam(mi, rec, j, -1, n_seg, n_regss,
-                                        regss, mo.flag, rep_len))
+                                        regss, mo.flag, rep_len,
+                                        rg_id=getattr(mo, "rg_id", None)))
             else:
                 out.write(fmt.write_paf(mi, rec.name, len(rec.seq), None,
                                         mo.flag, rep_len, n_seg, j))
