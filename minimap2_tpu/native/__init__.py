@@ -76,6 +76,10 @@ def _load():
         C.c_int64, C.c_float, C.c_float, C.c_int, C.c_int, C.c_int64,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
         C.c_void_p]
+    lib.ksw_ll_cpp.restype = C.c_int64
+    lib.ksw_ll_cpp.argtypes = [
+        C.c_int, C.c_void_p, C.c_int, C.c_void_p, C.c_int, C.c_void_p,
+        C.c_int, C.c_int, C.c_void_p, C.c_void_p]
     lib.mm_sketch_many.restype = C.c_int64
     lib.mm_sketch_many.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_int, C.c_int,
@@ -229,3 +233,16 @@ def lchain_dp(max_dist_x, max_dist_y, bw, max_skip, max_iter, min_cnt,
         _ptr(n_anchor))
     na = int(n_anchor[0])
     return out_u[:n_u].copy(), out_ax[:na].copy(), out_ay[:na].copy()
+
+
+def ksw_ll(qlen, query, tlen, target, m, mat, gapo, gape):
+    """Native Farrar local SW; returns (score, qe, te)."""
+    lib = _load()
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    target = np.ascontiguousarray(target, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    qe = np.zeros(1, np.int32)
+    te = np.zeros(1, np.int32)
+    sc = lib.ksw_ll_cpp(qlen, _ptr(query), tlen, _ptr(target), m,
+                        _ptr(mat), gapo, gape, _ptr(qe), _ptr(te))
+    return int(sc), int(qe[0]), int(te[0])

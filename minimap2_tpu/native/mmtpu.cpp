@@ -1292,3 +1292,91 @@ int64_t mg_lchain_dp_cpp(int64_t max_dist_x, int64_t max_dist_y, int64_t bw,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ksw_ll (Farrar striped local SW, score+end only), scalar port of
+// ops/ksw2_np.ksw_ll (ksw2_ll_sse.c:85-152 semantics incl. the lazy-F
+// early exit). Returns score; fills qe/te.
+int64_t ksw_ll_cpp(int qlen, const uint8_t *query, int tlen,
+                   const uint8_t *target, int m, const int8_t *mat,
+                   int gapo, int gape, int32_t *qe_out, int32_t *te_out)
+{
+    *qe_out = *te_out = -1;
+    if (qlen <= 0 || tlen <= 0) return 0;
+    int slen = (qlen + 7) / 8;
+    int W = slen * 8;
+    // striped profile: prof[a][j*8+lane] = mat[a][q[lane*slen+j]] or -1
+    std::vector<int64_t> prof((size_t)m * W);
+    for (int a = 0; a < m; ++a)
+        for (int j = 0; j < slen; ++j)
+            for (int lane = 0; lane < 8; ++lane) {
+                int pos = j + lane * slen;
+                prof[(size_t)a * W + j * 8 + lane] =
+                    pos < qlen ? mat[(size_t)a * m + query[pos]] : -1;
+            }
+    int gapoe = gapo + gape;
+    std::vector<int64_t> H0(W, 0), H1(W, 0), E(W, 0), Hmax(W, 0);
+    int64_t gmax = 0;
+    int te = -1;
+    auto subs = [](int64_t a, int64_t b) { return a > b ? a - b : 0; };
+    for (int i = 0; i < tlen; ++i) {
+        const int64_t *S = &prof[(size_t)target[i] * W];
+        int64_t h[8], f[8] = {0};
+        // h = H0[slen-1] shifted one lane up
+        h[0] = 0;
+        for (int lane = 1; lane < 8; ++lane)
+            h[lane] = H0[(slen - 1) * 8 + lane - 1];
+        int64_t rowmax[8] = {0};
+        for (int j = 0; j < slen; ++j) {
+            for (int lane = 0; lane < 8; ++lane) {
+                int64_t hh = h[lane] + S[j * 8 + lane];
+                int64_t e = E[j * 8 + lane];
+                if (e > hh) hh = e;
+                if (f[lane] > hh) hh = f[lane];
+                if (hh > rowmax[lane]) rowmax[lane] = hh;
+                H1[j * 8 + lane] = hh;
+                int64_t h2 = subs(hh, gapoe);
+                e = subs(e, gape);
+                E[j * 8 + lane] = e > h2 ? e : h2;
+                f[lane] = subs(f[lane], gape);
+                if (h2 > f[lane]) f[lane] = h2;
+                h[lane] = H0[j * 8 + lane];
+            }
+        }
+        // lazy F propagation
+        bool done = false;
+        for (int k = 0; k < 8 && !done; ++k) {
+            for (int lane = 7; lane >= 1; --lane) f[lane] = f[lane - 1];
+            f[0] = 0;
+            for (int j = 0; j < slen; ++j) {
+                bool any = false;
+                for (int lane = 0; lane < 8; ++lane) {
+                    int64_t hh = H1[j * 8 + lane];
+                    if (f[lane] > hh) hh = f[lane];
+                    H1[j * 8 + lane] = hh;
+                    int64_t h2 = subs(hh, gapoe);
+                    f[lane] = subs(f[lane], gape);
+                    if (f[lane] > h2) any = true;
+                }
+                if (!any) { done = true; break; }
+            }
+        }
+        int64_t imax = 0;
+        for (int lane = 0; lane < 8; ++lane)
+            if (rowmax[lane] > imax) imax = rowmax[lane];
+        if (imax >= gmax) {
+            gmax = imax; te = i;
+            std::memcpy(Hmax.data(), H1.data(), W * 8);
+        }
+        H0.swap(H1);
+    }
+    int qe = -1;
+    for (int iflat = 0; iflat < W; ++iflat)
+        if (Hmax[iflat] == gmax)
+            qe = iflat / 8 + (iflat % 8) * slen;
+    *qe_out = qe; *te_out = te;
+    return gmax;
+}
+
+}  // extern "C"

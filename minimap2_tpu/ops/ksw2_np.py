@@ -620,6 +620,12 @@ def ksw_ll(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
     """
     if qlen <= 0 or tlen <= 0:
         return 0, -1, -1
+    import os
+    if not os.environ.get("MM2TPU_NO_NATIVE"):
+        from .. import native
+        if native.available():
+            return native.ksw_ll(qlen, query, tlen, target, m,
+                                 np.asarray(mat, np.int8), gapo, gape)
     mat = np.asarray(mat, dtype=np.int64).reshape(m, m)
     slen = (qlen + 7) // 8
     # striped profile: prof[a][j][lane] = mat[a][query[lane*slen + j]] or -1
