@@ -22,6 +22,7 @@ _lib = None
 def _build() -> bool:
     try:
         subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                        "--param", "vect-max-version-for-alias-checks=40",
                         _SRC, "-o", _SO + ".tmp"], check=True,
                        capture_output=True)
         os.replace(_SO + ".tmp", _SO)

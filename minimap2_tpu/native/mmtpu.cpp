@@ -425,7 +425,7 @@ int64_t ksw_extd2_cpp(int qlen, const uint8_t *query, int tlen,
     int64_t qpad = (qlen + 15) / 16 * 16 + 32;
     std::vector<uint8_t> qr(qpad, 0);
     for (int i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
-    std::vector<int64_t> H;
+    std::vector<int32_t> H;   // int32 like the reference's H row
     if (!approx_max) H.assign(tlen_ * 16 + 16, KSW_NEG_INF);
     int64_t R = (int64_t)qlen + tlen - 1;
     std::vector<int64_t> off(R, 0), off_end(R, 0), p_off(R, 0);
@@ -464,67 +464,134 @@ int64_t ksw_extd2_cpp(int qlen, const uint8_t *query, int tlen,
         }
         int64_t base = qlen - 1 - r;
         if (!generic) {
-            for (int64_t t = st0; t <= en0; t += 16)
-                for (int64_t k2 = t; k2 < t + 16; ++k2) {
-                    int sq = sf[k2], tq = qr[base + k2];
-                    s[k2] = (sq == m - 1 || tq == m - 1) ? sc_N
-                        : (sq == tq ? mat[0] : mat[1]);
-                }
+            // flat branch-free profile build (vpcmpeqb + blends); covers the
+            // same cells as the reference's 16-blocked build from st0
+            int64_t ns = (en0 - st0) / 16 * 16 + 16;
+            const uint8_t *__restrict tgp = sf.data() + st0;
+            const uint8_t *__restrict qqp = qr.data() + (base + st0);
+            int8_t *__restrict sw = s.data() + st0;
+            uint8_t mN = (uint8_t)(m - 1);
+            int8_t m0 = mat[0], m1 = mat[1];
+            for (int64_t k2 = 0; k2 < ns; ++k2) {
+                uint8_t aq = tgp[k2], bq = qqp[k2];
+                sw[k2] = (aq == mN || bq == mN) ? sc_N : (aq == bq ? m0 : m1);
+            }
         } else {
             for (int64_t k2 = st0; k2 <= en0; ++k2)
                 s[k2] = mat[(int)sf[k2] * m + qr[base + k2]];
         }
-        uint8_t *prow = 0;
+        uint8_t *__restrict prow = 0;
         if (with_cigar) {
             p_off[r] = (int64_t)p.size();
             p.resize(p.size() + (en - st + 1));
             prow = p.data() + p_off[r];
         }
-        int8_t xp = (int8_t)x1, vp = (int8_t)v1, x2p = (int8_t)x21;
-        for (int64_t k2 = st; k2 <= en; ++k2) {
-            int8_t z = s[k2];
-            int8_t xt1 = xp, vt1 = vp, x2t1 = x2p;
-            xp = x[k2]; vp = v[k2]; x2p = x2[k2];   // pre-update (shifted)
-            int8_t ut = u[k2];
-            int8_t a = wrap8(xt1 + vt1);
-            int8_t b = wrap8(y[k2] + ut);
-            int8_t a2 = wrap8(x2t1 + vt1);
-            int8_t b2 = wrap8(y2[k2] + ut);
-            uint8_t d = 0;
-            if (with_cigar) {
-                if (!right_mode) {
-                    d = a > z ? 1 : 0; if (a > z) z = a;
-                    if (b > z) { d = 2; z = b; }
-                    if (a2 > z) { d = 3; z = a2; }
-                    if (b2 > z) { d = 4; z = b2; }
-                } else {
-                    d = z > a ? 0 : 1; if (a > z) z = a;
-                    if (!(z > b)) d = 2; if (b > z) z = b;
-                    if (!(z > a2)) d = 3; if (a2 > z) z = a2;
-                    if (!(z > b2)) d = 4; if (b2 > z) z = b2;
-                }
-            } else {
-                if (a > z) z = a; if (b > z) z = b;
-                if (a2 > z) z = a2; if (b2 > z) z = b2;
+        // shifted old-state temps kill the loop-carried dependency so the
+        // compiler can vectorize the int8 lanes (the SSE kernel's layout)
+        int64_t W2 = en - st + 1;
+        int8_t xs_[4096 + 18], vs_[4096 + 18], x2s_[4096 + 18];
+        std::vector<int8_t> xs_h, vs_h, x2s_h;
+        int8_t *__restrict xt, *__restrict vt, *__restrict x2t;
+        if (W2 + 1 <= 4096 + 18) { xt = xs_; vt = vs_; x2t = x2s_; }
+        else {
+            xs_h.resize(W2 + 1); vs_h.resize(W2 + 1); x2s_h.resize(W2 + 1);
+            xt = xs_h.data(); vt = vs_h.data(); x2t = x2s_h.data();
+        }
+        xt[0] = (int8_t)x1; vt[0] = (int8_t)v1; x2t[0] = (int8_t)x21;
+        std::memcpy(xt + 1, &x[st], W2 - 1);
+        std::memcpy(vt + 1, &v[st], W2 - 1);
+        std::memcpy(x2t + 1, &x2[st], W2 - 1);
+        typedef uint8_t u8;
+        int8_t *__restrict up = u.data() + st, *__restrict vp_ = v.data() + st;
+        int8_t *__restrict xp_ = x.data() + st, *__restrict yp = y.data() + st;
+        int8_t *__restrict x2p_ = x2.data() + st;
+        int8_t *__restrict y2p = y2.data() + st;
+        const int8_t *__restrict sp = s.data() + st;
+        if (with_cigar && !right_mode) {
+            for (int64_t k3 = 0; k3 < W2; ++k3) {
+                int8_t z = sp[k3];
+                int8_t vt1 = vt[k3], ut = up[k3];
+                int8_t a = (int8_t)(u8)((u8)xt[k3] + (u8)vt1);
+                int8_t b = (int8_t)(u8)((u8)yp[k3] + (u8)ut);
+                int8_t a2 = (int8_t)(u8)((u8)x2t[k3] + (u8)vt1);
+                int8_t b2 = (int8_t)(u8)((u8)y2p[k3] + (u8)ut);
+                uint8_t d = a > z ? 1 : 0;
+                z = a > z ? a : z;
+                d = b > z ? 2 : d; z = b > z ? b : z;
+                d = a2 > z ? 3 : d; z = a2 > z ? a2 : z;
+                d = b2 > z ? 4 : d; z = b2 > z ? b2 : z;
+                z = z < sc_mch ? z : sc_mch;
+                up[k3] = (int8_t)(u8)((u8)z - (u8)vt1);
+                vp_[k3] = (int8_t)(u8)((u8)z - (u8)ut);
+                int8_t t1 = (int8_t)(u8)((u8)z - (u8)q);
+                a = (int8_t)(u8)((u8)a - (u8)t1);
+                b = (int8_t)(u8)((u8)b - (u8)t1);
+                int8_t t2 = (int8_t)(u8)((u8)z - (u8)q2);
+                a2 = (int8_t)(u8)((u8)a2 - (u8)t2);
+                b2 = (int8_t)(u8)((u8)b2 - (u8)t2);
+                bool ga = a > 0, gb = b > 0, ga2 = a2 > 0, gb2 = b2 > 0;
+                xp_[k3] = (int8_t)(u8)((u8)(ga ? a : 0) - (u8)qe_pen);
+                yp[k3] = (int8_t)(u8)((u8)(gb ? b : 0) - (u8)qe_pen);
+                x2p_[k3] = (int8_t)(u8)((u8)(ga2 ? a2 : 0) - (u8)qe2_pen);
+                y2p[k3] = (int8_t)(u8)((u8)(gb2 ? b2 : 0) - (u8)qe2_pen);
+                d |= ga ? 0x08 : 0; d |= gb ? 0x10 : 0;
+                d |= ga2 ? 0x20 : 0; d |= gb2 ? 0x40 : 0;
+                prow[k3] = d;
             }
-            if (z > sc_mch) z = sc_mch;
-            u[k2] = wrap8(z - vt1);
-            v[k2] = wrap8(z - ut);
-            int8_t t1 = wrap8(z - q);
-            a = wrap8(a - t1); b = wrap8(b - t1);
-            int8_t t2 = wrap8(z - q2);
-            a2 = wrap8(a2 - t2); b2 = wrap8(b2 - t2);
-            bool ga, gb, ga2, gb2;
-            if (!right_mode) { ga = a > 0; gb = b > 0; ga2 = a2 > 0; gb2 = b2 > 0; }
-            else { ga = a >= 0; gb = b >= 0; ga2 = a2 >= 0; gb2 = b2 >= 0; }
-            x[k2] = wrap8((ga ? a : 0) - qe_pen);
-            y[k2] = wrap8((gb ? b : 0) - qe_pen);
-            x2[k2] = wrap8((ga2 ? a2 : 0) - qe2_pen);
-            y2[k2] = wrap8((gb2 ? b2 : 0) - qe2_pen);
-            if (with_cigar) {
-                if (ga) d |= 0x08; if (gb) d |= 0x10;
-                if (ga2) d |= 0x20; if (gb2) d |= 0x40;
-                prow[k2 - st] = d;
+        } else if (with_cigar) {   // right_mode
+            for (int64_t k3 = 0; k3 < W2; ++k3) {
+                int8_t z = sp[k3];
+                int8_t vt1 = vt[k3], ut = up[k3];
+                int8_t a = (int8_t)(u8)((u8)xt[k3] + (u8)vt1);
+                int8_t b = (int8_t)(u8)((u8)yp[k3] + (u8)ut);
+                int8_t a2 = (int8_t)(u8)((u8)x2t[k3] + (u8)vt1);
+                int8_t b2 = (int8_t)(u8)((u8)y2p[k3] + (u8)ut);
+                uint8_t d = z > a ? 0 : 1; z = a > z ? a : z;
+                d = z > b ? d : 2; z = b > z ? b : z;
+                d = z > a2 ? d : 3; z = a2 > z ? a2 : z;
+                d = z > b2 ? d : 4; z = b2 > z ? b2 : z;
+                z = z < sc_mch ? z : sc_mch;
+                up[k3] = (int8_t)(u8)((u8)z - (u8)vt1);
+                vp_[k3] = (int8_t)(u8)((u8)z - (u8)ut);
+                int8_t t1 = (int8_t)(u8)((u8)z - (u8)q);
+                a = (int8_t)(u8)((u8)a - (u8)t1);
+                b = (int8_t)(u8)((u8)b - (u8)t1);
+                int8_t t2 = (int8_t)(u8)((u8)z - (u8)q2);
+                a2 = (int8_t)(u8)((u8)a2 - (u8)t2);
+                b2 = (int8_t)(u8)((u8)b2 - (u8)t2);
+                bool ga = a >= 0, gb = b >= 0, ga2 = a2 >= 0, gb2 = b2 >= 0;
+                xp_[k3] = (int8_t)(u8)((u8)(ga ? a : 0) - (u8)qe_pen);
+                yp[k3] = (int8_t)(u8)((u8)(gb ? b : 0) - (u8)qe_pen);
+                x2p_[k3] = (int8_t)(u8)((u8)(ga2 ? a2 : 0) - (u8)qe2_pen);
+                y2p[k3] = (int8_t)(u8)((u8)(gb2 ? b2 : 0) - (u8)qe2_pen);
+                d |= ga ? 0x08 : 0; d |= gb ? 0x10 : 0;
+                d |= ga2 ? 0x20 : 0; d |= gb2 ? 0x40 : 0;
+                prow[k3] = d;
+            }
+        } else {                    // score-only
+            int8_t zth = right_mode ? -1 : 0;   // a > zth == (a>0 | a>=0)
+            for (int64_t k3 = 0; k3 < W2; ++k3) {
+                int8_t z = sp[k3];
+                int8_t vt1 = vt[k3], ut = up[k3];
+                int8_t a = (int8_t)(u8)((u8)xt[k3] + (u8)vt1);
+                int8_t b = (int8_t)(u8)((u8)yp[k3] + (u8)ut);
+                int8_t a2 = (int8_t)(u8)((u8)x2t[k3] + (u8)vt1);
+                int8_t b2 = (int8_t)(u8)((u8)y2p[k3] + (u8)ut);
+                z = a > z ? a : z; z = b > z ? b : z;
+                z = a2 > z ? a2 : z; z = b2 > z ? b2 : z;
+                z = z < sc_mch ? z : sc_mch;
+                up[k3] = (int8_t)(u8)((u8)z - (u8)vt1);
+                vp_[k3] = (int8_t)(u8)((u8)z - (u8)ut);
+                int8_t t1 = (int8_t)(u8)((u8)z - (u8)q);
+                a = (int8_t)(u8)((u8)a - (u8)t1);
+                b = (int8_t)(u8)((u8)b - (u8)t1);
+                int8_t t2 = (int8_t)(u8)((u8)z - (u8)q2);
+                a2 = (int8_t)(u8)((u8)a2 - (u8)t2);
+                b2 = (int8_t)(u8)((u8)b2 - (u8)t2);
+                xp_[k3] = (int8_t)(u8)((u8)(a > zth ? a : 0) - (u8)qe_pen);
+                yp[k3] = (int8_t)(u8)((u8)(b > zth ? b : 0) - (u8)qe_pen);
+                x2p_[k3] = (int8_t)(u8)((u8)(a2 > zth ? a2 : 0) - (u8)qe2_pen);
+                y2p[k3] = (int8_t)(u8)((u8)(b2 > zth ? b2 : 0) - (u8)qe2_pen);
             }
         }
         if (with_cigar) { off[r] = st; off_end[r] = en; }
@@ -533,10 +600,18 @@ int64_t ksw_extd2_cpp(int qlen, const uint8_t *query, int tlen,
             if (r > 0) {
                 if (en0 > 0) H[en0] = H[en0 - 1] + u[en0];
                 else H[en0] = H[en0] + v[en0];
-                max_H = H[en0]; max_t = en0;
-                for (int64_t t = st0; t < en0; ++t) {
-                    H[t] += v[t];
-                    if (H[t] > max_H) { max_H = H[t]; max_t = t; }
+                {
+                    int32_t *__restrict Hp = H.data() + st0;
+                    const int8_t *__restrict vv = v.data() + st0;
+                    int64_t nh = en0 - st0;
+                    for (int64_t t = 0; t < nh; ++t) Hp[t] += vv[t];
+                    int32_t mh = H[en0]; max_t = en0;
+                    for (int64_t t = 0; t < nh; ++t)
+                        if (Hp[t] > mh) mh = Hp[t];
+                    max_H = mh;
+                    if (max_H > H[en0])
+                        for (int64_t t = 0; t < nh; ++t)
+                            if (Hp[t] == max_H) { max_t = st0 + t; break; }
                 }
             } else {
                 H[0] = v[0] - qe_pen;
@@ -629,7 +704,7 @@ int64_t ksw_extz2_cpp(int qlen, const uint8_t *query, int tlen,
     int64_t qpad = (qlen + 15) / 16 * 16 + 32;
     std::vector<uint8_t> qr(qpad, 0);
     for (int i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
-    std::vector<int64_t> H;
+    std::vector<int32_t> H;
     if (!approx_max) H.assign(tlen_ * 16 + 16, KSW_NEG_INF);
     int64_t R = (int64_t)qlen + tlen - 1;
     std::vector<int64_t> off(R, 0), off_end(R, 0), p_off(R, 0);
@@ -657,12 +732,18 @@ int64_t ksw_extz2_cpp(int qlen, const uint8_t *query, int tlen,
         if (en >= r) { y[r] = 0; u[r] = (uint8_t)(r ? q : 0); }
         int64_t base = qlen - 1 - r;
         if (!generic) {
-            for (int64_t t = st0; t <= en0; t += 16)
-                for (int64_t k2 = t; k2 < t + 16; ++k2) {
-                    int sq = sf[k2], tq = qr[base + k2];
-                    s[k2] = (sq == m - 1 || tq == m - 1) ? sc_N
-                        : (sq == tq ? mat[0] : mat[1]);
-                }
+            // flat branch-free profile build (vpcmpeqb + blends); covers the
+            // same cells as the reference's 16-blocked build from st0
+            int64_t ns = (en0 - st0) / 16 * 16 + 16;
+            const uint8_t *__restrict tgp = sf.data() + st0;
+            const uint8_t *__restrict qqp = qr.data() + (base + st0);
+            int8_t *__restrict sw = s.data() + st0;
+            uint8_t mN = (uint8_t)(m - 1);
+            int8_t m0 = mat[0], m1 = mat[1];
+            for (int64_t k2 = 0; k2 < ns; ++k2) {
+                uint8_t aq = tgp[k2], bq = qqp[k2];
+                sw[k2] = (aq == mN || bq == mN) ? sc_N : (aq == bq ? m0 : m1);
+            }
         } else {
             for (int64_t k2 = st0; k2 <= en0; ++k2)
                 s[k2] = mat[(int)sf[k2] * m + qr[base + k2]];
@@ -714,13 +795,22 @@ int64_t ksw_extz2_cpp(int qlen, const uint8_t *query, int tlen,
             if (r > 0) {
                 if (en0 > 0) H[en0] = H[en0 - 1] + u[en0] - qe_pen;
                 else H[en0] = H[en0] + v[en0] - qe_pen;
-                max_H = H[en0]; max_t = en0;
-                for (int64_t t = st0; t < en0; ++t) {
-                    H[t] += (int64_t)v[t] - qe_pen;
-                    if (H[t] > max_H) { max_H = H[t]; max_t = t; }
+                {
+                    int32_t *__restrict Hp = H.data() + st0;
+                    const uint8_t *__restrict vv = v.data() + st0;
+                    int64_t nh = en0 - st0;
+                    for (int64_t t = 0; t < nh; ++t)
+                        Hp[t] += (int32_t)vv[t] - qe_pen;
+                    int32_t mh = H[en0]; max_t = en0;
+                    for (int64_t t = 0; t < nh; ++t)
+                        if (Hp[t] > mh) mh = Hp[t];
+                    max_H = mh;
+                    if (max_H > H[en0])
+                        for (int64_t t = 0; t < nh; ++t)
+                            if (Hp[t] == max_H) { max_t = st0 + t; break; }
                 }
             } else {
-                H[0] = (int64_t)v[0] - qe_pen - qe_pen;
+                H[0] = (int32_t)v[0] - qe_pen - qe_pen;
                 max_H = H[0]; max_t = 0;
             }
             if (en0 == tlen - 1 && H[en0] > ez->mte) {
@@ -929,7 +1019,7 @@ int64_t ksw_exts2_cpp(int qlen, const uint8_t *query, int tlen,
         acceptor[i] = (int8_t)acceptor64[i];
     }
 
-    std::vector<int64_t> H;
+    std::vector<int32_t> H;
     if (!approx_max) H.assign(tlen_ * 16 + 16, KSW_NEG_INF);
     int64_t R = (int64_t)qlen + tlen - 1;
     std::vector<int64_t> off(R, 0), off_end(R, 0), p_off(R, 0);
@@ -962,12 +1052,18 @@ int64_t ksw_exts2_cpp(int qlen, const uint8_t *query, int tlen,
         }
         int64_t base = qlen - 1 - r;
         if (!generic) {
-            for (int64_t t = st0; t <= en0; t += 16)
-                for (int64_t k2 = t; k2 < t + 16; ++k2) {
-                    int sq = sf[k2], tq = qr[base + k2];
-                    s[k2] = (sq == m - 1 || tq == m - 1) ? sc_N
-                        : (sq == tq ? mat[0] : mat[1]);
-                }
+            // flat branch-free profile build (vpcmpeqb + blends); covers the
+            // same cells as the reference's 16-blocked build from st0
+            int64_t ns = (en0 - st0) / 16 * 16 + 16;
+            const uint8_t *__restrict tgp = sf.data() + st0;
+            const uint8_t *__restrict qqp = qr.data() + (base + st0);
+            int8_t *__restrict sw = s.data() + st0;
+            uint8_t mN = (uint8_t)(m - 1);
+            int8_t m0 = mat[0], m1 = mat[1];
+            for (int64_t k2 = 0; k2 < ns; ++k2) {
+                uint8_t aq = tgp[k2], bq = qqp[k2];
+                sw[k2] = (aq == mN || bq == mN) ? sc_N : (aq == bq ? m0 : m1);
+            }
         } else {
             for (int64_t k2 = st0; k2 <= en0; ++k2)
                 s[k2] = mat[(int)sf[k2] * m + qr[base + k2]];
@@ -1026,10 +1122,18 @@ int64_t ksw_exts2_cpp(int qlen, const uint8_t *query, int tlen,
             if (r > 0) {
                 if (en0 > 0) H[en0] = H[en0 - 1] + u[en0];
                 else H[en0] = H[en0] + v[en0];
-                max_H = H[en0]; max_t = en0;
-                for (int64_t t = st0; t < en0; ++t) {
-                    H[t] += v[t];
-                    if (H[t] > max_H) { max_H = H[t]; max_t = t; }
+                {
+                    int32_t *__restrict Hp = H.data() + st0;
+                    const int8_t *__restrict vv = v.data() + st0;
+                    int64_t nh = en0 - st0;
+                    for (int64_t t = 0; t < nh; ++t) Hp[t] += vv[t];
+                    int32_t mh = H[en0]; max_t = en0;
+                    for (int64_t t = 0; t < nh; ++t)
+                        if (Hp[t] > mh) mh = Hp[t];
+                    max_H = mh;
+                    if (max_H > H[en0])
+                        for (int64_t t = 0; t < nh; ++t)
+                            if (Hp[t] == max_H) { max_t = st0 + t; break; }
                 }
             } else {
                 H[0] = v[0] - qe_pen;
