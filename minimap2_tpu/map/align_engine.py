@@ -76,6 +76,13 @@ def _update_max_zdrop(score, i, j, state, e):
 
 def test_zdrop(opt, qseq, tseq, cigar, mat):
     """mm_test_zdrop (align.c:61-103). Returns 0/1/2."""
+    import os
+    if not os.environ.get("MM2TPU_NO_NATIVE"):
+        from .. import native
+        if native.available():
+            max_zdrop, pos = native.zdrop_scan(qseq, tseq, cigar, mat, 5,
+                                               opt.q, opt.e)
+            return _test_zdrop_tail(opt, qseq, tseq, mat, max_zdrop, pos)
     state = [-(1 << 31), -1, -1, 0, [[-1, -1], [-1, -1]]]
     score = 0
     i = j = 0
@@ -86,9 +93,35 @@ def test_zdrop(opt, qseq, tseq, cigar, mat):
             ts = tseq[i:i + ln].astype(np.int64)
             qs = qseq[j:j + ln].astype(np.int64)
             vals = mat2[ts * 5 + qs]
-            for l in range(ln):
-                score += int(vals[l])
-                _update_max_zdrop(score, i + l, j + l, state, opt.e)
+            # Vectorized scan of update_max_zdrop over the M run.  i-j is
+            # constant inside the run, so once the running max moves into
+            # the run the diff term vanishes; before that it is the fixed
+            # offset vs the carried max position.  All-integer => exact.
+            cs = score + np.cumsum(vals)
+            prev_max = np.maximum.accumulate(
+                np.concatenate(([np.int64(state[0])], cs)))[:-1]
+            upd = cs >= prev_max          # steps taking the max branch
+            runmax = np.maximum(prev_max, cs)
+            z = runmax - cs               # drop vs current max (diff=0 case)
+            pre = ~np.maximum.accumulate(upd)   # before first new max/tie
+            if pre.any():
+                d0 = abs((i - state[1]) - (j - state[2])) if state[1] >= 0 \
+                    else abs(i - j)
+                z[pre] = state[0] - cs[pre] - d0 * opt.e
+            zbest = int(z.max()) if ln else 0
+            if ln and zbest > state[3]:
+                l = int(np.argmax(z))     # first occurrence == loop outcome
+                if pre[l]:
+                    mi_, mj_ = state[1], state[2]
+                else:
+                    lp = int(np.nonzero(upd[:l + 1])[0][-1])
+                    mi_, mj_ = i + lp, j + lp
+                state[3] = zbest
+                state[4] = [[mi_, i + l], [mj_, j + l]]
+            if upd.any():
+                lp = int(np.nonzero(upd)[0][-1])
+                state[0], state[1], state[2] = int(cs[lp]), i + lp, j + lp
+            score = int(cs[-1]) if ln else score
             i += ln
             j += ln
         elif op in (CIG_I, CIG_D, CIG_N):
@@ -98,16 +131,17 @@ def test_zdrop(opt, qseq, tseq, cigar, mat):
             else:
                 i += ln
             _update_max_zdrop(score, i, j, state, opt.e)
-    pos = state[4]
-    max_zdrop = state[3]
+    return _test_zdrop_tail(opt, qseq, tseq, mat, state[3], state[4])
+
+
+def _test_zdrop_tail(opt, qseq, tseq, mat, max_zdrop, pos):
+    """Inversion-rescue branch of mm_test_zdrop (align.c:88-102)."""
     q_len = pos[1][1] - pos[1][0]
     t_len = pos[0][1] - pos[0][0]
     if (not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_FOR_ONLY | MM_F_REV_ONLY))
             and max_zdrop > opt.zdrop_inv and q_len < opt.max_gap and t_len < opt.max_gap):
-        qseq2 = np.empty(q_len, dtype=np.uint8)
-        for ii in range(q_len):
-            c = int(qseq[pos[1][1] - ii - 1])
-            qseq2[ii] = 4 if c >= 4 else 3 - c
+        seg = qseq[pos[1][0]:pos[1][1]][::-1].astype(np.int64)
+        qseq2 = np.where(seg >= 4, 4, 3 - seg).astype(np.uint8)
         score, _, _ = K.ksw_ll(q_len, qseq2, t_len, tseq[pos[0][0]:pos[0][1]],
                                5, mat, opt.q, opt.e)
         if score >= opt.min_chain_score * opt.a and score >= opt.min_dp_max:
@@ -250,10 +284,30 @@ def update_extra(r: Reg, qseq, tseq, mat, q, e, is_eqx, log_gap):
     tseq = tseq[tshift:]
     r.blen = r.mlen = 0
     r.is_spliced = False
+    import os
+    if not os.environ.get("MM2TPU_NO_NATIVE"):
+        from .. import native
+        if native.available():
+            blen, mlen, n_ambi, dp_max, spliced = native.update_extra_scan(
+                qseq, tseq, p.cigar, mat, 5, q, e, log_gap)
+            r.blen, r.mlen, r.is_spliced = blen, mlen, spliced
+            p.n_ambi += n_ambi
+            p.dp_max = p.dp_max0 = dp_max
+            if is_eqx:
+                update_cigar_eqx(r, qseq, tseq)
+            return
     s = 0.0
     mx = 0.0
     toff = qoff = 0
     mat2 = np.asarray(mat, dtype=np.int64)
+    if log_gap:
+        # one vectorized mg_log2 over every indel length (same f32 values
+        # as the per-op scalar calls)
+        carr = np.asarray(p.cigar, dtype=np.int64)
+        ind = (carr & 0xF)
+        lens = (carr >> 4)[(ind == CIG_I) | (ind == CIG_D)]
+        logs = iter(np.atleast_1d(
+            mg_log2((1.0 + lens).astype(np.float32))).tolist())
     for c in p.cigar:
         op, ln = c & 0xF, c >> 4
         if op == CIG_M:
@@ -262,13 +316,27 @@ def update_extra(r: Reg, qseq, tseq, mat, q, e, is_eqx, log_gap):
             ambi = (ct > 3) | (cq > 3)
             diff = (~ambi) & (ct != cq)
             vals = mat2[ct * 5 + cq]
-            # running clamp to zero requires a scan; use the exact loop
-            for l in range(ln):
-                s += float(vals[l])
-                if s < 0:
-                    s = 0.0
-                elif s > mx:
-                    mx = s
+            # clamp-to-zero running sum, vectorized: s_l = c_l - min(0,
+            # cummin(c)_l) with c = s + cumsum(vals).  Exact when s and the
+            # vals are integers; with a fractional carry (log_gap) a reset
+            # inside the run can round differently, so fall back then.
+            c = s + np.cumsum(vals, dtype=np.float64)
+            cm = np.minimum.accumulate(c)
+            if cm[-1] >= 0.0:
+                # no reset: s_l == c_l, identical rounding to the loop
+                mx = max(mx, float(c.max()))
+                s = float(c[-1])
+            elif s == float(int(s)):
+                sv = c - np.minimum(np.minimum.accumulate(c), 0.0)
+                mx = max(mx, float(sv.max()))
+                s = float(sv[-1])
+            else:
+                for l in range(ln):
+                    s += float(vals[l])
+                    if s < 0:
+                        s = 0.0
+                    elif s > mx:
+                        mx = s
             n_ambi = int(ambi.sum())
             n_diff = int(diff.sum())
             r.blen += ln - n_ambi
@@ -281,7 +349,7 @@ def update_extra(r: Reg, qseq, tseq, mat, q, e, is_eqx, log_gap):
             r.blen += ln - n_ambi
             p.n_ambi += n_ambi
             if log_gap:
-                s -= q + float(e) * float(mg_log2(np.float32(1.0 + ln)))
+                s -= q + float(e) * float(next(logs))
             else:
                 s -= q + e
             if s < 0:
@@ -292,7 +360,7 @@ def update_extra(r: Reg, qseq, tseq, mat, q, e, is_eqx, log_gap):
             r.blen += ln - n_ambi
             p.n_ambi += n_ambi
             if log_gap:
-                s -= q + float(e) * float(mg_log2(np.float32(1.0 + ln)))
+                s -= q + float(e) * float(next(logs))
             else:
                 s -= q + e
             if s < 0:
@@ -378,12 +446,12 @@ def adjust_minier(mi, qseq0, ax_i, ay_i):
 
 def collect_long_gaps(as1, cnt1, ax, ay, min_gap):
     """collect_long_gaps (align.c:435-452)."""
-    Kl = []
-    for i in range(1, cnt1):
-        gap = (I32(int(ay[as1 + i])) - I32(int(ay[as1 + i - 1]))) - \
-              (I32(int(ax[as1 + i])) - I32(int(ax[as1 + i - 1])))
-        if gap < -min_gap or gap > min_gap:
-            Kl.append(i)
+    qp = (ay[as1:as1 + cnt1] & np.uint64(0xFFFFFFFF)) \
+        .astype(np.uint32).astype(np.int32).astype(np.int64)
+    rp = (ax[as1:as1 + cnt1] & np.uint64(0xFFFFFFFF)) \
+        .astype(np.uint32).astype(np.int32).astype(np.int64)
+    gap = np.diff(qp) - np.diff(rp)
+    Kl = (np.nonzero((gap < -min_gap) | (gap > min_gap))[0] + 1).tolist()
     if len(Kl) <= 1:
         return None
     return Kl

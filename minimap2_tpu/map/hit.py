@@ -74,14 +74,16 @@ def _cal_fuzzy_len(r: Reg, ax, ay) -> None:
     r.mlen = r.blen = 0
     if r.cnt <= 0:
         return
-    span0 = int((ay[r.as_] >> np.uint64(32)) & np.uint64(0xFF))
-    r.mlen = r.blen = span0
-    for i in range(r.as_ + 1, r.as_ + r.cnt):
-        span = int((ay[i] >> np.uint64(32)) & np.uint64(0xFF))
-        tl = int(np.int32(ax[i] & np.uint64(0xFFFFFFFF))) - int(np.int32(ax[i - 1] & np.uint64(0xFFFFFFFF)))
-        ql = int(np.int32(ay[i] & np.uint64(0xFFFFFFFF))) - int(np.int32(ay[i - 1] & np.uint64(0xFFFFFFFF)))
-        r.blen += max(tl, ql)
-        r.mlen += span if (tl > span and ql > span) else min(tl, ql)
+    a, b = r.as_, r.as_ + r.cnt
+    span = ((ay[a:b] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    rp = (ax[a:b] & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
+    qp = (ay[a:b] & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
+    tl = np.diff(rp).astype(np.int64)
+    ql = np.diff(qp).astype(np.int64)
+    sp = span[1:]
+    r.blen = int(span[0] + np.maximum(tl, ql).sum())
+    r.mlen = int(span[0] + np.where((tl > sp) & (ql > sp), sp,
+                                    np.minimum(tl, ql)).sum())
 
 
 def reg_set_coor(r: Reg, qlen: int, ax, ay, is_qstrand: bool) -> None:

@@ -85,6 +85,14 @@ def _load():
     lib.mm_sketch_many.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_int, C.c_int,
         C.c_int, C.c_void_p, C.c_void_p, C.c_int64]
+    lib.mm_zdrop_scan.restype = None
+    lib.mm_zdrop_scan.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_void_p, C.c_int,
+        C.c_int, C.c_int, C.c_void_p]
+    lib.mm_update_extra_scan.restype = None
+    lib.mm_update_extra_scan.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_void_p, C.c_int,
+        C.c_int, C.c_int, C.c_int, C.c_void_p]
     _lib = lib
     return lib
 
@@ -247,3 +255,31 @@ def ksw_ll(qlen, query, tlen, target, m, mat, gapo, gape):
     sc = lib.ksw_ll_cpp(qlen, _ptr(query), tlen, _ptr(target), m,
                         _ptr(mat), gapo, gape, _ptr(qe), _ptr(te))
     return int(sc), int(qe[0]), int(te[0])
+
+
+def zdrop_scan(qseq, tseq, cigar, mat, m, q, e):
+    """mm_test_zdrop scan part -> (max_zdrop, pos[[i0,i1],[j0,j1]])."""
+    lib = _load()
+    qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
+    tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
+    cig = np.ascontiguousarray(cigar, dtype=np.uint32)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    out = np.empty(5, np.int64)
+    lib.mm_zdrop_scan(_ptr(qseq), _ptr(tseq), _ptr(cig), len(cig),
+                      _ptr(mat), m, q, e, _ptr(out))
+    return int(out[0]), [[int(out[1]), int(out[2])],
+                         [int(out[3]), int(out[4])]]
+
+
+def update_extra_scan(qseq, tseq, cigar, mat, m, q, e, log_gap):
+    """mm_update_extra stats -> (blen, mlen, n_ambi, dp_max, is_spliced)."""
+    lib = _load()
+    qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
+    tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
+    cig = np.ascontiguousarray(cigar, dtype=np.uint32)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    out = np.empty(5, np.int64)
+    lib.mm_update_extra_scan(_ptr(qseq), _ptr(tseq), _ptr(cig), len(cig),
+                             _ptr(mat), m, q, e, int(log_gap), _ptr(out))
+    return (int(out[0]), int(out[1]), int(out[2]), int(out[3]),
+            bool(out[4]))

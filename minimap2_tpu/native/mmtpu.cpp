@@ -1484,3 +1484,111 @@ int64_t ksw_ll_cpp(int qlen, const uint8_t *query, int tlen,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// mm_test_zdrop scan (align.c:61-103, up to but excluding the inversion
+// rescue): walks the cigar accumulating the running score max and the
+// deepest gap-penalised drop.  Writes [max_zdrop, pi0, pi1, pj0, pj1].
+void mm_zdrop_scan(const uint8_t *qseq, const uint8_t *tseq,
+                   const uint32_t *cigar, int64_t n_cigar,
+                   const int8_t *mat, int m, int q, int e,
+                   int64_t *out)
+{
+    long long mx = -(1LL << 31); long long mi = -1, mj = -1;
+    long long max_zdrop = 0;
+    long long p00 = -1, p01 = -1, p10 = -1, p11 = -1;
+    long long score = 0, i = 0, j = 0;
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        uint32_t c = cigar[k];
+        int op = c & 0xF; long long ln = c >> 4;
+        if (op == 0) {
+            for (long long l = 0; l < ln; ++l) {
+                score += mat[(int)tseq[i + l] * m + (int)qseq[j + l]];
+                long long ci = i + l, cj = j + l;
+                if (score < mx) {
+                    long long li = ci - mi, lj = cj - mj;
+                    long long diff = li > lj ? li - lj : lj - li;
+                    long long z = mx - score - diff * e;
+                    if (z > max_zdrop) {
+                        max_zdrop = z;
+                        p00 = mi; p01 = ci; p10 = mj; p11 = cj;
+                    }
+                } else { mx = score; mi = ci; mj = cj; }
+            }
+            i += ln; j += ln;
+        } else if (op == 1 || op == 2 || op == 3) {
+            score -= (long long)q + (long long)e * ln;
+            if (op == 1) j += ln; else i += ln;
+            if (score < mx) {
+                long long li = i - mi, lj = j - mj;
+                long long diff = li > lj ? li - lj : lj - li;
+                long long z = mx - score - diff * e;
+                if (z > max_zdrop) {
+                    max_zdrop = z;
+                    p00 = mi; p01 = i; p10 = mj; p11 = j;
+                }
+            } else { mx = score; mi = i; mj = j; }
+        }
+    }
+    out[0] = max_zdrop; out[1] = p00; out[2] = p01;
+    out[3] = p10; out[4] = p11;
+}
+
+// mm_update_extra stats (align.c:254-303 minus mm_fix_cigar): one pass over
+// the cigar computing blen/mlen/n_ambi/dp_max and the spliced flag.
+// out = [blen, mlen, n_ambi, dp_max, is_spliced]
+void mm_update_extra_scan(const uint8_t *qseq, const uint8_t *tseq,
+                          const uint32_t *cigar, int64_t n_cigar,
+                          const int8_t *mat, int m, int q, int e,
+                          int log_gap, int64_t *out)
+{
+    double s = 0.0, mxs = 0.0;
+    long long blen = 0, mlen = 0, n_ambi = 0, spliced = 0;
+    long long toff = 0, qoff = 0;
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        uint32_t c = cigar[k];
+        int op = c & 0xF; long long ln = c >> 4;
+        if (op == 0) {
+            long long na = 0, nd = 0;
+            for (long long l = 0; l < ln; ++l) {
+                int ct = tseq[toff + l], cq = qseq[qoff + l];
+                if (ct > 3 || cq > 3) ++na;
+                else if (ct != cq) ++nd;
+                s += (double)mat[ct * m + cq];
+                if (s < 0.0) s = 0.0;
+                else if (s > mxs) mxs = s;
+            }
+            blen += ln - na;
+            mlen += ln - (na + nd);
+            n_ambi += na;
+            toff += ln; qoff += ln;
+        } else if (op == 1) {
+            long long na = 0;
+            for (long long l = 0; l < ln; ++l) if (qseq[qoff + l] > 3) ++na;
+            blen += ln - na; n_ambi += na;
+            if (log_gap) s -= (double)q + (double)e
+                * (double)mg_log2f((float)(1.0 + (double)ln));
+            else s -= (double)(q + e);
+            if (s < 0.0) s = 0.0;
+            qoff += ln;
+        } else if (op == 2) {
+            long long na = 0;
+            for (long long l = 0; l < ln; ++l) if (tseq[toff + l] > 3) ++na;
+            blen += ln - na; n_ambi += na;
+            if (log_gap) s -= (double)q + (double)e
+                * (double)mg_log2f((float)(1.0 + (double)ln));
+            else s -= (double)(q + e);
+            if (s < 0.0) s = 0.0;
+            toff += ln;
+        } else if (op == 3) {
+            spliced = 1;
+            toff += ln;
+        }
+    }
+    out[0] = blen; out[1] = mlen; out[2] = n_ambi;
+    out[3] = (long long)(mxs + 0.499);
+    out[4] = spliced;
+}
+
+}  // extern "C"
