@@ -1318,6 +1318,641 @@ def gff2bed(argv, out=None):
     return 0
 
 
+
+# ---------------------------------------------------------------------------
+# Interval helpers (paftools.js:55-128)
+# ---------------------------------------------------------------------------
+
+
+def _intv_sort(a):
+    a.sort(key=lambda x: (x[0], x[1]))
+
+
+def _intv_merge(a, sorted_=True):
+    if not sorted_:
+        _intv_sort(a)
+    k = 0
+    for i in range(1, len(a)):
+        if a[k][1] >= a[i][0]:
+            a[k][1] = max(a[k][1], a[i][1])
+        else:
+            k += 1
+            a[k] = list(a[i])
+    del a[k + 1:]
+
+
+def _intv_index_end(a, sorted_=True):
+    """Appends the start-scan index used by find_ovlp (paftools.js:77-94)."""
+    if not a:
+        return
+    if not sorted_:
+        _intv_sort(a)
+    a[0].append(0)
+    k, k_en = 0, a[0][1]
+    for i in range(1, len(a)):
+        if k_en <= a[i][0]:
+            k += 1
+            while k < i:
+                if a[k][1] > a[i][0]:
+                    break
+                k += 1
+            k_en = a[k][1]
+        a[i].append(k)
+
+
+def _intv_find_ovlp(a, st, en):
+    if not a or st >= en:
+        return []
+    left, right = -1, len(a)
+    while right - left > 1:
+        mid = left + ((right - left) >> 1)
+        if a[mid][0] > st:
+            right = mid
+        elif a[mid][0] < st:
+            left = mid
+        else:
+            left = mid
+            break
+    l = left
+    k = 0 if l < 0 else a[l][-1]
+    b = []
+    for i in range(k, len(a)):
+        if a[i][0] >= en:
+            break
+        if st < a[i][1]:
+            b.append(a[i])
+    return b
+
+
+# ---------------------------------------------------------------------------
+# liftover (paftools.js:252-383)
+# ---------------------------------------------------------------------------
+
+
+def liftover(argv, out=None):
+    to_merge, min_mapq, min_len, max_div = False, 5, 50000, 2.0
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-m":
+            to_merge = True
+        elif argv[i] == "-q":
+            i += 1
+            min_mapq = int(argv[i])
+        elif argv[i] == "-l":
+            i += 1
+            min_len = int(argv[i])
+        elif argv[i] == "-d":
+            i += 1
+            max_div = float(argv[i])
+        else:
+            args.append(argv[i])
+        i += 1
+    if len(args) < 2:
+        print("Usage: paftools.py liftover [options] <aln.paf> <query.bed>",
+              file=sys.stderr)
+        return 1
+    bed = {}
+    for line in _open(args[1]):
+        t = line.rstrip("\n").split("\t")
+        bed.setdefault(t[0], []).append([int(t[1]), int(t[2])])
+    for chrom in bed:
+        _intv_sort(bed[chrom])
+        if to_merge:
+            _intv_merge(bed[chrom], True)
+        _intv_index_end(bed[chrom], True)
+    re_cigar = re.compile(r"(\d+)([MID])")
+    re_tag = re.compile(r"^(\S\S):([AZif]):(\S+)$")
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        if t[0] not in bed:
+            continue
+        tp = cg = None
+        for fld in t[12:]:
+            m = re_tag.match(fld)
+            if m:
+                if m.group(1) == "tp":
+                    tp = m.group(3)
+                elif m.group(1) == "cg":
+                    cg = m.group(3)
+        if tp not in ("P", "I"):
+            continue
+        if cg is None:
+            raise RuntimeError("unable to find the 'cg' tag")
+        for i2 in (1, 2, 3, 6, 7, 8, 9, 10, 11):
+            t[i2] = int(t[i2])
+        if t[11] < min_mapq or t[10] < min_len:
+            continue
+        regs = _intv_find_ovlp(bed[t[0]], t[2], t[3])
+        if not regs:
+            continue
+        if 0.0 <= max_div < 1.0:
+            n_gaps = n_opens = 0
+            for m in re_cigar.finditer(cg):
+                if m.group(2) in "ID":
+                    n_gaps += int(m.group(1))
+                    n_opens += 1
+            n_mm = t[10] - t[9] - n_gaps
+            n_diff2 = n_mm + n_opens
+            if n_diff2 / (n_diff2 + t[9]) > max_div:
+                continue
+        a, r = [], []
+        strand = t[4]
+        for i2, reg in enumerate(regs):
+            s_, e_ = reg[0], reg[1]
+            if strand == "+":
+                a.append([s_, 0, i2, -2])
+                a.append([e_ - 1, 1, i2, -2])
+            else:
+                a.append([t[1] - e_, 0, i2, -2])
+                a.append([t[1] - s_ - 1, 1, i2, -2])
+            r.append([-2, -2])
+        a.sort(key=lambda x: x[0])
+        k = 0
+        x = t[7]
+        y = t[2] if strand == "+" else t[1] - t[3]
+        for m in re_cigar.finditer(cg):
+            ln = int(m.group(1))
+            op = m.group(2)
+            if op == "D":
+                x += ln
+                continue
+            while k < len(a) and a[k][0] < y:
+                k += 1
+            for i2 in range(k, len(a)):
+                if y <= a[i2][0] < y + ln:
+                    a[i2][3] = x + (a[i2][0] - y) if op == "M" else x
+                else:
+                    break
+            y += ln
+            if op == "M":
+                x += ln
+        if x != t[8] or (strand == "+" and y != t[3]) or \
+                (strand == "-" and y != t[1] - t[2]):
+            raise RuntimeError("CIGAR is inconsistent with mapping "
+                               "coordinates")
+        for e in a:
+            if e[1] == 0:
+                r[e[2]][0] = e[3]
+            else:
+                r[e[2]][1] = e[3] + 1
+        for i2, ri in enumerate(r):
+            name = "_".join(map(str, [t[0], regs[i2][0], regs[i2][1]]))
+            if ri[0] < 0:
+                name += "_t5"
+                ri[0] = t[7]
+            if ri[1] < 0:
+                name += "_t3"
+                ri[1] = t[8]
+            _print(t[5], ri[0], ri[1], name, 0, strand, out=out)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# splice2bed (paftools.js:1982-2094)
+# ---------------------------------------------------------------------------
+
+
+def splice2bed(argv, out=None):
+    colors = ["0,128,255", "255,0,0", "0,192,0"]
+    fmt, fn_name_conv, keep_multi = "bed", None, False
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-f":
+            i += 1
+            fmt = argv[i]
+        elif argv[i] == "-n":
+            i += 1
+            fn_name_conv = argv[i]
+        elif argv[i] == "-m":
+            keep_multi = True
+        else:
+            args.append(argv[i])
+        i += 1
+    if not args:
+        print("Usage: paftools.py splice2bed [options] <in.paf>|<in.sam>",
+              file=sys.stderr)
+        return 1
+    conv = None
+    if fn_name_conv is not None:
+        conv = {}
+        for line in _open(fn_name_conv):
+            t = line.rstrip("\n").split("\t")
+            conv[t[0]] = t[1]
+
+    def print_lines(a):
+        if not a:
+            return
+        if fmt == "bed":
+            n_pri = sum(1 for e in a if e[8] == 0)
+            if n_pri > 1:
+                for e in a:
+                    if e[8] == 0:
+                        e[8] = 1
+            elif n_pri == 0:
+                print(f"Warning: {a[0][3]} doesn't have a primary alignment",
+                      file=sys.stderr)
+            for e in a:
+                if not keep_multi and e[8] == 2:
+                    continue
+                e[8] = colors[e[8]]
+                _print(*e, out=out)
+        a.clear()
+
+    a = []
+    for line in _open(args[0]):
+        line = line.rstrip("\n")
+        if line.startswith("@"):
+            continue
+        t = line.split("\t")
+        is_pri, cigar = False, None
+        qname = conv.get(t[0]) if conv is not None else None
+        if qname is not None:
+            t[0] = qname
+        if len(t) >= 10 and t[4] not in "+-" and re.match(r"^\d+", t[1]):
+            flag = int(t[1])
+            if flag & 1:
+                t[0] += "/" + str(flag >> 6 & 3)
+        if a and a[0][3] != t[0]:
+            print_lines(a)
+        if len(t) >= 12 and t[4] in "+-":       # PAF
+            for fld in t[12:]:
+                if fld.startswith("cg:Z:"):
+                    cigar = fld[5:]
+                elif fld.startswith("s2:i:"):
+                    is_pri = True
+            a1 = [t[5], int(t[7]), int(t[8]), t[0],
+                  int(t[9]) * 1000 // int(t[10]), t[4]]
+        elif len(t) >= 10:                      # SAM
+            flag = int(t[1])
+            if (flag & 4) or t[2] == "*":
+                continue
+            cigar = t[5]
+            is_pri = not (flag & 0x100)
+            a1 = [t[2], int(t[3]) - 1, None, t[0], 1000,
+                  "-" if flag & 16 else "+"]
+        else:
+            raise RuntimeError("unrecognized input format")
+        if cigar is None:
+            raise RuntimeError("missing CIGAR")
+        x0 = x = 0
+        bs, bl = [], []
+        for m in _RE_CIGAR.finditer(cigar):
+            ln, op = int(m.group(1)), m.group(2)
+            if op in "MD":
+                x += ln
+            elif op == "N":
+                bs.append(x0)
+                bl.append(x - x0)
+                x += ln
+                x0 = x
+        bs.append(x0)
+        bl.append(x - x0)
+        if a1[2] is None:
+            a1[2] = a1[1] + x
+        a1 += [a1[1], a1[2], 0 if is_pri else 2, len(bs),
+               ",".join(map(str, bl)) + ",", ",".join(map(str, bs)) + ","]
+        a.append(a1)
+    print_lines(a)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# delta2paf (paftools.js:1919-1980)
+# ---------------------------------------------------------------------------
+
+
+def delta2paf(argv, out=None):
+    if not argv:
+        print("Usage: paftools.py delta2paf <in.delta>", file=sys.stderr)
+        return 1
+    re_hdr = re.compile(r"^>(\S+)\s+(\S+)\s+(\d+)\s+(\d+)")
+    rname = qname = None
+    rlen = qlen = qs = qe = rs = re_ = strand = NM = 0
+    x = y = 0
+    cigar = []
+    seen_gt = False
+    for line in _open(argv[0]):
+        line = line.rstrip("\n")
+        m = re_hdr.match(line)
+        if m:
+            rname, qname = m.group(1), m.group(2)
+            rlen, qlen = int(m.group(3)), int(m.group(4))
+            seen_gt = True
+            continue
+        if not seen_gt:
+            continue
+        t = line.split(" ")
+        if len(t) == 7:
+            ti = [int(v) for v in t[:5]]
+            strand = 1 if (ti[0] < ti[1]) == (ti[2] < ti[3]) else -1
+            rs = min(ti[0], ti[1]) - 1
+            re_ = max(ti[0], ti[1])
+            qs = min(ti[2], ti[3]) - 1
+            qe = max(ti[2], ti[3])
+            x = y = 0
+            NM = ti[4]
+            cigar = []
+        elif len(t) == 1:
+            d = int(t[0])
+            if d == 0:
+                blen = 0
+                cigar_str = []
+                if re_ - rs - x != qe - qs - y:
+                    raise RuntimeError("inconsisnt alignment")
+                cigar.append((re_ - rs - x) << 4)
+                for c in cigar:
+                    blen += c >> 4
+                    cigar_str.append(str(c >> 4) + "MID"[c & 0xF])
+                _print(qname, qlen, qs, qe, "+" if strand > 0 else "-",
+                       rname, rlen, rs, re_, blen - NM, blen, 0,
+                       f"NM:i:{NM}", "cg:Z:" + "".join(cigar_str), out=out)
+            elif d > 0:
+                ln = d - 1
+                x += ln + 1
+                y += ln
+                if ln > 0:
+                    cigar.append(ln << 4)
+                if cigar and (cigar[-1] & 0xF) == 2:
+                    cigar[-1] += 1 << 4
+                else:
+                    cigar.append(1 << 4 | 2)
+            else:
+                ln = -d - 1
+                x += ln
+                y += ln + 1
+                if ln > 0:
+                    cigar.append(ln << 4)
+                if cigar and (cigar[-1] & 0xF) == 1:
+                    cigar[-1] += 1 << 4
+                else:
+                    cigar.append(1 << 4 | 1)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# bedcov (paftools.js:1187-1307)
+# ---------------------------------------------------------------------------
+
+
+def bedcov(argv, out=None):
+    def read_bed(fn, to_merge_, to_dedup):
+        h = {}
+        for line in _open(fn):
+            t = line.rstrip("\n").split("\t")
+            bst, ben = int(t[1]), int(t[2])
+            lst = h.setdefault(t[0], [])
+            if len(t) >= 12 and re.match(r"^\d+$", t[9]):
+                n = int(t[9])
+                sz = t[10].split(",")
+                st = t[11].split(",")
+                for i in range(n):
+                    sti, szi = int(st[i]), int(sz[i])
+                    lst.append([bst + sti, bst + sti + szi, 0, 0, 0])
+            else:
+                lst.append([bst, ben, 0, 0, 0])
+        for chrom in h:
+            if to_merge_:
+                _intv_merge(h[chrom], False)
+            else:
+                _intv_sort(h[chrom])
+            _intv_index_end(h[chrom])
+        return h
+
+    print_len, to_merge, to_dedup, fn_excl = False, True, False, None
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-p":
+            print_len = True
+        elif argv[i] == "-d":
+            to_dedup, to_merge = True, False
+        elif argv[i] == "-e":
+            i += 1
+            fn_excl = argv[i]
+        else:
+            args.append(argv[i])
+        i += 1
+    if len(args) < 2:
+        print("Usage: paftools.py bedcov [options] <regions.bed> "
+              "<target.bed>", file=sys.stderr)
+        return 1
+    excl = read_bed(fn_excl, True, False) if fn_excl else None
+    target = read_bed(args[0], to_merge, to_dedup)
+    tot_len = hit_len = 0
+    for line in _open(args[1]):
+        t = line.rstrip("\n").split("\t")
+        a = []
+        bst, ben = int(t[1]), int(t[2])
+        if len(t) >= 12 and re.match(r"^\d+$", t[9]):
+            n = int(t[9])
+            sz = t[10].split(",")
+            st = t[11].split(",")
+            for i2 in range(n):
+                sti, szi = int(st[i2]), int(sz[i2])
+                a.append([bst + sti, bst + sti + szi, False])
+        else:
+            a.append([bst, ben, False])
+        feat_len = 0
+        for e in a:
+            if excl is not None and t[0] in excl:
+                if _intv_find_ovlp(excl[t[0]], e[0], e[1]):
+                    continue
+            e[2] = True
+            feat_len += e[1] - e[0]
+        tot_len += feat_len
+        if t[0] not in target:
+            continue
+        b = []
+        for e in a:
+            if not e[2]:
+                continue
+            for o in _intv_find_ovlp(target[t[0]], e[0], e[1]):
+                max_st = max(o[0], e[0])
+                min_en = min(o[1], e[1])
+                b.append([max_st, min_en])
+                o[2] += min_en - max_st
+                o[3] += 1
+                if max_st == o[0] and min_en == o[1]:
+                    o[4] += 1
+        feat_hit_len = 0
+        if b:
+            b.sort(key=lambda v: v[0])
+            st_, en_ = b[0]
+            for e in b[1:]:
+                if e[0] <= en_:
+                    en_ = max(en_, e[1])
+                else:
+                    feat_hit_len += en_ - st_
+                    st_, en_ = e
+            feat_hit_len += en_ - st_
+        hit_len += feat_hit_len
+        if print_len:
+            _print("F", "\t".join(t[:4]), feat_len, feat_hit_len, out=out)
+    print(f"# target bases: {tot_len}", file=sys.stderr)
+    pct = 100.0 * hit_len / tot_len if tot_len else 0.0
+    print(f"# target bases overlapping regions: {hit_len} ({pct:.2f}%)",
+          file=sys.stderr)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# simulated-read converters (paftools.js:2271-2446)
+# ---------------------------------------------------------------------------
+
+_COMP = str.maketrans("ACGTUacgtuRYKMrykmBDHVbdhvNn",
+                      "TGCAAtgcaaYRMKyrmkVHDBvhdbNn")
+
+
+def _revcomp(s: str) -> str:
+    return s.translate(_COMP)[::-1]
+
+
+def mason2fq(argv, out=None):
+    if not argv:
+        print("Usage: paftools.py mason2fq <mason.sam>", file=sys.stderr)
+        return 1
+    o = out or sys.stdout
+
+    def print_se(a):
+        o.write("@" + "!".join(map(str, a[:5])) + " " + a[8] + "\n")
+        o.write(a[5] + "\n+\n" + a[6] + "\n")
+
+    last = None
+    for line in _open(argv[0]):
+        t = line.rstrip("\n").split("\t")
+        if t[0].startswith("@"):
+            continue
+        l_ref = sum(int(m.group(1)) for m in _RE_CIGAR.finditer(t[5])
+                    if m.group(2) in "DMN")
+        flag = int(t[1])
+        if flag & 16:
+            seq = _revcomp(t[9])
+            qual = t[10][::-1]
+        else:
+            seq, qual = t[9], t[10]
+        qname = re.sub(r"^simulated\.", "", t[0])
+        chrom = t[2]
+        pos = int(t[3]) - 1
+        strand = "-" if flag & 16 else "+"
+        read_no = flag & 0xC0
+        read_no = 1 if read_no == 0x40 else 2 if read_no == 0x80 else 0
+        err = snp = indel = 0
+        for fld in t[11:]:
+            m = re.match(r"^XE:i:(\d+)", fld)
+            if m:
+                err = m.group(1)
+                continue
+            m = re.match(r"^XS:i:(\d+)", fld)
+            if m:
+                snp = m.group(1)
+                continue
+            m = re.match(r"^XI:i:(\d+)", fld)
+            if m:
+                indel = m.group(1)
+        comment = f"{err}:{snp}:{indel}"
+        rec = [qname, chrom, pos, pos + l_ref, strand, seq, qual, read_no,
+               comment]
+        if last is None:
+            last = rec
+        elif last[0] != qname:
+            print_se(last)
+            last = rec
+        else:
+            if read_no == 2:
+                if last[7] != 1:
+                    raise RuntimeError("ERROR: can't find read1")
+                name = "!".join(map(str, [
+                    qname, chrom, f"{last[2]}_{pos}",
+                    f"{last[3]}_{pos + l_ref}", last[4] + strand]))
+                o.write(f"@{name}/1 {last[8]}\n{last[5]}\n+\n{last[6]}\n")
+                o.write(f"@{name}/2 {comment}\n{seq}\n+\n{qual}\n")
+            else:
+                if last[7] != 2:
+                    raise RuntimeError("ERROR: can't find read2")
+                name = "!".join(map(str, [
+                    qname, chrom, f"{pos}_{last[2]}",
+                    f"{pos + l_ref}_{last[3]}", strand + last[4]]))
+                o.write(f"@{name}/1 {comment}\n{seq}\n+\n{qual}\n")
+                o.write(f"@{name}/2 {last[8]}\n{last[5]}\n+\n{last[6]}\n")
+            last = None
+    if last is not None:
+        print_se(last)
+    return 0
+
+
+def pbsim2fq(argv, out=None):
+    if len(argv) < 2:
+        print("Usage: paftools.py pbsim2fq <ref.fa.fai> <pbsim1.maf> "
+              "[[pbsim2.maf] ...]", file=sys.stderr)
+        return 1
+    o = out or sys.stdout
+    chr_list = [line.split()[0] for line in _open(argv[0]) if line.strip()]
+    for fn in argv[1:]:
+        state, reg = 0, None
+        for line in _open(fn):
+            line = line.rstrip("\n")
+            if state == 0 and line.startswith("a"):
+                state = 1
+            elif state == 1 and line.startswith("s"):
+                t = line.split()
+                st = int(t[2])
+                reg = [st, st + int(t[3])]
+                state = 2
+            elif state == 2 and line.startswith("s"):
+                t = line.split()
+                m = re.search(r"S(\d+)_\d+", t[1])
+                if m is None:
+                    raise RuntimeError("Failed to parse the read name")
+                chr_id = int(m.group(1)) - 1
+                if chr_id >= len(chr_list):
+                    raise RuntimeError("Index outside the chr list")
+                name = "!".join(map(str, [t[1], chr_list[chr_id], reg[0],
+                                          reg[1], t[4]]))
+                seq = t[6].replace("-", "")
+                if len(seq) != int(t[5]):
+                    raise RuntimeError("Inconsistent read length")
+                if "NN" not in seq:
+                    if t[4] == "-":
+                        seq = _revcomp(seq)
+                    o.write(">" + name + "\n" + seq + "\n")
+                state = 0
+    return 0
+
+
+def sim2bed(argv, out=None):
+    if not argv:
+        print("Usage: paftools.py sim2bed <sim.txt>", file=sys.stderr)
+        return 1
+    seen = set()
+    for line in _open(argv[0]):
+        line = line.rstrip("\n")
+        t = line.split("!")
+        if len(t) < 5:
+            continue
+        chrom = t[1]
+        if "_" in t[2]:     # mason paired-end
+            pos = t[2].split("_")
+            end = t[3].split("_")
+            m = re.match(r"^(.)(.)/([12])$", t[4])
+            if m is None:
+                continue
+            strand = m.group(1) if m.group(3) == "1" else m.group(2)
+            read_no = int(m.group(3)) - 1
+            st, en = int(pos[read_no]), int(end[read_no])
+        else:               # badread/pbsim long reads
+            st, en = int(t[2]), int(t[3])
+            strand = t[4]
+        if st > en:
+            st, en = en, st
+        if line in seen:
+            continue
+        seen.add(line)
+        _print(chrom, st, en, line, 0, strand, out=out)
+    return 0
+
+
 _CMDS = {
     "sam2paf": sam2paf,
     "mapeval": mapeval,
@@ -1327,6 +1962,13 @@ _CMDS = {
     "call": call,
     "ov-eval": ov_eval,
     "gff2bed": gff2bed,
+    "liftover": liftover,
+    "splice2bed": splice2bed,
+    "delta2paf": delta2paf,
+    "bedcov": bedcov,
+    "mason2fq": mason2fq,
+    "pbsim2fq": pbsim2fq,
+    "sim2bed": sim2bed,
 }
 
 
