@@ -270,10 +270,20 @@ def chain_rmq(max_dist, max_dist_inner, bw, max_chn_skip, cap_rmq_size,
     The AVL tree is replaced by explicit active windows over the anchor array;
     RMQ = argmax of the priority within the (query-pos) range. Priorities are
     doubles exactly as the reference.
-    """
+
+    Dispatches to the native C++ segment-tree sweep (native/mmtpu.cpp
+    mg_lchain_rmq_cpp) unless MM2TPU_NO_NATIVE is set."""
     n = len(ax)
     if n == 0:
         return np.empty(0, np.uint64), ax, ay
+    import os
+    if not os.environ.get("MM2TPU_NO_NATIVE"):
+        from .. import native
+        if native.available():
+            return native.lchain_rmq(max_dist, max_dist_inner, bw,
+                                     max_chn_skip, cap_rmq_size, min_cnt,
+                                     min_sc, chn_pen_gap, chn_pen_skip,
+                                     ax, ay)
     if max_dist < bw:
         max_dist = bw
     if max_dist_inner < 0:

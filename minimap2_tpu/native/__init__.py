@@ -85,6 +85,12 @@ def _load():
     lib.mm_sketch_many.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_int, C.c_int,
         C.c_int, C.c_void_p, C.c_void_p, C.c_int64]
+    lib.mg_lchain_rmq_cpp.restype = C.c_int64
+    lib.mg_lchain_rmq_cpp.argtypes = [
+        C.c_int64, C.c_int64, C.c_int64, C.c_int64, C.c_int64, C.c_int64,
+        C.c_int64, C.c_float, C.c_float, C.c_int64,
+        C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
+        C.c_void_p]
     lib.mm_zdrop_scan.restype = None
     lib.mm_zdrop_scan.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_void_p, C.c_int,
@@ -283,3 +289,22 @@ def update_extra_scan(qseq, tseq, cigar, mat, m, q, e, log_gap):
                              _ptr(mat), m, q, e, int(log_gap), _ptr(out))
     return (int(out[0]), int(out[1]), int(out[2]), int(out[3]),
             bool(out[4]))
+
+
+def lchain_rmq(max_dist, max_dist_inner, bw, max_chn_skip, cap_rmq_size,
+               min_cnt, min_sc, chn_pen_gap, chn_pen_skip, ax, ay):
+    """Native mg_lchain_rmq; returns (u, new_ax, new_ay)."""
+    lib = _load()
+    ax = np.ascontiguousarray(ax, dtype=np.uint64)
+    ay = np.ascontiguousarray(ay, dtype=np.uint64)
+    n = len(ax)
+    out_u = np.empty(max(n, 1), np.uint64)
+    out_ax = np.empty(max(n, 1), np.uint64)
+    out_ay = np.empty(max(n, 1), np.uint64)
+    n_anchor = np.zeros(1, np.int64)
+    n_u = lib.mg_lchain_rmq_cpp(
+        max_dist, max_dist_inner, bw, max_chn_skip, cap_rmq_size, min_cnt,
+        min_sc, float(chn_pen_gap), float(chn_pen_skip), n, _ptr(ax),
+        _ptr(ay), _ptr(out_u), _ptr(out_ax), _ptr(out_ay), _ptr(n_anchor))
+    na = int(n_anchor[0])
+    return out_u[:n_u].copy(), out_ax[:na].copy(), out_ay[:na].copy()

@@ -15,6 +15,8 @@
 #include <cstring>
 #include <algorithm>
 #include <vector>
+#include <set>
+#include <limits>
 
 extern "C" {
 
@@ -1264,6 +1266,69 @@ static int64_t chain_bk_end(int64_t max_drop, const int64_t *zx,
     return max_i;
 }
 
+// mg_chain_backtrack + compact_a shared by the DP and RMQ chainers
+static int64_t backtrack_compact_c(int64_t n, const int64_t *f,
+                                   const int64_t *pp, int64_t min_cnt,
+                                   int64_t min_sc, int64_t max_drop,
+                                   const uint64_t *ax, const uint64_t *ay,
+                                   uint64_t *out_u, uint64_t *out_ax,
+                                   uint64_t *out_ay, int64_t *out_n_anchor)
+{
+    std::vector<int64_t> t(n, 0);
+    std::vector<int64_t> sel;
+    for (int64_t i = 0; i < n; ++i)
+        if (f[i] >= min_sc) sel.push_back(i);
+    if (sel.empty()) return 0;
+    std::stable_sort(sel.begin(), sel.end(),
+                     [&](int64_t a, int64_t b) { return f[a] < f[b]; });
+    int64_t n_z = (int64_t)sel.size();
+    std::vector<int64_t> zx(n_z), zy(n_z);
+    for (int64_t k = 0; k < n_z; ++k) { zx[k] = f[sel[k]]; zy[k] = sel[k]; }
+    std::vector<int64_t> v_list;
+    std::vector<std::pair<int64_t, int64_t>> u_list;   // (sc, cnt)
+    for (int64_t k = n_z - 1; k >= 0; --k) {
+        if (t[zy[k]] != 0) continue;
+        size_t n_v0 = v_list.size();
+        int64_t end_i = chain_bk_end(max_drop, zx.data(), zy.data(),
+                                     f, pp, t.data(), k);
+        for (int64_t i = zy[k]; i != end_i; i = pp[i]) {
+            v_list.push_back(i);
+            t[i] = 1;
+        }
+        int64_t sc = (int32_t)(end_i < 0 ? zx[k] : zx[k] - f[end_i]);
+        int64_t n_vi = (int64_t)(v_list.size() - n_v0);
+        if (sc >= min_sc && n_vi > 0 && n_vi >= min_cnt)
+            u_list.push_back({sc, n_vi});
+        else
+            v_list.resize(n_v0);
+    }
+    if (u_list.empty()) return 0;
+    int64_t n_u = (int64_t)u_list.size();
+    std::vector<int64_t> starts(n_u + 1, 0);
+    for (int64_t j = 0; j < n_u; ++j)
+        starts[j + 1] = starts[j] + u_list[j].second;
+    std::vector<int64_t> corder(n_u);
+    for (int64_t j = 0; j < n_u; ++j) corder[j] = j;
+    std::stable_sort(corder.begin(), corder.end(), [&](int64_t a, int64_t b) {
+        uint64_t fa = ax[v_list[starts[a + 1] - 1]];
+        uint64_t fb = ax[v_list[starts[b + 1] - 1]];
+        return fa < fb;
+    });
+    int64_t kpos = 0;
+    for (int64_t jj = 0; jj < n_u; ++jj) {
+        int64_t j = corder[jj];
+        out_u[jj] = (uint64_t)u_list[j].first << 32
+            | (uint64_t)u_list[j].second;
+        for (int64_t i = starts[j + 1] - 1; i >= starts[j]; --i) {
+            out_ax[kpos] = ax[v_list[i]];
+            out_ay[kpos] = ay[v_list[i]];
+            ++kpos;
+        }
+    }
+    *out_n_anchor = kpos;
+    return n_u;
+}
+
 // returns number of chains; fills u (score<<32|cnt), out_ax/out_ay
 int64_t mg_lchain_dp_cpp(int64_t max_dist_x, int64_t max_dist_y, int64_t bw,
                          int64_t max_skip, int64_t max_iter,
@@ -1336,63 +1401,212 @@ int64_t mg_lchain_dp_cpp(int64_t max_dist_x, int64_t max_dist_y, int64_t bw,
             max_ii = i;
         t[i] = 0;   // oracle uses -1 sentinel; reuse as 'not marked'
     }
-    // reset t for backtrack
-    std::fill(t.begin(), t.end(), 0);
-    // z: anchors with f >= min_sc, sorted by (f, index) ascending (stable)
-    std::vector<int64_t> sel;
-    for (int64_t i = 0; i < n; ++i)
-        if (f[i] >= min_sc) sel.push_back(i);
-    if (sel.empty()) return 0;
-    std::stable_sort(sel.begin(), sel.end(),
-                     [&](int64_t a, int64_t b) { return f[a] < f[b]; });
-    int64_t n_z = (int64_t)sel.size();
-    std::vector<int64_t> zx(n_z), zy(n_z);
-    for (int64_t k = 0; k < n_z; ++k) { zx[k] = f[sel[k]]; zy[k] = sel[k]; }
-    std::vector<int64_t> v_list;
-    std::vector<std::pair<int64_t, int64_t>> u_list;   // (sc, cnt)
-    for (int64_t k = n_z - 1; k >= 0; --k) {
-        if (t[zy[k]] != 0) continue;
-        size_t n_v0 = v_list.size();
-        int64_t end_i = chain_bk_end(max_drop, zx.data(), zy.data(),
-                                     f.data(), pp.data(), t.data(), k);
-        for (int64_t i = zy[k]; i != end_i; i = pp[i]) {
-            v_list.push_back(i);
-            t[i] = 1;
-        }
-        int64_t sc = (int32_t)(end_i < 0 ? zx[k] : zx[k] - f[end_i]);
-        int64_t n_vi = (int64_t)(v_list.size() - n_v0);
-        if (sc >= min_sc && n_vi > 0 && n_vi >= min_cnt)
-            u_list.push_back({sc, n_vi});
-        else
-            v_list.resize(n_v0);
+    return backtrack_compact_c(n, f.data(), pp.data(), min_cnt, min_sc,
+                               max_drop, ax, ay, out_u, out_ax, out_ay,
+                               out_n_anchor);
+}
+
+// comput_sc_simple (lchain.c:232-248)
+static inline int64_t comput_sc_simple_c(uint64_t xi, uint64_t yi,
+                                         uint64_t xj, uint64_t yj,
+                                         float chn_pen_gap,
+                                         float chn_pen_skip,
+                                         int *exact, int64_t *width)
+{
+    int64_t dq = (int64_t)(int32_t)(uint32_t)yi - (int64_t)(int32_t)(uint32_t)yj;
+    int64_t dr = (int32_t)(xi - xj);
+    int64_t dd = dr > dq ? dr - dq : dq - dr;
+    int64_t dg = dr < dq ? dr : dq;
+    int64_t q_span = (int64_t)(yj >> 32 & 0xFF);
+    int64_t sc = q_span < dg ? q_span : dg;
+    *exact = (dd == 0 && dg <= q_span);
+    if (dd || dq > q_span) {
+        float lin_pen = chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
+        float log_pen = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
+        sc -= (int64_t)(lin_pen + 0.5f * log_pen);
     }
-    if (u_list.empty()) return 0;
-    // compact: chains in v_list reversed; order chains by first anchor x
-    int64_t n_u = (int64_t)u_list.size();
-    std::vector<int64_t> starts(n_u + 1, 0);
-    for (int64_t j = 0; j < n_u; ++j)
-        starts[j + 1] = starts[j] + u_list[j].second;
-    std::vector<int64_t> corder(n_u);
-    for (int64_t j = 0; j < n_u; ++j) corder[j] = j;
-    std::stable_sort(corder.begin(), corder.end(), [&](int64_t a, int64_t b) {
-        // first anchor of chain = LAST entry of its v_list segment
-        uint64_t fa = ax[v_list[starts[a + 1] - 1]];
-        uint64_t fb = ax[v_list[starts[b + 1] - 1]];
-        return fa < fb;
+    *width = dd;
+    return sc;
+}
+
+// max-segment-tree over (pri, -index): higher priority wins, ties -> the
+// smaller anchor index (matches the oracle's first-argmax semantics)
+struct RmqSeg {
+    int64_t sz;
+    std::vector<double> pri;
+    std::vector<int64_t> idx;
+    void init(int64_t n) {
+        sz = 1;
+        while (sz < n) sz <<= 1;
+        pri.assign(2 * sz, -std::numeric_limits<double>::infinity());
+        idx.assign(2 * sz, -1);
+    }
+    void set(int64_t pos, double v, int64_t id) {
+        int64_t x = pos + sz;
+        pri[x] = v; idx[x] = id;
+        for (x >>= 1; x >= 1; x >>= 1) {
+            int64_t l = 2 * x, r = 2 * x + 1;
+            if (pri[l] > pri[r] || (pri[l] == pri[r] && idx[l] < idx[r])) {
+                pri[x] = pri[l]; idx[x] = idx[l];
+            } else { pri[x] = pri[r]; idx[x] = idx[r]; }
+        }
+    }
+    // best over rank range [l, r)
+    void query(int64_t l, int64_t r, double *bp, int64_t *bi) const {
+        double p_ = -std::numeric_limits<double>::infinity();
+        int64_t i_ = -1;
+        for (l += sz, r += sz; l < r; l >>= 1, r >>= 1) {
+            if (l & 1) {
+                if (pri[l] > p_ || (pri[l] == p_ && idx[l] < i_)) {
+                    p_ = pri[l]; i_ = idx[l];
+                }
+                ++l;
+            }
+            if (r & 1) {
+                --r;
+                if (pri[r] > p_ || (pri[r] == p_ && idx[r] < i_)) {
+                    p_ = pri[r]; i_ = idx[r];
+                }
+            }
+        }
+        *bp = p_; *bi = i_;
+    }
+};
+
+// mg_lchain_rmq (lchain.c:250-368) as an offline sweep: the krmq AVL tree
+// becomes a segment tree over (y, index) rank with activation toggles, the
+// inner small-gap tree an ordered set walked in descending (y, index).
+// Bit-exact with the Python oracle chain_rmq (map/chain.py).
+int64_t mg_lchain_rmq_cpp(int64_t max_dist, int64_t max_dist_inner,
+                          int64_t bw, int64_t max_chn_skip,
+                          int64_t cap_rmq_size, int64_t min_cnt,
+                          int64_t min_sc, float chn_pen_gap,
+                          float chn_pen_skip, int64_t n,
+                          const uint64_t *ax, const uint64_t *ay,
+                          uint64_t *out_u, uint64_t *out_ax,
+                          uint64_t *out_ay, int64_t *out_n_anchor)
+{
+    *out_n_anchor = 0;
+    if (n == 0) return 0;
+    if (max_dist < bw) max_dist = bw;
+    if (max_dist_inner < 0) max_dist_inner = 0;
+    if (max_dist_inner > max_dist) max_dist_inner = max_dist;
+    std::vector<int64_t> f(n, 0), pp(n, -1), vv(n, 0), t(n, -1);
+    std::vector<int64_t> y32(n), x32(n), xhi(n);
+    for (int64_t i = 0; i < n; ++i) {
+        y32[i] = (int32_t)(uint32_t)ay[i];
+        x32[i] = (int32_t)(uint32_t)ax[i];
+        xhi[i] = (int64_t)(ax[i] >> 32);
+    }
+    // rank anchors by (y32, index) for the segment tree
+    std::vector<int64_t> order(n), rank(n);
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        return y32[a] < y32[b];
     });
-    int64_t kpos = 0;
-    for (int64_t jj = 0; jj < n_u; ++jj) {
-        int64_t j = corder[jj];
-        out_u[jj] = (uint64_t)u_list[j].first << 32
-            | (uint64_t)u_list[j].second;
-        for (int64_t i = starts[j + 1] - 1; i >= starts[j]; --i) {
-            out_ax[kpos] = ax[v_list[i]];
-            out_ay[kpos] = ay[v_list[i]];
-            ++kpos;
+    std::vector<int64_t> ys(n);
+    for (int64_t r = 0; r < n; ++r) { rank[order[r]] = r; ys[r] = y32[order[r]]; }
+    RmqSeg seg;
+    seg.init(n);
+    std::set<std::pair<int64_t, int64_t>> inner;   // (y32, index)
+    std::vector<uint8_t> in_tree(n, 0), in_inner(n, 0);
+    int64_t st = 0, st_inner = 0, i0 = 0;
+    int64_t tree_size = 0, inner_size = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t q_span = (int64_t)(ay[i] >> 32 & 0xFF);
+        int64_t max_f = q_span, max_j = -1;
+        if (i0 < i && ax[i0] != ax[i]) {
+            for (int64_t j = i0; j < i; ++j) {
+                double pj = (double)f[j]
+                    + 0.5 * (double)chn_pen_gap
+                    * ((double)x32[j] + (double)y32[j]);
+                seg.set(rank[j], pj, j);
+                in_tree[j] = 1;
+                ++tree_size;
+                if (max_dist_inner > 0) {
+                    inner.insert({y32[j], j});
+                    in_inner[j] = 1;
+                    ++inner_size;
+                }
+            }
+            i0 = i;
         }
+        while (st < i && (xhi[i] != xhi[st]
+                          || ax[i] > ax[st] + (uint64_t)max_dist
+                          || tree_size > cap_rmq_size)) {
+            if (in_tree[st]) {
+                in_tree[st] = 0;
+                seg.set(rank[st],
+                        -std::numeric_limits<double>::infinity(), -1);
+                --tree_size;
+            }
+            ++st;
+        }
+        if (max_dist_inner > 0) {
+            while (st_inner < i
+                   && (xhi[i] != xhi[st_inner]
+                       || ax[i] > ax[st_inner] + (uint64_t)max_dist_inner
+                       || inner_size > cap_rmq_size)) {
+                if (in_inner[st_inner]) {
+                    in_inner[st_inner] = 0;
+                    inner.erase({y32[st_inner], st_inner});
+                    --inner_size;
+                }
+                ++st_inner;
+            }
+        }
+        int64_t lo_y = y32[i] - max_dist, hi_y = y32[i];
+        if (tree_size > 0) {
+            // rank range for y in (lo_y, hi_y) exclusive on both ends
+            int64_t lo_r = std::lower_bound(ys.begin(), ys.end(), lo_y + 1)
+                - ys.begin();
+            int64_t hi_r = std::lower_bound(ys.begin(), ys.end(), hi_y)
+                - ys.begin();
+            if (lo_r < hi_r) {
+                double bp; int64_t q;
+                seg.query(lo_r, hi_r, &bp, &q);
+                if (q >= 0) {
+                    int exact; int64_t width;
+                    int64_t sc = comput_sc_simple_c(
+                        ax[i], ay[i], ax[q], ay[q], chn_pen_gap,
+                        chn_pen_skip, &exact, &width);
+                    int64_t scf = sc + f[q];
+                    if (width <= bw && scf > max_f) {
+                        max_f = scf; max_j = q;
+                    }
+                    int n_skip = 0;
+                    if (!exact && max_dist_inner > 0 && y32[i] > 0) {
+                        auto it = inner.lower_bound({y32[i] - 1,
+                                                     INT64_MAX});
+                        while (it != inner.begin()) {
+                            --it;
+                            int64_t q2 = it->second;
+                            if (y32[q2] < y32[i] - max_dist_inner) break;
+                            int ex2; int64_t w2;
+                            int64_t sc2 = comput_sc_simple_c(
+                                ax[i], ay[i], ax[q2], ay[q2], chn_pen_gap,
+                                chn_pen_skip, &ex2, &w2);
+                            sc2 += f[q2];
+                            if (w2 <= bw) {
+                                if (sc2 > max_f) {
+                                    max_f = sc2; max_j = q2;
+                                    if (n_skip > 0) --n_skip;
+                                } else if (t[q2] == i) {
+                                    if (++n_skip > max_chn_skip) break;
+                                }
+                                if (pp[q2] >= 0) t[pp[q2]] = i;
+                            }
+                        }
+                    }
+                }
+            }
+        }
+        f[i] = max_f; pp[i] = max_j;
+        vv[i] = (max_j >= 0 && vv[max_j] > max_f) ? vv[max_j] : max_f;
     }
-    *out_n_anchor = kpos;
-    return n_u;
+    return backtrack_compact_c(n, f.data(), pp.data(), min_cnt, min_sc,
+                               bw, ax, ay, out_u, out_ax, out_ay,
+                               out_n_anchor);
 }
 
 }  // extern "C"

@@ -173,3 +173,38 @@ def test_native_chain_dp_bitexact():
             np.testing.assert_array_equal(ay0, ay1)
     finally:
         del os.environ["MM2TPU_NO_NATIVE"]
+
+
+def test_native_chain_rmq_bitexact():
+    import os
+
+    from minimap2_tpu.map.chain import chain_rmq
+    rng = np.random.default_rng(13)
+    os.environ["MM2TPU_NO_NATIVE"] = "1"
+    try:
+        for t in range(8):
+            n = int(rng.integers(5, 1200))
+            rpos = np.sort(rng.integers(0, 300000, n)).astype(np.uint64)
+            qpos = (rpos - rpos[0]
+                    + rng.integers(0, 1500, n).astype(np.uint64)) \
+                & np.uint64(0xFFFFFFFF)
+            rev = (rng.random(n) < 0.3).astype(np.uint64)
+            ax = (rev << np.uint64(63)) | rpos
+            ay = (np.uint64(15) << np.uint64(32)) | qpos
+            order = np.argsort(ax, kind="stable")
+            ax, ay = ax[order], ay[order]
+            args = (int(rng.choice([5000, 20000])),
+                    int(rng.choice([0, 1000])), int(rng.choice([500, 2000])),
+                    25, int(rng.choice([1 << 29, 100])), 3, 40,
+                    np.float32(0.12), np.float32(0.0))
+            u0, ax0, ay0 = chain_rmq(*args, ax, ay)
+            del os.environ["MM2TPU_NO_NATIVE"]
+            try:
+                u1, ax1, ay1 = chain_rmq(*args, ax, ay)
+            finally:
+                os.environ["MM2TPU_NO_NATIVE"] = "1"
+            np.testing.assert_array_equal(u0, u1)
+            np.testing.assert_array_equal(ax0, ax1)
+            np.testing.assert_array_equal(ay0, ay1)
+    finally:
+        del os.environ["MM2TPU_NO_NATIVE"]
