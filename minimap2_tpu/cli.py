@@ -448,11 +448,22 @@ def main(argv=None) -> int:
 
     n_mapped = 0
     frag_mode = len(queries) > 1 or bool(mo.flag & C.MM_F_FRAG_MODE)
-    for frag in iter_fragments(queries, frag_mode):
-        results = map_fragment(mi, mo, frag)
-        write_fragment(out, mi, mo, frag, [res.regs for res in results],
-                       [res.rep_len for res in results])
-        n_mapped += len(frag)
+    # kt_for analogue: fork-pool over fragment chunks when -t > 1 and no
+    # debug printing interleaves with stdout (map.c:576, kthread.c:54)
+    from .map import pipeline as _plmod
+    use_pool = (args.n_threads > 1 and sys.platform.startswith("linux")
+                and not (_plmod.DBG_PRINT_SEED or _plmod.DBG_PRINT_CHAIN))
+    if use_pool:
+        from .map.parallel_host import run_parallel
+        n_mapped = run_parallel(mi, mo, queries, out, frag_mode,
+                                args.n_threads)
+    else:
+        for frag in iter_fragments(queries, frag_mode):
+            results = map_fragment(mi, mo, frag)
+            write_fragment(out, mi, mo, frag,
+                           [res.regs for res in results],
+                           [res.rep_len for res in results])
+            n_mapped += len(frag)
     if args.verbose >= 3:
         el = time.time() - REALTIME0
         print(f"[M::worker_pipeline::{el:.3f}*1.00] mapped {n_mapped} sequences",

@@ -1,0 +1,60 @@
+"""Multi-worker host mapping: the kt_for/kt_pipeline analogue (-t).
+
+The reference maps fragments with `kt_for` worker threads inside a
+3-step ordered pipeline (kthread.c:54-159, map.c:541-641). Python
+threads cannot parallelize the mapping inner loop, so fragments are
+fanned out to forked worker processes instead: the index is built once
+in the parent and shared copy-on-write, each worker maps + formats a
+chunk of fragments, and `imap` preserves input order exactly like the
+pipeline's ordered step-2 write.
+"""
+from __future__ import annotations
+
+import io
+import sys
+
+from .driver import iter_fragments, map_fragment, write_fragment
+
+_G: tuple | None = None     # (mi, mo) inherited by forked workers
+
+
+def _work_chunk(frags):
+    mi, mo = _G
+    buf = io.StringIO()
+    n = 0
+    for frag in frags:
+        results = map_fragment(mi, mo, frag)
+        write_fragment(buf, mi, mo, frag, [res.regs for res in results],
+                       [res.rep_len for res in results])
+        n += len(frag)
+    return n, buf.getvalue()
+
+
+def run_parallel(mi, mo, queries, out, frag_mode: bool, n_threads: int,
+                 chunk_frags: int = 16) -> int:
+    """Map all fragments with a fork pool; returns #reads mapped."""
+    import multiprocessing as mp
+
+    global _G
+    _G = (mi, mo)
+    ctx = mp.get_context("fork")
+
+    def chunks():
+        cur = []
+        for frag in iter_fragments(queries, frag_mode):
+            cur.append(frag)
+            if len(cur) >= chunk_frags:
+                yield cur
+                cur = []
+        if cur:
+            yield cur
+
+    n_mapped = 0
+    try:
+        with ctx.Pool(n_threads) as pool:
+            for n, txt in pool.imap(_work_chunk, chunks()):
+                out.write(txt)
+                n_mapped += n
+    finally:
+        _G = None
+    return n_mapped

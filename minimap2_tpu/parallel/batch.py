@@ -688,7 +688,12 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
     chain+extend run on the merged set.  Read-level stats psum over 'data'.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+        _sm_kw = {"check_vma": False}      # jax >= 0.8 renamed check_rep
+    except ImportError:                    # older jax
+        from jax.experimental.shard_map import shard_map
+        _sm_kw = {"check_rep": False}
 
     def local_step(di, codes, lens):
         hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
@@ -731,7 +736,7 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
                                              "rid": 0, "rev": 0, "qs": 0,
                                              "qe": 0, "rs": 0, "re": 0}),
                        P()),
-                   check_rep=False)
+                   **_sm_kw)
     return jax.jit(fn)
 
 
