@@ -84,7 +84,7 @@ def bench_ours(mi, names, seqs):
         for st in range(0, N_READS, B):
             nm, sq = names[st:st + B], seqs[st:st + B]
             inflight.append((nm, sq, engine.dispatch_batch(step, sq, p)))
-            while len(inflight) > 1:
+            while len(inflight) > 2:
                 nm0, sq0, fut = inflight.pop(0)
                 engine.map_batch_paf(mi, di, step, nm0, sq0, None, p, buf,
                                      pending=fut)

@@ -71,3 +71,44 @@ def sort3_rows(k1, k2, k3, *, G=8, interpret=False):
         interpret=interpret,
     )(k1.reshape(NB, G, A), k2.reshape(NB, G, A), k3.reshape(NB, G, A))
     return tuple(o.reshape(B, A) for o in outs)
+
+
+def _sort1_kernel(k1_ref, o1_ref, *, G, A):
+    lane = lax.broadcasted_iota(jnp.int32, (G, A), 1)
+    k1 = k1_ref[0]
+    kk = 2
+    while kk <= A:
+        asc = (lane & kk) == 0
+        j = kk >> 1
+        while j >= 1:
+            bitj = (lane & j) != 0
+            p1 = jnp.where(bitj, pltpu.roll(k1, j, axis=1),
+                           pltpu.roll(k1, A - j, axis=1))
+            bx = bitj ^ asc
+            keep_self = (bx & ~(k1 > p1)) | (~bx & ~(k1 < p1))
+            k1 = jnp.where(keep_self, k1, p1)
+            j >>= 1
+        kk <<= 1
+    o1_ref[0] = k1
+
+
+@functools.partial(jax.jit, static_argnames=("G", "interpret"))
+def sort1_rows(k1, *, G=8, interpret=False):
+    """Row-wise ascending sort of one u32 key plane (minimizer position
+    compaction: cheaper than XLA scatter-compress at (B, 12k+) widths)."""
+    B, A = k1.shape
+    assert B % G == 0 and (A & (A - 1)) == 0, (B, G, A)
+    NB = B // G
+    kernel = functools.partial(_sort1_kernel, G=G, A=A)
+    shape = jax.ShapeDtypeStruct((NB, G, A), jnp.uint32)
+    spec = pl.BlockSpec((1, G, A), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=shape,
+        interpret=interpret,
+    )(k1.reshape(NB, G, A))
+    return out.reshape(B, A)

@@ -189,16 +189,13 @@ class DeviceIndex:
     """Flat-tensor minimizer index resident in HBM (index.c:93-110 layout
     re-expressed as sorted keys + offset/count + int32 position planes)."""
 
-    def __init__(self, keys_hi, keys_lo, starts, cnts, pos_rid, pos_rpos,
-                 pos_strand, S, seq_off, seq_len, bucket_start=None,
-                 key_shift: int = 0):
-        self.keys_hi = keys_hi      # (K,) u32 hi words, sorted (hi, lo) pairs
-        self.keys_lo = keys_lo      # (K,) u32 lo words, padded with UMAX
-        self.starts = starts        # (K,) i32 offsets into pos planes
-        self.cnts = cnts            # (K,) i32
-        self.pos_rid = pos_rid      # (P,) i32
-        self.pos_rpos = pos_rpos    # (P,) i32  last position of minimizer
-        self.pos_strand = pos_strand  # (P,) i32 0/1
+    def __init__(self, keys2, sc2, pos2, S, seq_off, seq_len,
+                 bucket_start=None, key_shift: int = 0):
+        # pair-packed planes: one 2-wide gather fetches what used to take
+        # two element gathers (gathers are the device bottleneck)
+        self.keys2 = keys2          # (K, 2) u32 [hi, lo], sorted, UMAX pad
+        self.sc2 = sc2              # (K, 2) i32 [start, cnt]
+        self.pos2 = pos2            # (P, 2) i32 [rid, rpos<<1|strand]
         self.S = S                  # (T,) u8 nt4 codes, concatenated refs
         self.seq_off = seq_off      # (n_seq,) i32
         self.seq_len = seq_len      # (n_seq,) i32
@@ -208,8 +205,7 @@ class DeviceIndex:
         self.key_shift = key_shift         # static: key >> shift = bucket
 
     def tree_flatten(self):
-        return ((self.keys_hi, self.keys_lo, self.starts, self.cnts,
-                 self.pos_rid, self.pos_rpos, self.pos_strand, self.S,
+        return ((self.keys2, self.sc2, self.pos2, self.S,
                  self.seq_off, self.seq_len, self.bucket_start),
                 self.key_shift)
 
@@ -247,30 +243,25 @@ class DeviceIndex:
             lo, hi = bounds[i], bounds[i + 1]
             keys = np.full(kpad, UMAX64_NP, np.uint64)
             keys[:hi - lo] = mi.keys[lo:hi]
-            khi = (keys >> np.uint64(32)).astype(np.uint32)
-            klo = keys.astype(np.uint32)
+            keys2 = np.empty((kpad, 2), np.uint32)
+            keys2[:, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+            keys2[:, 1] = keys.astype(np.uint32)
             nb = 1 << min(bb, key_bits)
             bstart = np.searchsorted(
                 mi.keys[lo:hi] >> np.uint64(shift),
                 np.arange(nb + 1, dtype=np.uint64)).astype(np.int32)
             p0 = int(mi.starts[lo]) if K else 0
             p1 = int(mi.starts[hi]) if K else 0
-            starts = np.zeros(kpad, np.int32)
-            cnts = np.zeros(kpad, np.int32)
-            starts[:hi - lo] = (mi.starts[lo:hi] - p0).astype(np.int32)
-            cnts[:hi - lo] = cnts_all[lo:hi]
+            sc2 = np.zeros((kpad, 2), np.int32)
+            sc2[:hi - lo, 0] = (mi.starts[lo:hi] - p0).astype(np.int32)
+            sc2[:hi - lo, 1] = cnts_all[lo:hi]
             pos = mi.pos[p0:p1]
-            pr = np.zeros(ppad, np.int32)
-            pp = np.zeros(ppad, np.int32)
-            ps = np.zeros(ppad, np.int32)
-            pr[:len(pos)] = (pos >> np.uint64(32)).astype(np.int32)
-            # packed plane: rpos<<1 | strand (one gather serves both)
-            pp[:len(pos)] = (pos & np.uint64(0xFFFFFFFF)).astype(np.int32)
-            ps[:len(pos)] = (pos & np.uint64(1)).astype(np.int32)
-            shards.append(cls(jnp.asarray(khi), jnp.asarray(klo),
-                              jnp.asarray(starts), jnp.asarray(cnts),
-                              jnp.asarray(pr), jnp.asarray(pp),
-                              jnp.asarray(ps), jnp.asarray(S),
+            pos2 = np.zeros((ppad, 2), np.int32)
+            pos2[:len(pos), 0] = (pos >> np.uint64(32)).astype(np.int32)
+            # packed: rpos<<1 | strand (one gather serves both)
+            pos2[:len(pos), 1] = (pos & np.uint64(0xFFFFFFFF)).astype(np.int32)
+            shards.append(cls(jnp.asarray(keys2), jnp.asarray(sc2),
+                              jnp.asarray(pos2), jnp.asarray(S),
                               jnp.asarray(seq_off), jnp.asarray(seq_len),
                               jnp.asarray(bstart), shift))
         return shards
@@ -376,18 +367,33 @@ def device_sketch(codes, lens, k: int, w: int):
     return hhi, hlo, z, is_mini
 
 
-def _compact_minimizers(hhi, hlo, strand, is_mini, M: int):
-    """Select up to M minimizer positions per read, in position order
-    (rank-scatter compaction; cheaper than a per-row argsort)."""
+def _compact_minimizers(hhi, hlo, strand, is_mini, M: int,
+                        use_pallas: bool = False):
+    """Select up to M minimizer positions per read, in position order.
+
+    TPU path: 1-key bitonic row sort of (is_mini ? pos : INF) in a Pallas
+    kernel (ops/sort_pallas.sort1_rows), then the first M lanes are the
+    compacted positions. Fallback: rank-scatter compaction (XLA scatter,
+    ~30x slower on TPU at L ~ 12k)."""
     B, L = hhi.shape
     posi = jnp.arange(L, dtype=jnp.int32)[None, :]
-    csum = jnp.cumsum(is_mini.astype(jnp.int32), axis=1)
-    rank = jnp.where(is_mini, csum - 1, M)                    # (B, L)
-    rank = jnp.minimum(rank, M)                               # overflow sink
-    mpos = jnp.full((B, M + 1), L, jnp.int32)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    mpos = mpos.at[rows, rank].min(jnp.where(is_mini, posi, L))
-    mpos = mpos[:, :M]
+    if use_pallas and B % 8 == 0:
+        from ..ops.sort_pallas import sort1_rows
+        A = 1 << (L - 1).bit_length()                       # pad to pow2
+        key = jnp.where(is_mini, posi, jnp.int32(0x7FFFFFFF))             .astype(jnp.uint32)
+        if A > L:
+            key = jnp.pad(key, ((0, 0), (0, A - L)),
+                          constant_values=np.uint32(0x7FFFFFFF))
+        skey = sort1_rows(key, G=8)[:, :M].astype(jnp.int32)
+        mpos = jnp.minimum(skey, L)                         # INF -> L
+    else:
+        csum = jnp.cumsum(is_mini.astype(jnp.int32), axis=1)
+        rank = jnp.where(is_mini, csum - 1, M)                # (B, L)
+        rank = jnp.minimum(rank, M)                           # overflow sink
+        mpos = jnp.full((B, M + 1), L, jnp.int32)
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+        mpos = mpos.at[rows, rank].min(jnp.where(is_mini, posi, L))
+        mpos = mpos[:, :M]
     mvalid = mpos < L
     gidx = jnp.clip(mpos, 0, L - 1)
     mh_hi = jnp.take_along_axis(hhi, gidx, axis=1)
@@ -404,10 +410,11 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
       a_rev, a_rid, a_rpos, a_qpos (B, A) with valid mask.
     """
     B, M = mh_hi.shape
-    K = di.keys_hi.shape[0]
+    K = di.keys2.shape[0]
     if di.bucket_start is not None:
         # direct-address bucket probe (index.c bucket structure as a
-        # device table): ~6 bounded-search gathers instead of ~2*log2(K)
+        # device table): ~6 bounded-search gathers instead of ~2*log2(K);
+        # keys are (hi, lo)-pair-packed so each probe is ONE gather
         nb1 = di.bucket_start.shape[0]
         bhi, blo = _shr64(mh_hi, mh_lo, di.key_shift) \
             if di.key_shift else (mh_hi, mh_lo)
@@ -417,20 +424,23 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
         for _ in range(6):       # buckets hold K/2^bb <= ~0.25 keys avg
             mid = (lo + hi) >> 1
             midc = jnp.clip(mid, 0, K - 1)
-            less = _lt64(di.keys_hi[midc], di.keys_lo[midc], mh_hi,
+            kv = di.keys2[midc]                       # (B, M, 2)
+            less = _lt64(kv[..., 0], kv[..., 1], mh_hi,
                          mh_lo) & (mid < hi)
             lo = jnp.where(less, mid + 1, lo)
             hi = jnp.where(less, hi, mid)
         idx = lo
     else:
-        idx = searchsorted_u64pair(di.keys_hi, di.keys_lo, mh_hi, mh_lo)
+        idx = searchsorted_u64pair(di.keys2[:, 0], di.keys2[:, 1],
+                                   mh_hi, mh_lo)
     idx_c = jnp.minimum(idx, K - 1)
-    found = ((di.keys_hi[idx_c] == mh_hi) & (di.keys_lo[idx_c] == mh_lo)
-             & mvalid)
-    start = jnp.where(found, di.starts[idx_c], 0)
+    kv = di.keys2[idx_c]
+    found = (kv[..., 0] == mh_hi) & (kv[..., 1] == mh_lo) & mvalid
+    sv = di.sc2[idx_c]
+    start = jnp.where(found, sv[..., 0], 0)
     # mid_occ semantics (seed.c:30-52): seeds above the occurrence
     # threshold are skipped entirely, not truncated
-    cnt_raw = di.cnts[idx_c]
+    cnt_raw = sv[..., 1]
     cnt = jnp.where(found & (cnt_raw <= p.occ_cap), cnt_raw, 0)
     # per-seed output offsets; anchors beyond capacity A are dropped
     offs = jnp.cumsum(cnt, axis=1) - cnt                      # (B, M)
@@ -446,15 +456,19 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     seed_of = lax.associative_scan(jnp.maximum, mark, axis=1)
     seed_of = jnp.clip(seed_of, 0, M - 1)
     a_valid = slot < ends[:, -1:]
-    within = slot - jnp.take_along_axis(offs, seed_of, axis=1)
-    pidx = jnp.take_along_axis(start, seed_of, axis=1) + within
-    pidx = jnp.clip(pidx, 0, di.pos_rid.shape[0] - 1)
-    rid = di.pos_rid[pidx]
-    rps = di.pos_rpos[pidx]          # rpos<<1 | strand (packed plane)
+    # one 4-wide row gather replaces four take_along_axis calls
+    seedpk = jnp.stack([offs, start, mz, mpos], axis=-1)      # (B, M, 4)
+    g = jnp.take_along_axis(seedpk, seed_of[..., None], axis=1)
+    within = slot - g[..., 0]
+    pidx = g[..., 1] + within
+    pidx = jnp.clip(pidx, 0, di.pos2.shape[0] - 1)
+    pv = di.pos2[pidx]                                        # (B, A, 2)
+    rid = pv[..., 0]
+    rps = pv[..., 1]                 # rpos<<1 | strand (packed plane)
     rpos = rps >> 1
     rstrand = rps & 1
-    qz = jnp.take_along_axis(mz, seed_of, axis=1)
-    qpos = jnp.take_along_axis(mpos, seed_of, axis=1)
+    qz = g[..., 2]
+    qpos = g[..., 3]
     same = rstrand == qz
     rev = (~same).astype(jnp.int32)
     # query coordinate flip on reverse strand (seed.c / map.c:196-201):
@@ -741,7 +755,7 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
 
 
 def _di_proto(key_shift: int = 0):
-    return DeviceIndex(*([0] * 11), key_shift=key_shift)
+    return DeviceIndex(*([0] * 7), key_shift=key_shift)
 
 
 def stack_shards(shards: list[DeviceIndex]) -> DeviceIndex:

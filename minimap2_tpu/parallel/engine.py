@@ -45,7 +45,7 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
         else:
             hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
         mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(
-            hhi, hlo, z, is_mini, p.M)
+            hhi, hlo, z, is_mini, p.M, use_pallas=use_pallas_sketch)
         rev, rid, rpos, qpos, av = _lookup_anchors(
             di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p, interpret)
         B = codes.shape[0]
@@ -106,6 +106,17 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
     from ..map.pipeline import map_frag_core
     from ..io import format as fmt
 
+    # persistent compile cache: --batch re-runs skip the multi-minute
+    # Mosaic/XLA compile (cache key covers shapes + backend)
+    import os
+    cache_dir = os.environ.get("MM2TPU_JIT_CACHE",
+                               os.path.expanduser("~/.cache/mm2tpu_jit"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     p = BatchParams(L=L, M=max(256, L // 4), A=4096,
                     occ_cap=max(opt.mid_occ, 10), chain_window=64,
                     k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
@@ -133,9 +144,11 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
         nonlocal names, seqs
         if not names:
             return
-        inflight.append((names, seqs, dispatch_batch(step, seqs, p)))
+        inflight.append((names, seqs,
+                         dispatch_batch(step, seqs, p,
+                                        pad_to=batch_reads)))
         names, seqs = [], []
-        drain(1)
+        drain(2)
 
     for qf in queries:
         rd = FastxReader(qf)
@@ -165,8 +178,16 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
     return n_reads
 
 
-def dispatch_batch(step, seqs, p: BatchParams):
-    """Encode + enqueue one device batch (async; pairs with emit_batch)."""
+def dispatch_batch(step, seqs, p: BatchParams, pad_to: int | None = None):
+    """Encode + enqueue one device batch (async; pairs with emit_batch).
+
+    Partial batches are padded up to `pad_to` (or the next multiple of 8,
+    the sketch kernel's row-group size) with empty reads; the extra rows
+    produce no hits and are sliced away by the caller's B loop."""
+    B = len(seqs)
+    tgt = pad_to if pad_to is not None else (B + 7) // 8 * 8
+    if tgt > B:
+        seqs = list(seqs) + [b""] * (tgt - B)
     codes, lens = encode_batch(seqs, p.L)
     return step(jnp.asarray(codes), jnp.asarray(lens))
 
@@ -180,7 +201,7 @@ def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
     sc, sub, qs, qe, rs, re_, rev, rid, cnt = rec
     K, B = sc.shape
     n_mapped = 0
-    for b in range(B):
+    for b in range(min(B, len(seqs))):    # B may include pad rows
         qlen = len(seqs[b])
         wrote = False
         for k in range(K):
