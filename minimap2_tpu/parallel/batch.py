@@ -177,6 +177,7 @@ class BatchParams:
     gapo2: int = 24
     gape2: int = 1
     zdrop: int = 400
+    hpc: bool = False      # homopolymer-compressed minimizers (map-pb/hifi)
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +191,7 @@ class DeviceIndex:
     re-expressed as sorted keys + offset/count + int32 position planes)."""
 
     def __init__(self, keys2, sc2, pos2, S, seq_off, seq_len,
-                 bucket_start=None, key_shift: int = 0):
+                 bucket_start=None, key_shift: int = 0, n_probe: int = 6):
         # pair-packed planes: one 2-wide gather fetches what used to take
         # two element gathers (gathers are the device bottleneck)
         self.keys2 = keys2          # (K, 2) u32 [hi, lo], sorted, UMAX pad
@@ -203,15 +204,20 @@ class DeviceIndex:
         # structure of index.c:50, rebuilt for O(1)-ish device probes)
         self.bucket_start = bucket_start   # (2^bb + 1,) i32 or None
         self.key_shift = key_shift         # static: key >> shift = bucket
+        self.n_probe = n_probe             # static: ceil(log2(max bucket))
 
     def tree_flatten(self):
         return ((self.keys2, self.sc2, self.pos2, self.S,
                  self.seq_off, self.seq_len, self.bucket_start),
-                self.key_shift)
+                (self.key_shift, self.n_probe))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, key_shift=aux)
+        if isinstance(aux, tuple):
+            key_shift, n_probe = aux
+        else:                              # older single-int aux
+            key_shift, n_probe = aux, 6
+        return cls(*children, key_shift=key_shift, n_probe=n_probe)
 
     @classmethod
     def from_host(cls, mi, n_shards: int = 1, pad_pos_to: int | None = None):
@@ -260,10 +266,12 @@ class DeviceIndex:
             pos2[:len(pos), 0] = (pos >> np.uint64(32)).astype(np.int32)
             # packed: rpos<<1 | strand (one gather serves both)
             pos2[:len(pos), 1] = (pos & np.uint64(0xFFFFFFFF)).astype(np.int32)
+            bmax = int(np.diff(bstart).max()) if len(bstart) > 1 else 1
+            n_probe = max(1, int(math.ceil(math.log2(bmax + 1))))
             shards.append(cls(jnp.asarray(keys2), jnp.asarray(sc2),
                               jnp.asarray(pos2), jnp.asarray(S),
                               jnp.asarray(seq_off), jnp.asarray(seq_len),
-                              jnp.asarray(bstart), shift))
+                              jnp.asarray(bstart), shift, n_probe))
         return shards
 
 
@@ -402,6 +410,46 @@ def _compact_minimizers(hhi, hlo, strand, is_mini, M: int,
     return mh_hi, mh_lo, mz, mpos, mvalid
 
 
+def hpc_compact(codes, lens, use_pallas: bool = False):
+    """Homopolymer-run compression on device (sketch.c:94-105 HPC mode).
+
+    Each run contributes one symbol; positions map to the run's LAST base
+    (the reference records minimizer pos at the end of the current run).
+    Returns (hcodes (B,L) u8, hpos (B,L) i32 original end positions,
+    lc (B,) i32 compacted lengths).  Spans >= 256 are not masked (the
+    reference drops such k-mers; vanishingly rare, statistical path)."""
+    B, L = codes.shape
+    posi = jnp.arange(L, dtype=jnp.int32)[None, :]
+    c32 = codes.astype(jnp.int32)
+    nxt = jnp.concatenate([c32[:, 1:], jnp.full((B, 1), 4, jnp.int32)],
+                          axis=1)
+    in_read = posi < lens[:, None]
+    run_end = in_read & ((c32 != nxt) | (posi == lens[:, None] - 1))
+    lc = jnp.sum(run_end, axis=1, dtype=jnp.int32)
+    if use_pallas and B % 8 == 0:
+        from ..ops.sort_pallas import sort1_rows
+        A = 1 << (L - 1).bit_length()
+        key = jnp.where(run_end, posi, jnp.int32(0x7FFFFFFF)) \
+            .astype(jnp.uint32)
+        if A > L:
+            key = jnp.pad(key, ((0, 0), (0, A - L)),
+                          constant_values=np.uint32(0x7FFFFFFF))
+        hpos = jnp.minimum(sort1_rows(key, G=8)[:, :L].astype(jnp.int32), L)
+    else:
+        csum = jnp.cumsum(run_end.astype(jnp.int32), axis=1)
+        rank = jnp.where(run_end, csum - 1, L)
+        rank = jnp.minimum(rank, L)
+        hpos = jnp.full((B, L + 1), L, jnp.int32)
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+        hpos = hpos.at[rows, rank].min(jnp.where(run_end, posi, L))
+        hpos = hpos[:, :L]
+    hvalid = hpos < L
+    hcodes = jnp.where(hvalid,
+                       jnp.take_along_axis(c32, jnp.clip(hpos, 0, L - 1),
+                                           axis=1), 4).astype(jnp.uint8)
+    return hcodes, hpos, lc
+
+
 def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
                     p: BatchParams, interpret: bool = True):
     """Seed lookup + anchor expansion (seed.c:30-52, map.c:168-204).
@@ -421,7 +469,7 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
         bkt = jnp.clip(blo, 0, nb1 - 2).astype(jnp.int32)
         lo = di.bucket_start[bkt]
         hi = di.bucket_start[bkt + 1]
-        for _ in range(6):       # buckets hold K/2^bb <= ~0.25 keys avg
+        for _ in range(di.n_probe):  # static bound: ceil(log2(max bucket))
             mid = (lo + hi) >> 1
             midc = jnp.clip(mid, 0, K - 1)
             kv = di.keys2[midc]                       # (B, M, 2)
@@ -693,7 +741,7 @@ def map_batch(di: DeviceIndex, codes, lens, p: BatchParams,
 
 
 def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
-                      key_shift: int = 0):
+                      key_shift: int = 0, n_probe: int = 6):
     """Build a pjit-ed mapping step over a ('data', 'idx') mesh.
 
     Reads shard over 'data'.  The index shards over 'idx' by key range; each
@@ -742,7 +790,7 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
         return out, n_mapped
 
     di_spec = jax.tree_util.tree_map(lambda _: P("idx"),
-                                     _di_proto(key_shift))
+                                     _di_proto(key_shift, n_probe))
     fn = shard_map(local_step, mesh=mesh,
                    in_specs=(di_spec, P("data", None), P("data")),
                    out_specs=(jax.tree_util.tree_map(
@@ -754,8 +802,9 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
     return jax.jit(fn)
 
 
-def _di_proto(key_shift: int = 0):
-    return DeviceIndex(*([0] * 7), key_shift=key_shift)
+def _di_proto(key_shift: int = 0, n_probe: int = 6):
+    return DeviceIndex(*([0] * 7), key_shift=key_shift,
+                       n_probe=n_probe)
 
 
 def stack_shards(shards: list[DeviceIndex]) -> DeviceIndex:

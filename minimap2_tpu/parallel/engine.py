@@ -38,14 +38,25 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
 
     @jax.jit
     def step_di(di, codes, lens):
+        if p.hpc:        # homopolymer-compress, sketch the run stream
+            from .batch import hpc_compact
+            codes_s, hpos, lens_s = hpc_compact(codes, lens,
+                                                use_pallas=use_pallas_sketch)
+        else:
+            codes_s, hpos, lens_s = codes, None, lens
         if use_pallas_sketch:
             from ..ops.sketch_pallas import sketch_batch
-            hhi, hlo, z, is_mini = sketch_batch(codes, lens, G=8, T=512,
+            hhi, hlo, z, is_mini = sketch_batch(codes_s, lens_s, G=8, T=512,
                                                 k=p.k, w=p.w)
         else:
-            hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
+            hhi, hlo, z, is_mini = device_sketch(codes_s, lens_s, p.k, p.w)
         mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(
             hhi, hlo, z, is_mini, p.M, use_pallas=use_pallas_sketch)
+        if p.hpc:        # map minimizer slots back to original coords
+            L = codes.shape[1]
+            mpos = jnp.where(mvalid,
+                             jnp.take_along_axis(
+                                 hpos, jnp.clip(mpos, 0, L - 1), axis=1), L)
         rev, rid, rpos, qpos, av = _lookup_anchors(
             di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p, interpret)
         B = codes.shape[0]
@@ -117,10 +128,12 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+    from ..config import MM_I_HPC
+    hpc = bool(mi.flag & MM_I_HPC)
     p = BatchParams(L=L, M=max(256, L // 4), A=4096,
                     occ_cap=max(opt.mid_occ, 10), chain_window=64,
                     k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
-                    max_dist_y=opt.max_gap, bw=opt.bw)
+                    max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc)
     di = DeviceIndex.from_host(mi, 1)[0]
     interp = jax.default_backend() != "tpu"
     step = make_paf_step(di, p, K=opt.best_n if opt.best_n < 8 else 5,

@@ -123,10 +123,47 @@ def test_sharded_step_matches_single(tiny_world):
     mesh = Mesh(devs, ("data", "idx"))
     di = stack_shards(DeviceIndex.from_host(mi, 2))
     step = make_sharded_step(mesh, p, interpret=True,
-                             key_shift=di.key_shift)
+                             key_shift=di.key_shift, n_probe=di.n_probe)
     with mesh:
         out, n_mapped = step(di, jnp.asarray(codes), jnp.asarray(lens))
     assert int(n_mapped) == len(truth)
     np.testing.assert_array_equal(np.asarray(out["rs"]), np.asarray(ref["rs"]))
     np.testing.assert_array_equal(np.asarray(out["rev"]),
                                   np.asarray(ref["rev"]))
+
+
+def test_hpc_device_sketch_matches_host():
+    """hpc_compact + device sketch == native mm_sketch(hpc=True) as a set
+    of (span-stripped key, original end pos, strand)."""
+    import numpy as np
+
+    from minimap2_tpu import native
+    from minimap2_tpu.parallel.batch import device_sketch, hpc_compact
+    from minimap2_tpu.utils.intfloat import SEQ_NT4
+    if not native.available():
+        import pytest
+        pytest.skip("native build unavailable")
+    rng = np.random.default_rng(3)
+    L, w, k = 1024, 10, 15
+    for _ in range(4):
+        parts, n = [], 0
+        while n < 900:
+            c = rng.choice(list("ACGT"))
+            r = int(rng.integers(1, 6))
+            parts.append(c * r)
+            n += r
+        seq = "".join(parts)[:900]
+        codes = SEQ_NT4[np.frombuffer(seq.encode(), np.uint8)]
+        hx, hy = native.sketch(codes, w, k, 0, True)
+        host = {(int(x) >> 8, (int(y) >> 1) & 0x7FFFFFFF, int(y) & 1)
+                for x, y in zip(hx, hy)}
+        cb = np.full((8, L), 4, np.uint8)
+        cb[0, :len(codes)] = codes
+        lens = np.zeros(8, np.int32)
+        lens[0] = len(codes)
+        hc, hp, lc = hpc_compact(jnp.asarray(cb), jnp.asarray(lens))
+        hhi, hlo, z, im = device_sketch(hc, lc, k, w)
+        hhi, hlo, z, im, hp = map(np.asarray, (hhi, hlo, z, im, hp))
+        dev = {((int(hhi[0, j]) << 32) | int(hlo[0, j]), int(hp[0, j]),
+                int(z[0, j])) for j in np.nonzero(im[0])[0]}
+        assert host == dev
