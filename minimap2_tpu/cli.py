@@ -430,12 +430,12 @@ def main(argv=None) -> int:
         out.write("\n")
 
     if args.batch:
-        if mo.flag & C.MM_F_OUT_SAM:
-            print("[ERROR] --batch supports PAF output only (for now)",
-                  file=sys.stderr)
-            return 1
-        from .parallel.engine import run_batched_cli
-        run_batched_cli(mi, mo, queries, out)
+        if mo.flag & (C.MM_F_CIGAR | C.MM_F_OUT_SAM):
+            from .parallel.engine import run_batched_align_cli
+            run_batched_align_cli(mi, mo, queries, out)
+        else:
+            from .parallel.engine import run_batched_cli
+            run_batched_cli(mi, mo, queries, out)
         if args.verbose >= 3:
             el = time.time() - REALTIME0
             print(f"[M::main] Version: {C.MM_VERSION}", file=sys.stderr)

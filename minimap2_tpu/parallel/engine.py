@@ -244,3 +244,124 @@ def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
         if wrote:
             n_mapped += 1
     return n_mapped
+
+
+def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
+                          L: int = 12288):
+    """--batch with -c/-a: device mapping + device base-level alignment.
+
+    Per batch: the PAF mapping step picks each read's best chain, then
+    the chain extents run through the batched extd2 forward + on-device
+    traceback (parallel/align_batch.py).  Reads whose extent exceeds the
+    compiled capacity (or that need an exact zdrop/inversion treatment)
+    fall back to the bit-exact host path."""
+    import sys
+    import time
+
+    import jax
+
+    from ..config import MM_F_OUT_SAM, MM_F_SAM_HIT_ONLY, MM_I_HPC
+    from ..io import format as fmt
+    from ..io.fastx import FastxReader
+    from ..map.align_engine import gen_ts_mat
+    from ..map.driver import map_fragment, write_fragment
+    from .align_batch import AlignBatcher, build_reg, revcomp_codes
+
+    import os
+    cache_dir = os.environ.get("MM2TPU_JIT_CACHE",
+                               os.path.expanduser("~/.cache/mm2tpu_jit"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    hpc = bool(mi.flag & MM_I_HPC)
+    p = BatchParams(L=L, M=max(256, L // 4), A=4096,
+                    occ_cap=max(opt.mid_occ, 10), chain_window=64,
+                    k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
+                    max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc)
+    di = DeviceIndex.from_host(mi, 1)[0]
+    interp = jax.default_backend() != "tpu"
+    step = make_paf_step(di, p, K=1, min_sc=opt.min_chain_score,
+                         interpret=interp)
+    ab = AlignBatcher(mi, opt, QP=L, TP=L + 512)
+    mat = gen_ts_mat(5, opt.a, opt.b, opt.transition, opt.sc_ambi)
+    sam = bool(opt.flag & MM_F_OUT_SAM)
+    t0 = time.time()
+    n_reads = 0
+
+    def emit_batch(recs):
+        nonlocal n_reads
+        n_reads += len(recs)
+        arr = np.asarray(dispatch_batch(step, [r.seq for r in recs], p,
+                                        pad_to=batch_reads))
+        sc, sub, qs, qe, rs, re_, rev, rid, cnt = arr[:, 0, :]  # K=1
+        jobs, jmeta = [], []
+        fallback, unmapped = [], []
+        for b, rec in enumerate(recs):
+            qlen = len(rec.seq)
+            r0 = int(mi.seq[int(rid[b])].length) if sc[b] > 0 else 0
+            qs_, qe_ = int(max(qs[b], 0)), int(min(qe[b], qlen))
+            rs_, re2 = int(max(rs[b], 0)), int(min(re_[b], r0))
+            if sc[b] <= 0 or qe_ <= qs_ or re2 <= rs_:
+                unmapped.append(rec)
+                continue
+            codes = SEQ_NT4[np.frombuffer(rec.seq, np.uint8)]
+            if rev[b]:
+                codes = revcomp_codes(codes)
+            if not ab.fits(qe_ - qs_, re2 - rs_):
+                fallback.append(rec)
+                continue
+            jobs.append((codes[qs_:qe_], int(rid[b]), rs_, re2))
+            jmeta.append((rec, b, codes[qs_:qe_],
+                          {"sc": int(sc[b]), "sub": int(sub[b]),
+                           "cnt": int(cnt[b]), "rev": int(rev[b]),
+                           "rid": int(rid[b]), "qs": qs_, "qe": qe_,
+                           "rs": rs_, "re": re2}))
+        cigs = ab.align_jobs(jobs) if jobs else []
+        for (rec, b, qseg, meta), cig in zip(jmeta, cigs):
+            if not cig:
+                fallback.append(rec)
+                continue
+            r = build_reg(mi, opt, mat, len(rec.seq), qseg, meta, cig, 0)
+            if sam:
+                out.write(fmt.write_sam(mi, rec, 0, 0, 1, [1], [[r]],
+                                        opt.flag, 0,
+                                        rg_id=getattr(opt, "rg_id",
+                                                      None)))
+            else:
+                out.write(fmt.write_paf(mi, rec.name, len(rec.seq), r,
+                                        opt.flag, 0, qseq=rec.seq,
+                                        comment=rec.comment))
+            out.write("\n")
+        for rec in fallback:    # exact host path
+            results = map_fragment(mi, opt, [rec])
+            write_fragment(out, mi, opt, [rec],
+                           [res.regs for res in results],
+                           [res.rep_len for res in results])
+        for rec in unmapped:
+            if sam and not (opt.flag & MM_F_SAM_HIT_ONLY):
+                out.write(fmt.write_sam(mi, rec, 0, -1, 1, [0], [[]],
+                                        opt.flag, 0,
+                                        rg_id=getattr(opt, "rg_id", None)))
+                out.write("\n")
+
+    recs = []
+    for qf in queries:
+        rd = FastxReader(qf)
+        while True:
+            rec = rd.read1()
+            if rec is None:
+                break
+            recs.append(rec)
+            if len(recs) >= batch_reads:
+                emit_batch(recs)
+                recs = []
+        rd.close()
+    if recs:
+        emit_batch(recs)
+    dt = time.time() - t0
+    print(f"[M::batch] aligned {n_reads} reads in {dt:.2f}s "
+          f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
+    return n_reads
