@@ -66,34 +66,49 @@ class AlignBatcher:
         return (0 < qlen_seg <= self.QP and 0 < tlen_seg <= self.TP
                 and abs(qlen_seg - tlen_seg) <= self.w - 48)
 
+    def dispatch(self, chunk):
+        """Enqueue one sub-batch of (qseg, rid, rs, re) jobs; returns an
+        async (ops, fin) device future pair."""
+        qr = np.zeros((self.sub, self.QP), np.uint8)
+        sf = np.zeros((self.sub, self.TP), np.uint8)
+        lens = np.ones((self.sub, 2), np.int32)
+        for i, (qseg, rid, rs, re_) in enumerate(chunk):
+            qr[i, :len(qseg)] = qseg[::-1]
+            off = int(self.seq_off[rid])
+            tseg = self.S[off + rs:off + re_]
+            sf[i, :len(tseg)] = tseg
+            lens[i] = (len(qseg), len(tseg))
+        return _align_step(
+            jnp.asarray(qr), jnp.asarray(sf), jnp.asarray(lens),
+            G=self.G, W=self.W, RB=self.RB, R=self.R, QP=self.QP,
+            TP=self.TP, q=self.opt.q, e=self.opt.e, q2=self.opt.q2,
+            e2=self.opt.e2, w=self.w, sc_mch=self.opt.a,
+            sc_mis=-abs(self.opt.b), interpret=self.interpret)
+
+    def collect(self, fut, n):
+        """Fetch a dispatched sub-batch and decode its n cigars."""
+        from ..ops.traceback_pallas import decode_ops
+        ops, fin = fut
+        ops = np.asarray(ops)
+        fin = np.asarray(fin)
+        return [decode_ops(ops[i], int(fin[i, 0]), int(fin[i, 1]))
+                for i in range(n)]
+
     def align_jobs(self, jobs):
         """jobs: list of (qseg u8 codes, rid, rs, re).  Returns a list of
-        cigars (len<<4|op ints), one per job, in order."""
-        from ..ops.traceback_pallas import decode_ops
+        cigars (len<<4|op ints), one per job, in order.  Sub-batches are
+        double-buffered: the next dispatch overlaps the previous fetch."""
         out = []
+        inflight = []
         for lo in range(0, len(jobs), self.sub):
             chunk = jobs[lo:lo + self.sub]
-            n = len(chunk)
-            qr = np.zeros((self.sub, self.QP), np.uint8)
-            sf = np.zeros((self.sub, self.TP), np.uint8)
-            lens = np.ones((self.sub, 2), np.int32)
-            for i, (qseg, rid, rs, re_) in enumerate(chunk):
-                qr[i, :len(qseg)] = qseg[::-1]
-                off = int(self.seq_off[rid])
-                tseg = self.S[off + rs:off + re_]
-                sf[i, :len(tseg)] = tseg
-                lens[i] = (len(qseg), len(tseg))
-            ops, fin = _align_step(
-                jnp.asarray(qr), jnp.asarray(sf), jnp.asarray(lens),
-                G=self.G, W=self.W, RB=self.RB, R=self.R, QP=self.QP,
-                TP=self.TP, q=self.opt.q, e=self.opt.e, q2=self.opt.q2,
-                e2=self.opt.e2, w=self.w, sc_mch=self.opt.a,
-                sc_mis=-abs(self.opt.b), interpret=self.interpret)
-            ops = np.asarray(ops)
-            fin = np.asarray(fin)
-            for i in range(n):
-                out.append(decode_ops(ops[i], int(fin[i, 0]),
-                                      int(fin[i, 1])))
+            inflight.append((len(chunk), self.dispatch(chunk)))
+            while len(inflight) > 1:
+                n, fut = inflight.pop(0)
+                out.extend(self.collect(fut, n))
+        while inflight:
+            n, fut = inflight.pop(0)
+            out.extend(self.collect(fut, n))
         return out
 
 

@@ -291,11 +291,10 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
     t0 = time.time()
     n_reads = 0
 
-    def emit_batch(recs):
+    def emit_batch(recs, map_fut):
         nonlocal n_reads
         n_reads += len(recs)
-        arr = np.asarray(dispatch_batch(step, [r.seq for r in recs], p,
-                                        pad_to=batch_reads))
+        arr = np.asarray(map_fut)
         sc, sub, qs, qe, rs, re_, rev, rid, cnt = arr[:, 0, :]  # K=1
         jobs, jmeta = [], []
         fallback, unmapped = [], []
@@ -347,6 +346,16 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                                         rg_id=getattr(opt, "rg_id", None)))
                 out.write("\n")
 
+    pending = []    # [(recs, map_future)] -- map dispatch overlaps the
+                    # previous batch's align + emit work
+
+    def queue_batch(recs):
+        pending.append((recs, dispatch_batch(step, [r.seq for r in recs],
+                                             p, pad_to=batch_reads)))
+        while len(pending) > 1:
+            r0, f0 = pending.pop(0)
+            emit_batch(r0, f0)
+
     recs = []
     for qf in queries:
         rd = FastxReader(qf)
@@ -356,11 +365,14 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                 break
             recs.append(rec)
             if len(recs) >= batch_reads:
-                emit_batch(recs)
+                queue_batch(recs)
                 recs = []
         rd.close()
     if recs:
-        emit_batch(recs)
+        queue_batch(recs)
+    while pending:
+        r0, f0 = pending.pop(0)
+        emit_batch(r0, f0)
     dt = time.time() - t0
     print(f"[M::batch] aligned {n_reads} reads in {dt:.2f}s "
           f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
