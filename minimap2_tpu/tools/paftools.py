@@ -1953,6 +1953,522 @@ def sim2bed(argv, out=None):
     return 0
 
 
+# ---------------------------------------------------------------------------
+# badread2fa (paftools.js:2446-2492): rename Badread-simulated reads so that
+# truth coordinates are encoded in the name (mapeval-compatible).
+# ---------------------------------------------------------------------------
+
+
+def badread2fa(argv, out=None, err=None):
+    out = out or sys.stdout
+    err = err or sys.stderr
+    if len(argv) < 2:
+        print("Usage: paftools.py badread2fa <ref.fa.fai> <badread.fq>",
+              file=sys.stderr)
+        return 1
+    ln = {}
+    for line in _open(argv[0]):
+        t = line.rstrip("\n").split("\t")
+        ln[t[0]] = int(t[1])
+    re_hdr = re.compile(
+        r"\s(\S+),([+-])strand,(\d+)-(\d+).*read_identity=([0-9.]+)%")
+    rid = 0
+    n_discard = 0
+    f = _open(argv[1])
+    it = iter(f)
+    for line in it:
+        line = line.rstrip("\n")
+        is_fq = line.startswith("@")
+        a = tag = None
+        m = re_hdr.search(line)
+        if " chimera " not in line and m is not None:
+            if m.group(1) not in ln:
+                raise RuntimeError(
+                    "failed to find the contig length of " + m.group(1))
+            st, en = int(m.group(3)), int(m.group(4))
+            if m.group(2) == "+":
+                a = [f"S{rid + 1}", m.group(1), st, en, "+"]
+            else:
+                L = ln[m.group(1)]
+                a = [f"S{rid + 1}", m.group(1), L - en, L - st, "-"]
+            tag = "ri:f:" + m.group(5)
+        seq = next(it).rstrip("\n")
+        if is_fq:
+            next(it)
+            next(it)
+        if a is not None:
+            _print(">" + "!".join(map(str, a)), tag, out=out)
+            out.write(seq + "\n")
+        else:
+            n_discard += 1
+        rid += 1
+    print(f"WARNING: discarded {n_discard} reads", file=err)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# longcs2seq (paftools.js:3582-3620): reconstruct target/query sequences from
+# long-form cs tags.
+# ---------------------------------------------------------------------------
+
+
+def longcs2seq(argv, out=None):
+    out = out or sys.stdout
+    query = False
+    args = []
+    for a in argv:
+        if a == "-q":
+            query = True
+        else:
+            args.append(a)
+    if not args:
+        print("Usage: paftools.py longcs2seq [-q] <long-cs.paf>",
+              file=sys.stderr)
+        return 0
+    re_cs = re.compile(r"([:=*+-])(\d+|[A-Za-z]+)")
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        cs = None
+        for x in t[12:]:
+            if x.startswith("cs:Z:"):
+                cs = x[5:]
+                break
+        if cs is None:
+            continue
+        ts, qs = [], []
+        for m in re_cs.finditer(cs):
+            op, s = m.group(1), m.group(2)
+            if op == "=":
+                ts.append(s)
+                qs.append(s)
+            elif op == "+":
+                qs.append(s.upper())
+            elif op == "-":
+                ts.append(s.upper())
+            elif op == "*":
+                ts.append(s[0].upper())
+                qs.append(s[1].upper())
+            else:
+                raise RuntimeError("Long cs is required")
+        if query:
+            out.write(f">{t[0]}_{t[2]}_{t[3]}\n{''.join(qs)}\n")
+        else:
+            out.write(f">{t[5]}_{t[7]}_{t[8]}\n{''.join(ts)}\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# gff2junc (paftools.js:3716-3755): junction BED from GFF3 feature pairs.
+# ---------------------------------------------------------------------------
+
+
+def gff2junc(argv, out=None):
+    feat = "CDS"
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "-f":
+            feat = next(it)
+        elif a.startswith("-f"):
+            feat = a[2:]
+        else:
+            args.append(a)
+    if not args:
+        print("Usage: paftools.py gff2junc [-f feature] <in.gff3>",
+              file=sys.stderr)
+        return 0
+
+    def process_a(a):
+        if len(a) < 2:
+            return
+        a.sort(key=lambda x: x[4])
+        for i in range(1, len(a)):
+            _print(a[i][1], a[i - 1][5], a[i][4], a[i][0], 0, a[i][7],
+                   out=out)
+
+    rows = []
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        if t[0].startswith("#") or len(t) < 9:
+            continue
+        if t[2].lower() != feat.lower():
+            continue
+        m = re.search(r"\bParent=([^;]+)", t[8])
+        if m is None:
+            print("Can't find Parent", file=sys.stderr)
+            continue
+        t[3] = int(t[3]) - 1
+        t[4] = int(t[4])
+        t = [m.group(1)] + t
+        if rows and rows[0][0] != m.group(1):
+            process_a(rows)
+            rows = [t]
+        else:
+            rows.append(t)
+    process_a(rows)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# vcfstat (paftools.js:3057-3121): substitution/indel-size summary of a VCF.
+# ---------------------------------------------------------------------------
+
+
+def vcfstat(argv, out=None):
+    ts_set = {"AG", "GA", "CT", "TC"}
+    x = dict(sub=0, ts=0, tv=0, ins=0, delc=0, ins1=0, del1=0, ins2=0,
+             del2=0, ins50=0, del50=0, ins1k=0, del1k=0, ins7k=0, del7k=0,
+             insinf=0, delinf=0)
+    f = _open(argv[0]) if argv else sys.stdin
+    for line in f:
+        t = line.rstrip("\n").split("\t")
+        if t[0].startswith("#") or len(t) < 5:
+            continue
+        ref = t[3]
+        for a in t[4].split(","):
+            # JS checks a[0]=='<' || a[1]=='>' (symbolic alleles)
+            if a.startswith("<") or (len(a) > 1 and a[1] == ">"):
+                continue
+            for rj, aj in zip(ref, a):
+                if rj != aj:
+                    x["sub"] += 1
+                    if rj + aj in ts_set:
+                        x["ts"] += 1
+                    else:
+                        x["tv"] += 1
+            d = len(a) - len(ref)
+            if d > 0:
+                x["ins"] += 1
+                if d == 1:
+                    x["ins1"] += 1
+                elif d == 2:
+                    x["ins2"] += 1
+                elif d < 50:
+                    x["ins50"] += 1
+                elif d < 1000:
+                    x["ins1k"] += 1
+                elif d < 7000:
+                    x["ins7k"] += 1
+                else:
+                    x["insinf"] += 1
+            elif d < 0:
+                d = -d
+                x["delc"] += 1
+                if d == 1:
+                    x["del1"] += 1
+                elif d == 2:
+                    x["del2"] += 1
+                elif d < 50:
+                    x["del50"] += 1
+                elif d < 1000:
+                    x["del1k"] += 1
+                elif d < 7000:
+                    x["del7k"] += 1
+                else:
+                    x["delinf"] += 1
+    o = out or sys.stdout
+    tstv = x["ts"] / x["tv"] if x["tv"] else float("nan")
+    o.write(f"# substitutions: {x['sub']}\n")
+    o.write(f"ts/tv: {tstv:.3f}\n")
+    o.write(f"# insertions: {x['ins']}\n")
+    o.write(f"# 1bp insertions: {x['ins1']}\n")
+    o.write(f"# 2bp insertions: {x['ins2']}\n")
+    o.write(f"# [3,50) insertions: {x['ins50']}\n")
+    o.write(f"# [50,1000) insertions: {x['ins1k']}\n")
+    o.write(f"# [1000,7000) insertions: {x['ins7k']}\n")
+    o.write(f"# >=7000 insertions: {x['insinf']}\n")
+    o.write(f"# deletions: {x['delc']}\n")
+    o.write(f"# 1bp deletions: {x['del1']}\n")
+    o.write(f"# 2bp deletions: {x['del2']}\n")
+    o.write(f"# [3,50) deletions: {x['del50']}\n")
+    o.write(f"# [50,1000) deletions: {x['del1k']}\n")
+    o.write(f"# [1000,7000) deletions: {x['del7k']}\n")
+    o.write(f"# >=7000 deletions: {x['delinf']}\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# vcfsel (paftools.js:3430-3467) + _paf_get_alen (:3270-3290): select VCF
+# records by allele-length difference.
+# ---------------------------------------------------------------------------
+
+
+def _vcf_get_alen(t):
+    """[alen, min_abs_diff, max_abs_diff] per paftools.js:3270-3290."""
+    svlen = alen = None
+    m = re.search(r"(^|;)SVLEN=(-?\d+)", t[7])
+    if m is not None:
+        svlen = int(m.group(2))
+    min_abs = 1 << 30
+    max_abs = 0
+    if svlen is not None and svlen != 0:
+        alen = svlen
+        min_abs = max_abs = abs(svlen)
+    rlen = len(t[3])
+    for s in t[4].split(","):
+        if re.match(r"^<\S+>$", s):
+            continue
+        diff = len(s) - rlen
+        abs_diff = abs(diff)
+        min_abs = min(min_abs, abs_diff)
+        if max_abs < abs_diff:
+            max_abs, alen = abs_diff, diff
+    return alen, min_abs, max_abs
+
+
+def vcfsel(argv, out=None, err=None):
+    out = out or sys.stdout
+    err = err or sys.stderr
+    min_l, max_l = 0, 1 << 30
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "-l":
+            min_l = int(next(it))
+        elif a == "-L":
+            max_l = int(next(it))
+        elif a.startswith("-l"):
+            min_l = int(a[2:])
+        elif a.startswith("-L"):
+            max_l = int(a[2:])
+        else:
+            args.append(a)
+    if not args:
+        print("Usage: paftools.py vcfsel [options] <in.vcf>",
+              file=sys.stderr)
+        return 1
+    for line in _open(args[0]):
+        line = line.rstrip("\n")
+        if line.startswith("#"):
+            out.write(line + "\n")
+            continue
+        t = line.split("\t")
+        st = int(t[1])
+        en = st + len(t[3]) - 1
+        m = re.search(r"(^|;)END=(\d+)", t[7])
+        if m is not None:
+            en = int(m.group(2))
+        if en < st:
+            print(f"END is smaller than POS: {en} < {st}", file=err)
+        _, min_abs, max_abs = _vcf_get_alen(t)
+        if max_abs < min_l or min_abs > max_l:
+            continue
+        out.write(line + "\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# vcfpair (paftools.js:1308-1405): merge the per-haplotype pair VCF produced
+# by `paftools call` on dipcall-style two-haplotype alignments.
+# ---------------------------------------------------------------------------
+
+
+def vcfpair(argv, out=None, err=None):
+    out = out or sys.stdout
+    err = err or sys.stderr
+    is_male = False
+    sample = "syndip"
+    hgver = None
+    PAR = {"37": [(0, 2699520), (154931043, 155260560)]}
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "-m":
+            is_male = True
+        elif a == "-s":
+            sample = next(it)
+        elif a == "-g":
+            hgver = next(it)
+        elif a.startswith("-s"):
+            sample = a[2:]
+        elif a.startswith("-g"):
+            hgver = a[2:]
+        else:
+            args.append(a)
+    if is_male and (hgver is None or hgver not in PAR):
+        raise RuntimeError(
+            "for a male, -g must be specified to properly handle PARs on "
+            "chrX")
+    if not args:
+        print("Usage: paftools.py vcfpair [options] <in.pair.vcf>",
+              file=sys.stderr)
+        return 1
+    re_ctg = (re.compile(r"^(chr)?([0-9]+|X|Y)$") if is_male
+              else re.compile(r"^(chr)?([0-9]+|X)$"))
+    re_gt = re.compile(r"^(\.|[0-9]+)/(\.|[0-9]+):(\S+)")
+    label = ["1", "2"]
+    for line in _open(args[0]):
+        line = line.rstrip("\n")
+        if line.startswith("#"):
+            if re.match(r"^##(source|reference)=", line):
+                continue
+            m = re.match(r"^##contig=.*ID=([^\s,]+)", line)
+            if m is not None:
+                if not re_ctg.match(m.group(1)):
+                    continue
+            elif line.startswith("#CHROM"):
+                t = line.split("\t")[:-1]
+                t[-1] = sample
+                line = "\t".join(t)
+                out.write('##FILTER=<ID=HET1,Description="Heterozygous in '
+                          'the first haplotype">\n')
+                out.write('##FILTER=<ID=HET2,Description="Heterozygous in '
+                          'the second haplotype">\n')
+                out.write('##FILTER=<ID=GAP1,Description="Uncalled in the '
+                          'first haplotype">\n')
+                out.write('##FILTER=<ID=GAP2,Description="Uncalled in the '
+                          'second haplotype">\n')
+            out.write(line + "\n")
+            continue
+        t = line.split("\t")
+        if not re_ctg.match(t[0]):
+            continue
+        AD = None
+        FILTER = []
+        HT = [None, None]
+        for i in range(2):
+            m = re_gt.match(t[9 + i])
+            if m is None:
+                print(line, file=err)
+                raise RuntimeError("malformatted VCF")
+            s = m.group(3).split(",")
+            if AD is None:
+                AD = [0] * len(s)
+            for j, v in enumerate(s):
+                AD[j] += int(v)
+            if m.group(1) == ".":
+                FILTER.append("GAP" + label[i])
+                HT[i] = "."
+            elif m.group(1) != m.group(2):
+                FILTER.append("HET" + label[i])
+                HT[i] = "."
+            else:
+                HT[i] = m.group(1)
+        t = t[:-1]
+        # haploid-region special case (chrX outside PAR, chrY in males)
+        hap = 0
+        st = int(t[1])
+        en = st + len(t[3])
+        if is_male:
+            if re.match(r"^(chr)?X", t[0]):
+                if hgver is not None and hgver in PAR:
+                    in_par = any(r0 <= st and en <= r1
+                                 for r0, r1 in PAR[hgver])
+                    hap = 0 if in_par else 2
+            elif re.match(r"^(chr)?Y", t[0]):
+                hap = 1
+        if hap > 0 and len(FILTER) == 1:
+            if ((hap == 2 and FILTER[0] == "GAP1")
+                    or (hap == 1 and FILTER[0] == "GAP2")):
+                FILTER = []
+        t[5] = "30"
+        t[6] = ";".join(FILTER) if FILTER else "."
+        t[9] = "|".join(HT) + ":" + ",".join(map(str, AD))
+        out.write("\t".join(map(str, t)) + "\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# pafcmp (paftools.js:3468-3580): compare two PAFs of the same reads.
+# ---------------------------------------------------------------------------
+
+
+def pafcmp(argv, out=None, err=None):
+    out = out or sys.stdout
+    err = err or sys.stderr
+    min_len, min_mapq, min_ovlp = 5000, 10, 0.5
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "-q":
+            min_mapq = int(next(it))
+        elif a.startswith("-q"):
+            min_mapq = int(a[2:])
+        else:
+            args.append(a)
+    if len(args) < 2:
+        print("Usage: paftools.py pafcmp [options] <base.paf> <test.paf>",
+              file=sys.stderr)
+        print(f"Options:\n  -q INT    min mapping quality [{min_mapq}]",
+              file=sys.stderr)
+        return 1
+    ev = dict(n_base=0, n_test=0, n_hit=0, n_wrong=0, n_miss=0)
+    # NB the JS increments opt.n_out_high/low (a quirk: the printed
+    # eval.n_out_high therefore always stays 0); reproduced faithfully.
+    base = {}
+
+    def read_groups(fn):
+        grp = []
+        for line in _open(fn):
+            line = line.rstrip("\n")
+            if "\ttp:A:S" in line:
+                continue
+            t = line.split("\t")
+            if grp and grp[0][0] != t[0]:
+                yield grp
+                grp = []
+            grp.append(t)
+        if grp:
+            yield grp
+
+    print(f"Reading {args[0]}...", file=err)
+    for grp in read_groups(args[0]):
+        if len(grp) != 1:
+            continue
+        r = grp[0]
+        if int(r[1]) < min_len:
+            continue
+        if int(r[11]) >= min_mapq:
+            ev["n_base"] += 1
+        base[r[0]] = [r[5], int(r[7]), int(r[8]), int(r[11]), 0, 0]
+
+    print(f"Reading {args[1]}...", file=err)
+    for grp in read_groups(args[1]):
+        r = grp[0]
+        if int(r[1]) < min_len:
+            continue
+        if int(r[11]) >= min_mapq:
+            ev["n_test"] += 1
+        c = [r[5], int(r[7]), int(r[8]), int(r[11])]
+        b = base.get(r[0])
+        if b is None:
+            continue  # JS counts into never-printed opt.n_out_* here
+        inter = 0
+        union = (b[2] - b[1]) + (c[2] - c[1])
+        if b[0] == c[0]:
+            if b[1] < c[1]:
+                if b[2] > c[1]:
+                    inter, union = b[2] - c[1], c[2] - b[1]
+            else:
+                if c[2] > b[1]:
+                    inter, union = c[2] - b[1], b[2] - c[1]
+        if inter >= union * min_ovlp:
+            if b[3] >= min_mapq:
+                ev["n_hit"] += 1
+            b[4] += 1
+        else:
+            if b[3] >= min_mapq:
+                _print("W", r[0], "\t".join(map(str, b[:4])),
+                       "\t".join(map(str, c)), out=out)
+                ev["n_wrong"] += 1
+            b[5] += 1
+
+    for name, b in base.items():
+        if b[3] >= min_mapq and b[4] == 0 and b[5] == 0:
+            ev["n_miss"] += 1
+            _print("M", name, "\t".join(map(str, b[:4])), out=out)
+
+    _print("X", f"{ev['n_base']} base alignments with mapQ>={min_mapq}",
+           out=out)
+    _print("X", f"{ev['n_hit']} base alignments correctly mapped by test",
+           out=out)
+    _print("X", f"{ev['n_wrong']} wrong test alignment", out=out)
+    _print("X", f"{ev['n_miss']} base alignments missing", out=out)
+    _print("X", f"0 additional test alignments with mapQ>={min_mapq}",
+           out=out)
+    return 0
+
+
 _CMDS = {
     "sam2paf": sam2paf,
     "mapeval": mapeval,
@@ -1969,6 +2485,13 @@ _CMDS = {
     "mason2fq": mason2fq,
     "pbsim2fq": pbsim2fq,
     "sim2bed": sim2bed,
+    "badread2fa": badread2fa,
+    "longcs2seq": longcs2seq,
+    "gff2junc": gff2junc,
+    "vcfstat": vcfstat,
+    "vcfsel": vcfsel,
+    "vcfpair": vcfpair,
+    "pafcmp": pafcmp,
 }
 
 

@@ -98,3 +98,139 @@ def test_splice2bed_golden():
         assert len(sizes) == nb == len(starts)
         assert int(t[1]) + starts[-1] + sizes[-1] == int(t[2])
         assert nb >= 2     # x3s reads are spliced
+
+
+def test_badread2fa(tmp_path):
+    fai = tmp_path / "ref.fai"
+    fq = tmp_path / "br.fq"
+    fai.write_text("chr1\t1000\n")
+    fq.write_text(
+        "@r1 chr1,+strand,100-200 length=100 read_identity=92.5%\n"
+        "ACGT\n+\nIIII\n"
+        "@r2 chr1,-strand,300-400 length=100 read_identity=88.0%\n"
+        "TTTT\n+\nJJJJ\n"
+        "@r3 junk chimera junk\nGGGG\n+\nKKKK\n")
+    out, err = io.StringIO(), io.StringIO()
+    pt.badread2fa([str(fai), str(fq)], out=out, err=err)
+    v = out.getvalue().split("\n")
+    assert v[0] == ">S1!chr1!100!200!+\tri:f:92.5"
+    assert v[1] == "ACGT"
+    assert v[2] == ">S2!chr1!600!700!-\tri:f:88.0"
+    assert "discarded 1 reads" in err.getvalue()
+
+
+def test_longcs2seq(tmp_path):
+    paf = tmp_path / "t.paf"
+    base = "q1\t10\t0\t8\t+\tt1\t20\t5\t12\t8\t8\t60"
+    paf.write_text(base + "\tcs:Z:=ACG*ta+GG-TT=A\n")
+    out = io.StringIO()
+    pt.longcs2seq([str(paf)], out=out)
+    assert out.getvalue() == ">t1_5_12\nACGTTTA\n"
+    out = io.StringIO()
+    pt.longcs2seq(["-q", str(paf)], out=out)
+    assert out.getvalue() == ">q1_0_8\nACGAGGA\n"
+
+
+def test_gff2junc(tmp_path):
+    gff = tmp_path / "t.gff3"
+    gff.write_text(
+        "# comment\n"
+        "chr1\tsrc\tCDS\t101\t200\t.\t+\t0\tID=c1;Parent=tx1\n"
+        "chr1\tsrc\tCDS\t301\t400\t.\t+\t0\tID=c2;Parent=tx1\n"
+        "chr1\tsrc\texon\t1\t500\t.\t+\t.\tParent=tx1\n"
+        "chr2\tsrc\tCDS\t51\t60\t.\t-\t0\tParent=tx2\n")
+    out = io.StringIO()
+    pt.gff2junc([str(gff)], out=out)
+    assert out.getvalue() == "chr1\t200\t300\ttx1\t0\t+\n"
+
+
+def test_vcfstat(tmp_path):
+    vcf = tmp_path / "t.vcf"
+    vcf.write_text(
+        "##x\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "c\t1\t.\tA\tG\t.\t.\t.\n"          # ts
+        "c\t2\t.\tA\tC\t.\t.\t.\n"          # tv
+        "c\t3\t.\tA\tAT\t.\t.\t.\n"         # 1bp ins
+        "c\t4\t.\tATTT\tA\t.\t.\t.\n"       # 3bp del
+        "c\t5\t.\tA\t" + "A" * 60 + "\t.\t.\t.\n")   # 59bp ins
+    out = io.StringIO()
+    pt.vcfstat([str(vcf)], out=out)
+    v = out.getvalue()
+    assert "# substitutions: 2" in v
+    assert "ts/tv: 1.000" in v
+    assert "# 1bp insertions: 1" in v
+    assert "# [3,50) deletions: 1" in v
+    assert "# [50,1000) insertions: 1" in v
+
+
+def test_vcfsel(tmp_path):
+    vcf = tmp_path / "t.vcf"
+    vcf.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "c\t1\t.\tA\tG\t.\t.\t.\n"                    # diff 0
+        "c\t2\t.\tA\tATTTTT\t.\t.\t.\n"               # diff 5
+        "c\t3\t.\tA\t<DEL>\t.\t.\tSVLEN=-100\n")      # |svlen| 100
+    out = io.StringIO()
+    pt.vcfsel(["-l", "3", str(vcf)], out=out)
+    body = [x for x in out.getvalue().split("\n")
+            if x and not x.startswith("#")]
+    assert len(body) == 2 and body[0].startswith("c\t2") \
+        and body[1].startswith("c\t3")
+    out = io.StringIO()
+    pt.vcfsel(["-L", "10", str(vcf)], out=out)
+    body = [x for x in out.getvalue().split("\n")
+            if x and not x.startswith("#")]
+    assert [b.split("\t")[1] for b in body] == ["1", "2"]
+
+
+def test_vcfpair(tmp_path):
+    vcf = tmp_path / "pair.vcf"
+    vcf.write_text(
+        "##source=x\n"
+        "##contig=<ID=chr1,length=100>\n"
+        "##contig=<ID=chr1_random,length=5>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tH1\tH2\n"
+        "chr1\t10\t.\tA\tG\t.\t.\t.\tGT:AD\t1/1:0,5\t1/1:1,4\n"
+        "chr1\t20\t.\tC\tT\t.\t.\t.\tGT:AD\t0/1:3,3\t1/1:0,6\n"
+        "chr1\t30\t.\tG\tA\t.\t.\t.\tGT:AD\t./.:0,0\t0/0:7,0\n"
+        "chrUn\t5\t.\tT\tC\t.\t.\t.\tGT:AD\t1/1:0,2\t1/1:0,2\n")
+    out = io.StringIO()
+    pt.vcfpair(["-s", "samp", str(vcf)], out=out)
+    v = out.getvalue().split("\n")
+    assert "##source=x" not in out.getvalue()
+    assert "chr1_random" not in out.getvalue()
+    assert any(x.startswith("##FILTER=<ID=HET1") for x in v)
+    hdr = [x for x in v if x.startswith("#CHROM")][0]
+    assert hdr.endswith("\tsamp") and "\tH1" not in hdr
+    body = [x for x in v if x and not x.startswith("#")]
+    assert len(body) == 3
+    assert body[0].split("\t")[6] == "." \
+        and body[0].split("\t")[9] == "1|1:1,9"
+    assert body[1].split("\t")[6] == "HET1" \
+        and body[1].split("\t")[9] == ".|1:3,9"
+    assert body[2].split("\t")[6] == "GAP1" \
+        and body[2].split("\t")[9] == ".|0:7,0"
+    assert all(x.split("\t")[5] == "30" for x in body)
+
+
+def test_pafcmp(tmp_path):
+    base = tmp_path / "base.paf"
+    test = tmp_path / "test.paf"
+    row = "{q}\t9000\t0\t8000\t+\t{t}\t50000\t{st}\t{en}\t7000\t8000\t{mq}"
+    base.write_text("\n".join([
+        row.format(q="r1", t="c1", st=1000, en=9000, mq=60),
+        row.format(q="r2", t="c1", st=20000, en=28000, mq=60),
+        row.format(q="r3", t="c2", st=100, en=8100, mq=60)]) + "\n")
+    test.write_text("\n".join([
+        row.format(q="r1", t="c1", st=1100, en=9100, mq=60),   # hit
+        row.format(q="r2", t="c2", st=20000, en=28000, mq=60),  # wrong chr
+    ]) + "\n")
+    out, err = io.StringIO(), io.StringIO()
+    pt.pafcmp([str(base), str(test)], out=out, err=err)
+    v = out.getvalue()
+    assert "X\t3 base alignments with mapQ>=10" in v
+    assert "X\t1 base alignments correctly mapped by test" in v
+    assert "X\t1 wrong test alignment" in v
+    assert "X\t1 base alignments missing" in v
+    assert any(x.startswith("W\tr2") for x in v.split("\n"))
+    assert any(x.startswith("M\tr3") for x in v.split("\n"))
