@@ -1953,6 +1953,425 @@ def sim2bed(argv, out=None):
     return 0
 
 
+def _parse_num(s):
+    """paf_parseNum (paftools.js:3122-3132): float with k/m/g suffix."""
+    m = re.match(r"^(\d*\.?\d*)([mMgGkK]?)", s)
+    x = float(m.group(1))
+    suf = m.group(2).lower()
+    if suf == "k":
+        x *= 1000
+    elif suf == "m":
+        x *= 1000000
+    elif suf == "g":
+        x *= 1000000000
+    import math
+    return math.floor(x + .499)
+
+
+# ---------------------------------------------------------------------------
+# misjoin (paftools.js:3133-3268): detect assembly misjoins from contig-to-
+# reference PAF.
+# ---------------------------------------------------------------------------
+
+
+def misjoin(argv, out=None):
+    out = out or sys.stdout
+    min_seg_len = max_gap = 1000000
+    fn_cen = None
+    show_long = show_err = False
+    cen_ratio = 0.5
+    n_diff, n_gap, n_inv, n_inv_end = [0, 0], [0, 0], [0, 0], [0, 0]
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "-l":
+            min_seg_len = _parse_num(next(it))
+        elif a == "-g":
+            max_gap = _parse_num(next(it))
+        elif a == "-c":
+            fn_cen = next(it)
+        elif a == "-r":
+            cen_ratio = float(next(it))
+        elif a == "-p":
+            show_long = True
+        elif a == "-e":
+            show_err = True
+        else:
+            args.append(a)
+    if not args:
+        print("Usage: paftools.py misjoin [options] <in.paf>",
+              file=sys.stderr)
+        return 0
+    cen = {}
+    if fn_cen is not None:
+        for line in _open(fn_cen):
+            t = line.rstrip("\n").split("\t")
+            cen.setdefault(t[0], []).append((int(t[1]), int(t[2])))
+
+    def test_cen(chrom, st, en):
+        b = cen.get(chrom)
+        if b is None:
+            return False
+        length = sum(min(e1, en) - max(s1, st)
+                     for s1, e1 in b if s1 < en and e1 > st)
+        return length >= (en - st) * cen_ratio
+
+    def test_cen_point(chrom, x):
+        b = cen.get(chrom)
+        return b is not None and any(s1 <= x < e1 for s1, e1 in b)
+
+    if show_err or show_long:
+        out.write("C\tJ  inter-chromosomal misjoin\n")
+        out.write("C\tj  inter-chromosomal misjoin with both breakpoints "
+                  "ending in centromeres\n")
+        out.write("C\tG  long gap on the reference genome\n")
+        out.write("C\tg  long gap on the reference genome with both "
+                  "breakpoints ending in centromeres\n")
+        out.write("C\tM  closed inversion\n")
+        out.write("C\n")
+
+    def process(rows):
+        a = []
+        for t in rows:
+            for j in range(1, 4):
+                t[j] = int(t[j])
+            for j in range(6, 12):
+                t[j] = int(t[j])
+            if t[10] >= min_seg_len:
+                a.append(t)
+        if len(a) <= 1:
+            return
+        a.sort(key=lambda x: x[2])
+        if show_long:
+            for t in a:
+                out.write("\t".join(map(str, t)) + "\n")
+        i = 1
+        while i < len(a):
+            p, q = a[i - 1], a[i]
+            ov0 = test_cen(p[5], p[7], p[8])
+            ov1 = test_cen(q[5], q[7], q[8])
+            ec0 = test_cen_point(p[5], p[8] if p[4] == "+" else p[7])
+            ec1 = test_cen_point(q[5], q[7] if q[4] == "+" else q[8])
+            if p[5] != q[5]:
+                if ov0 or ov1:
+                    n_diff[1] += 1
+                elif show_err:
+                    lb = "j" if ec0 and ec1 else "J"
+                    _print(lb, "\t".join(map(str, p[:12])), out=out)
+                    _print(lb, "\t".join(map(str, q[:12])), out=out)
+                n_diff[0] += 1
+            elif p[4] == q[4]:
+                dq = q[2] - p[3]
+                dr = q[7] - p[8] if q[4] == "+" else p[7] - q[8]
+                gap = abs(dr - dq)
+                if gap > max_gap:
+                    if ov0 or ov1:
+                        n_gap[1] += 1
+                    elif show_err:
+                        lb = "g" if ec0 and ec1 else "G"
+                        _print(lb, "\t".join(map(str, p[:12])), out=out)
+                        _print(lb, "\t".join(map(str, q[:12])), out=out)
+                    n_gap[0] += 1
+            elif i + 1 < len(a) and a[i + 1][4] == p[4]:
+                if ov0 or ov1:
+                    n_inv[1] += 1
+                elif show_err:
+                    for t in (p, q, a[i + 1]):
+                        _print("M", "\t".join(map(str, t[:12])), out=out)
+                n_inv[0] += 1
+                i += 1
+            else:
+                if ov0 or ov1:
+                    n_inv_end[1] += 1
+                n_inv_end[0] += 1
+            i += 1
+
+    rows = []
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        if rows and rows[0][0] != t[0]:
+            process(rows)
+            rows = []
+        rows.append(t)
+    if rows:
+        process(rows)
+    out.write("# inter-chromosomal misjoins: %d,%d\n" % tuple(n_diff))
+    out.write("# intra-chromosomal gaps: %d,%d\n" % tuple(n_gap))
+    out.write("# candidate inversions in the middle: %d,%d\n"
+              % tuple(n_inv))
+    out.write("# candidate inversions at contig ends: %d,%d\n"
+              % tuple(n_inv_end))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# sveval (paftools.js:3291-3428): SV sensitivity/precision between a base
+# and a call VCF with fuzzy windowed matching.
+# ---------------------------------------------------------------------------
+
+
+def sveval(argv, out=None):
+    out = out or sys.stdout
+    min_flt, min_size, max_size, win_size = 30, 50, 100000, 500
+    print_err = print_match = False
+    bed_fn = None
+    len_diff_ratio = 0.5
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "-f":
+            min_flt = _parse_num(next(it))
+        elif a == "-i":
+            min_size = _parse_num(next(it))
+        elif a == "-x":
+            max_size = _parse_num(next(it))
+        elif a == "-w":
+            win_size = _parse_num(next(it))
+        elif a == "-d":
+            len_diff_ratio = float(next(it))
+        elif a == "-r":
+            bed_fn = next(it)
+        elif a == "-e":
+            print_err = True
+        elif a == "-p":
+            print_match = True
+        else:
+            args.append(a)
+    if len(args) < 2:
+        print("Usage: paftools.py sveval [options] <base.vcf> <call.vcf>",
+              file=sys.stderr)
+        return 0
+
+    bed = None
+    if bed_fn is not None:
+        bed = {}
+        for line in _open(bed_fn):
+            t = line.rstrip("\n").split("\t")
+            bed.setdefault(t[0], []).append([int(t[1]), int(t[2])])
+        for x in bed:
+            _intv_sort(bed[x])
+            _intv_merge(bed[x])
+            _intv_index_end(bed[x])
+
+    def read_vcf(fn):
+        v = {}
+        for line in _open(fn):
+            t = line.rstrip("\n").split("\t")
+            if t[0].startswith("#"):
+                continue
+            if bed is not None and t[0] not in bed:
+                continue
+            if t[4] in ("<INV>", "<INVDUP>"):
+                continue
+            if "[" in t[4] or "]" in t[4]:
+                continue
+            if t[6] not in (".", "PASS"):
+                continue
+            st = int(t[1]) - 1
+            en = st + len(t[3])
+            svlen, _, _ = _vcf_get_alen(t)
+            abslen = 0 if svlen is None else abs(svlen)
+            if abslen < min_flt or abslen > max_size:
+                continue
+            m = re.search(r"(^|;)END=(\d+)", t[7])
+            if m is not None:
+                en = int(m.group(2))
+            elif svlen is not None and svlen < 0:
+                en = st - svlen
+            if en < st:
+                en = st
+            if st == en:
+                st -= 1
+                en += 1
+            if bed is not None and not _intv_find_ovlp(bed[t[0]], st, en):
+                continue
+            v.setdefault(t[0], []).append([st, en, svlen, abslen])
+        for x in v:
+            _intv_sort(v[x])
+            _intv_index_end(v[x])
+        return v
+
+    def compare(v0, v1, label):
+        m_cnt = n_cnt = 0
+        for x, a1 in v1.items():
+            a0 = v0.get(x)
+            for r in a1:
+                if r[3] < min_size:
+                    continue
+                n_cnt += 1
+                if a0 is None:
+                    continue
+                ws = win_size + (r[3] >> 1)
+                st = r[0] - ws if r[0] > ws else 0
+                b = _intv_find_ovlp(a0, st, r[1] + ws)
+                n_ins = n_del = 0
+                sv_del = sv_ins = None
+                for o in b:
+                    if o[2] < 0:
+                        n_del += 1
+                        sv_del = -o[2]
+                    elif o[2] > 0:
+                        n_ins += 1
+                        sv_ins = o[2]
+                    if print_match:
+                        _print("MA", x, "\t".join(map(str, r[:3])),
+                               "\t".join(map(str, o[:3])), out=out)
+                match = False
+                if r[2] is not None and r[2] > 0:
+                    if n_ins == 1:
+                        diff = abs(sv_ins - r[3])
+                        if diff < min_size or diff / r[3] < len_diff_ratio:
+                            match = True
+                    elif n_ins > 1:
+                        match = True
+                elif r[2] is not None and r[2] < 0:
+                    if n_del == 1:
+                        diff = abs(sv_del - r[3])
+                        if diff < min_size or diff / r[3] < len_diff_ratio:
+                            match = True
+                    elif n_del > 1:
+                        match = True
+                if match:
+                    m_cnt += 1
+                elif print_err:
+                    if ((r[2] is not None and r[2] > 0 and n_ins > 0)
+                            or (r[2] is not None and r[2] < 0
+                                and n_del > 0)):
+                        _print("MM", x, "\t".join(map(str, r[:3])), out=out)
+                    _print(label, x, "\t".join(map(str, r[:3])), out=out)
+        return n_cnt, m_cnt
+
+    v_base = read_vcf(args[0])
+    v_call = read_vcf(args[1])
+    fn = compare(v_call, v_base, "FN")
+    fp = compare(v_base, v_call, "FP")
+    _print("SN", fn[0], fn[1], f"{fn[1] / fn[0]:.6f}", out=out)
+    _print("PC", fp[0], fp[1], f"{fp[1] / fp[0]:.6f}", out=out)
+    _print("F1", f"{(fn[1] / fn[0] + fp[1] / fp[0]) / 2:.6f}", out=out)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# paf2gff (paftools.js:3621-3714): miniprot-style PAF (with cg including
+# F/G/R/N/U/V ops) to GFF.
+# ---------------------------------------------------------------------------
+
+
+def paf2gff(argv, out=None):
+    out = out or sys.stdout
+    aa = False
+    args = []
+    for x in argv:
+        if x == "-a":
+            aa = True
+        else:
+            args.append(x)
+    if not args:
+        print("Usage: paftools.py paf2gff [-a] <in.paf>", file=sys.stderr)
+        return 0
+    re_cigar = re.compile(r"(\d+)([A-Z=])")
+    hid, last_name = 1, None
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        if t[5] == "*":
+            continue
+        if t[0] != last_name:
+            last_name, hid = t[0], 1
+        else:
+            hid += 1
+        for i in range(1, 4):
+            t[i] = int(t[i])
+        for i in range(6, 12):
+            t[i] = int(t[i])
+        cigar = score = np_ = dist_stop = dist_start = None
+        for x in t[12:]:
+            if x.startswith("cg:Z:"):
+                cigar = x[5:]
+            elif x.startswith("AS:i:"):
+                score = int(x[5:])
+            elif x.startswith("np:i:"):
+                np_ = int(x[5:])
+            elif x.startswith("do:i:"):
+                dist_stop = int(x[5:])
+            elif x.startswith("da:i:"):
+                dist_start = int(x[5:])
+        if cigar is None:
+            raise RuntimeError("failed to find the cg:Z tag")
+        if score is None:
+            raise RuntimeError("failed to find the AS:i tag")
+        st = en = phase = fs = 0
+        pseudo = False
+        a = []
+        if dist_start == 0:
+            a.append([t[5], "paf2gff", "start_codon", 0, 3, 0, t[4],
+                      ".", 0])
+        for m in re_cigar.finditer(cigar):
+            ln_, op = int(m.group(1)), m.group(2)
+            if op in ("M", "D"):
+                en += ln_ * 3 if aa else ln_
+            elif op in ("F", "G", "R"):
+                en += ln_
+                pseudo = True
+                fs = 1
+            elif op == "N":
+                a.append([t[5], "paf2gff", "exon", st, en, 0, t[4],
+                          phase, fs])
+                st = en + ln_
+                en += ln_
+                phase = fs = 0
+            elif op == "U":      # ...xGT...AGxx...
+                a.append([t[5], "paf2gff", "exon", st, en + 1, 0, t[4],
+                          phase, fs])
+                st = en + ln_ - 2
+                en += ln_
+                phase, fs = 2, 0
+            elif op == "V":      # ...xxGT...AGx...
+                a.append([t[5], "paf2gff", "exon", st, en + 2, 0, t[4],
+                          phase, fs])
+                st = en + ln_ - 1
+                en += ln_
+                phase, fs = 1, 0
+        a.append([t[5], "paf2gff", "exon", st, en, 0, t[4], phase, fs])
+        if en != t[8] - t[7]:
+            raise RuntimeError("inconsistent cigar")
+        if dist_stop == 0:
+            a.append([t[5], "paf2gff", "stop_codon", en, en + 3, 0, t[4],
+                      ".", 0])
+        typ = "pseudogene" if pseudo else "protein_coding"
+        attr = f"transcript_id={t[0]}#{hid};transcript_type={typ}"
+        trans_attr = f"identity={t[9] / t[10]:.4f}"
+        if np_ is not None:
+            trans_attr += f";positive={np_ * 3 / t[10]:.4f}"
+        trans_attr += f";aa_start={t[2]};aa_end={t[1] - t[3]}"
+        if dist_start is not None and dist_start >= 0:
+            trans_attr += f";dist_start_codon={dist_start}"
+        if dist_stop is not None and dist_stop >= 0:
+            trans_attr += f";dist_stop_codon={dist_stop}"
+        trans_st, trans_en = t[7], t[8]
+        if dist_stop == 0:
+            if t[4] == "-":
+                trans_st -= 3
+            else:
+                trans_en += 3
+        _print(t[5], "paf2gff", "transcript", trans_st + 1, trans_en,
+               score, t[4], ".", attr + ";" + trans_attr, out=out)
+        if aa and t[4] == "-":
+            ln_ = t[8] - t[7]
+            b = []
+            for r in reversed(a):
+                r[3], r[4] = ln_ - r[4], ln_ - r[3]
+                b.append(r)
+            a = b
+        for r in a:
+            if not pseudo and r[2] == "exon":
+                r[2] = "CDS"
+            r[3] += t[7] + 1
+            r[4] += t[7]
+            r[8] = attr + f";frameshift={r[8]}"
+            _print(*r, out=out)
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # badread2fa (paftools.js:2446-2492): rename Badread-simulated reads so that
 # truth coordinates are encoded in the name (mapeval-compatible).
@@ -2492,6 +2911,9 @@ _CMDS = {
     "vcfsel": vcfsel,
     "vcfpair": vcfpair,
     "pafcmp": pafcmp,
+    "misjoin": misjoin,
+    "sveval": sveval,
+    "paf2gff": paf2gff,
 }
 
 

@@ -234,3 +234,73 @@ def test_pafcmp(tmp_path):
     assert "X\t1 base alignments missing" in v
     assert any(x.startswith("W\tr2") for x in v.split("\n"))
     assert any(x.startswith("M\tr3") for x in v.split("\n"))
+
+
+def test_misjoin(tmp_path):
+    paf = tmp_path / "asm.paf"
+    row = ("{q}\t{ql}\t{qs}\t{qe}\t{st}\t{t}\t{tl}\t{ts}\t{te}\t{bm}\t{bl}"
+           "\t60")
+    # ctg1: two big blocks on different chromosomes -> 1 inter-chrom misjoin
+    # ctg2: same chr, same strand, 5M reference gap -> 1 intra gap
+    paf.write_text("\n".join([
+        row.format(q="ctg1", ql=8000000, qs=0, qe=3000000, st="+", t="chr1",
+                   tl=50000000, ts=0, te=3000000, bm=2900000, bl=3000000),
+        row.format(q="ctg1", ql=8000000, qs=3000000, qe=7000000, st="+",
+                   t="chr2", tl=50000000, ts=0, te=4000000, bm=3900000,
+                   bl=4000000),
+        row.format(q="ctg2", ql=8000000, qs=0, qe=3000000, st="+", t="chr3",
+                   tl=50000000, ts=0, te=3000000, bm=2900000, bl=3000000),
+        row.format(q="ctg2", ql=8000000, qs=3000000, qe=7000000, st="+",
+                   t="chr3", tl=50000000, ts=8000000, te=12000000,
+                   bm=3900000, bl=4000000)]) + "\n")
+    out = io.StringIO()
+    pt.misjoin([str(paf)], out=out)
+    v = out.getvalue()
+    assert "# inter-chromosomal misjoins: 1,0" in v
+    assert "# intra-chromosomal gaps: 1,0" in v
+    # with chr1 block inside a centromere it moves to the cen counter
+    cen = tmp_path / "cen.bed"
+    cen.write_text("chr1\t0\t4000000\n")
+    out = io.StringIO()
+    pt.misjoin(["-c", str(cen), str(paf)], out=out)
+    assert "# inter-chromosomal misjoins: 1,1" in out.getvalue()
+
+
+def test_sveval(tmp_path):
+    hdr = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    base = tmp_path / "base.vcf"
+    call = tmp_path / "call.vcf"
+    ins100 = "A" + "G" * 100
+    del80 = "A" + "C" * 80
+    base.write_text(hdr
+                    + f"c1\t1000\t.\tA\t{ins100}\t.\tPASS\t.\n"
+                    + f"c1\t5000\t.\t{del80}\tA\t.\tPASS\t.\n"
+                    + f"c1\t9000\t.\tA\t{'T' * 61}\t.\tPASS\t.\n")
+    call.write_text(hdr
+                    + f"c1\t1050\t.\tA\t{ins100}\t.\tPASS\t.\n"   # TP
+                    + f"c1\t5020\t.\t{del80}\tA\t.\t.\t.\n"       # TP
+                    + f"c2\t100\t.\tA\t{'T' * 70}\t.\tPASS\t.\n")  # FP
+    out = io.StringIO()
+    pt.sveval([str(base), str(call)], out=out)
+    v = out.getvalue().strip().split("\n")
+    assert v[0] == "SN\t3\t2\t0.666667"
+    assert v[1] == "PC\t3\t2\t0.666667"
+    assert v[2] == "F1\t0.666667"
+
+
+def test_paf2gff(tmp_path):
+    paf = tmp_path / "mp.paf"
+    # exon1 300bp, 1000bp intron (N), exon2 150bp
+    paf.write_text("p1\t100\t0\t100\t+\tchr1\t100000\t2000\t3450\t95\t100"
+                   "\t60\tAS:i:500\tcg:Z:300M1000N150M\n")
+    out = io.StringIO()
+    pt.paf2gff([str(paf)], out=out)
+    v = out.getvalue().strip().split("\n")
+    t0 = v[0].split("\t")
+    assert t0[2] == "transcript" and t0[3] == "2001" and t0[4] == "3450"
+    assert "transcript_id=p1#1" in t0[8]
+    assert "identity=0.9500" in t0[8]
+    cds = [x.split("\t") for x in v[1:]]
+    assert [c[2] for c in cds] == ["CDS", "CDS"]
+    assert (cds[0][3], cds[0][4]) == ("2001", "2300")
+    assert (cds[1][3], cds[1][4]) == ("3301", "3450")
