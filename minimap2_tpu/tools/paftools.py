@@ -1,13 +1,14 @@
 """paftools: PAF/SAM post-processing toolkit.
 
-Python port of the reference misc/paftools.js subcommands used for
-self-evaluation and format conversion:
+Python port of all 27 reference misc/paftools.js subcommands (evaluation,
+format conversion, variant calling and assembly statistics):
 
-  view      (paftools.js:1411-1533)  BLAST-like / lastz-cigar / maf output
-  sam2paf   (paftools.js:1741-1917)  SAM -> PAF (+cs from MD)
-  stat      (paftools.js:1009-1199)  alignment statistics
-  mapeval   (paftools.js:2102-2280)  mapping-accuracy ROC on simulated reads
-  junceval  (paftools.js:2493-2706)  splice-junction accuracy vs GTF
+  sam2paf delta2paf splice2bed gff2bed gff2junc paf2gff   conversion
+  view longcs2seq                                         display/seqs
+  stat asmstat asmgene misjoin vcfstat                    statistics
+  liftover vcfpair call vcfsel sveval                     calling/lifting
+  mapeval pafcmp junceval exoneval ov-eval                evaluation
+  mason2fq pbsim2fq badread2fa sim2bed bedcov             simulation/misc
   version
 
 Field-for-field output parity with the JS (k8 `print` joins with TAB).
@@ -1953,6 +1954,619 @@ def sim2bed(argv, out=None):
     return 0
 
 
+# ---------------------------------------------------------------------------
+# asmstat (paftools.js:612-864): assembly contiguity/accuracy statistics
+# from asm-to-ref PAF(s): NG50/NGA50/AUNGA, ref & query coverage, dup rate,
+# break counts.
+# ---------------------------------------------------------------------------
+
+
+def asmstat(argv, out=None):
+    out = out or sys.stdout
+    min_query_len, min_seg_len, max_diff = 0, 10000, 0.01
+    bp_flank_len = 0
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "-l":
+            min_seg_len = int(next(it))
+        elif a == "-d":
+            max_diff = float(next(it))
+        elif a == "-b":
+            bp_flank_len = int(next(it))
+        elif a == "-g":
+            next(it)      # bp_gap_len: only used by the disabled nb-plot
+        elif a == "-q":
+            min_query_len = int(next(it))
+        else:
+            args.append(a)
+    if not args:
+        print("Usage: paftools.py asmstat [options] <ref.fa.fai> "
+              "<asm1.paf> [...]", file=sys.stderr)
+        return 1
+
+    ref_len = 0
+    for line in _open(args[0]):
+        ref_len += int(line.rstrip("\n").split("\t")[1])
+
+    def process_query(qblocks, qblock_len, bp, qi):
+        qblocks.sort(key=lambda x: x[0])
+        last_k = last_blen = None
+        st = en = -1
+        qcov = 0
+        for k, qb in enumerate(qblocks):
+            blen = qb[1] - qb[0]
+            if k > 0 and qb[0] < qblocks[k - 1][1]:
+                if qb[1] < qblocks[k - 1][1]:
+                    continue
+                blen = qb[1] - qblocks[k - 1][1]
+            qblock_len.append(blen)
+            if qb[0] > en:
+                qcov += en - st
+                st, en = qb[0], qb[1]
+            else:
+                en = max(en, qb[1])
+            if last_k is not None:
+                lb = qblocks[last_k]
+                gap = 1000000000
+                if qb[2] == lb[2] and qb[3] == lb[3]:
+                    g1 = qb[0] - lb[1]
+                    g2 = qb[4] - lb[5] if qb[2] == "+" else lb[4] - qb[5]
+                    gap = abs(g1 - g2)
+                bp.append((blen, gap))
+                qi["bp"].append((blen, gap))
+            last_k, last_blen = k, blen
+        qcov += en - st
+        return qcov
+
+    def n50(lens, tot, quantile):
+        lens = sorted(lens, reverse=True)
+        if tot is None:
+            tot = sum(lens)
+        s = 0
+        for x in lens:
+            if s <= quantile * tot < s + x:
+                return x
+            s += x
+        return None
+
+    def aun(lens, tot):
+        lens = sorted(lens, reverse=True)
+        if tot is None:
+            tot = sum(lens)
+        x = y = 0
+        for v in lens:
+            ln_ = v if x + v <= tot else tot - x
+            x += v
+            y += ln_ * (ln_ / tot)
+            if x >= tot:
+                break
+        return f"{y:.0f}"
+
+    def count_bp(bp, min_blen, min_gap):
+        return sum(1 for fl, g in bp if fl >= min_blen and g >= min_gap)
+
+    re_md = re.compile(r"(\d+)([MID])")
+
+    def compute_diff(cigar, NM):
+        n_M = n_gapo = n_gaps = 0
+        for m in re_md.finditer(cigar):
+            ln_ = int(m.group(1))
+            if m.group(2) == "M":
+                n_M += ln_
+            else:
+                n_gapo += 1
+                n_gaps += ln_
+        if NM < n_gaps:
+            raise RuntimeError("NM is smaller the number of gaps")
+        return (NM - n_gaps + n_gapo) / (n_M + n_gapo)
+
+    labels = ["Length", "l_cov", "Rcov", "Rdup", "Qcov", "NG75", "NG50",
+              "NGA50", "AUNGA", "#breaks", f"bp({min_seg_len},0)",
+              f"bp({min_seg_len},10k)"]
+    n_asm = len(args) - 1
+    rst = [[None] * n_asm for _ in labels]
+    header = ["Metric"]
+    for i in range(n_asm):
+        fn = args[1 + i]
+        header.append(re.sub(r"\.paf(\.gz)?$", "", fn))
+        n_breaks = qcov = 0
+        ref_blocks, qblock_len, qblocks, bp = [], [], [], []
+        query, qinfo = {}, {}
+        last_qname = None
+        for line in _open(fn):
+            line = line.rstrip("\n")
+            t = line.split("\t")
+            if len(t) < 2:
+                continue
+            t[1] = int(t[1])
+            if t[1] < min_query_len:
+                continue
+            query[t[0]] = t[1]
+            qinfo.setdefault(t[0], {})["len"] = t[1]
+            qinfo[t[0]]["bp"] = []
+            if len(t) < 9 or t[5] == "*":
+                continue
+            if not re.search(r"\ttp:A:[PI]", line):
+                continue
+            m = re.search(r"\tcg:Z:(\S+)", line)
+            cigar = m.group(1) if m else None
+            m = re.search(r"\tNM:i:(\d+)", line)
+            NM = int(m.group(1)) if m else None
+            diff = (compute_diff(cigar, NM)
+                    if cigar is not None and NM is not None else 0)
+            t[2], t[3] = int(t[2]), int(t[3])
+            t[7], t[8] = int(t[7]), int(t[8])
+            if t[0] == last_qname:
+                n_breaks += 1
+            if diff > max_diff:
+                continue
+            if t[3] - t[2] < min_seg_len:
+                continue
+            if t[0] != last_qname:
+                if last_qname is not None:
+                    qcov += process_query(qblocks, qblock_len, bp,
+                                          qinfo[last_qname])
+                qblocks = []
+                last_qname = t[0]
+            ref_blocks.append([t[5], t[7], t[8]])
+            qblocks.append([t[2], t[3], t[4], t[5], t[7], t[8]])
+        if last_qname is not None:
+            qcov += process_query(qblocks, qblock_len, bp,
+                                  qinfo[last_qname])
+
+        asm_len = sum(query.values())
+        rst[0][i] = asm_len
+        rst[5][i] = n50(list(query.values()), ref_len, 0.75)
+        rst[6][i] = n50(list(query.values()), ref_len, 0.5)
+
+        l_cov = 0
+        ref_blocks.sort(key=lambda r: (r[0], r[1]))
+        last_ref, st, en = None, -1, -1
+        for rb in ref_blocks:
+            if rb[0] != last_ref or rb[1] > en:
+                l_cov += en - st
+                last_ref, st, en = rb[0], rb[1], rb[2]
+            else:
+                en = max(en, rb[2])
+        l_cov += en - st
+        rst[1][i] = l_cov
+        rst[2][i] = f"{100.0 * l_cov / ref_len:.2f}%"
+        rst[4][i] = (f"{100.0 * qcov / asm_len:.2f}%" if asm_len
+                     else "0.00%")
+
+        # single-coverage length (mirrors paf_call; paftools.js:805-824)
+        c1_ctg, c1_start, c1_end, c1_len = None, 0, 0, 0
+        for rb in ref_blocks:
+            if rb[0] != c1_ctg or rb[1] >= c1_end:
+                if c1_end > c1_start:
+                    c1_len += c1_end - c1_start
+                c1_ctg, c1_start, c1_end = rb[0], rb[1], rb[2]
+            elif rb[2] > c1_end:
+                if rb[1] > c1_start:
+                    c1_len += rb[1] - c1_start
+                c1_start, c1_end = c1_end, rb[2]
+            elif rb[2] > c1_start:
+                if rb[1] > c1_start:
+                    c1_len += rb[1] - c1_start
+                c1_start = rb[2]
+        if c1_end > c1_start:
+            c1_len += c1_end - c1_start
+        rst[3][i] = (f"{100 * (l_cov - c1_len) / l_cov:.2f}%" if l_cov
+                     else "0.00%")
+
+        rst[7][i] = n50(qblock_len, ref_len, 0.5)
+        rst[8][i] = aun(qblock_len, ref_len)
+        rst[9][i] = n_breaks
+        rst[10][i] = count_bp(bp, 500, 0)
+        rst[11][i] = count_bp(bp, 500, 10000)
+
+    if bp_flank_len <= 0:
+        out.write("\t".join(header) + "\n")
+        for i, lb in enumerate(labels):
+            _print(lb, "\t".join(map(str, rst[i])), out=out)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# exoneval (paftools.js:2708-2984): exon-level accuracy of spliced/protein
+# alignments vs a GTF annotation (adapted from junceval in the JS).
+# ---------------------------------------------------------------------------
+
+
+def exoneval(argv, out=None, err=None):
+    out = out or sys.stdout
+    err = err or sys.stderr
+    l_fuzzy = 0
+    print_ovlp = print_err_only = first_only = chr_only = False
+    aa = is_bed = use_cds = eval_base = False
+    skip_start = skip_last = False
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "-l":
+            l_fuzzy = int(next(it))
+        elif a.startswith("-l"):
+            l_fuzzy = int(a[2:])
+        elif a == "-e":
+            print_err_only = print_ovlp = True
+        elif a == "-p":
+            print_ovlp = True
+        elif a == "-c":
+            chr_only = True
+        elif a == "-a":
+            aa = use_cds = True
+        elif a == "-b":
+            is_bed = True
+        elif a == "-1":
+            first_only = True
+        elif a == "-d":
+            use_cds = True
+        elif a == "-s":
+            eval_base = True
+        elif a == "-f":
+            skip_start = True
+        elif a == "-t":
+            skip_last = skip_start = True
+        else:
+            args.append(a)
+    if not args:
+        print("Usage: paftools.py exoneval [options] <gene.gtf> <aln.sam>",
+              file=sys.stderr)
+        return 1
+
+    print("Reading reference GTF...", file=err)
+    tr = {}
+    for line in _open(args[0]):
+        t = line.rstrip("\n").split("\t")
+        if t[0].startswith("#") or len(t) < 9:
+            continue
+        if use_cds:
+            if t[2] not in ("cds", "CDS"):
+                continue
+        elif t[2] != "exon":
+            continue
+        m = re.search(r'transcript_id "(\S+)"', t[8])
+        if m is None:
+            continue
+        tr.setdefault(m.group(1), [t[0], t[6], 0, 0, []])[4].append(
+            [int(t[3]) - 1, int(t[4])])
+
+    anno = {}
+    for tid, t in tr.items():
+        _intv_sort(t[4])
+        for s in t[4]:
+            anno.setdefault(t[0], []).append([s[0], s[1]])
+    for chrom, e in anno.items():
+        _intv_sort(e)
+        k = 0
+        for i in range(1, len(e)):      # dedup
+            if e[i][0] != e[k][0] or e[i][1] != e[k][1]:
+                k += 1
+                e[k] = e[i][:]
+        del e[k + 1:]
+        _intv_index_end(e)
+
+    n_pri = n_unmapped = n_mapped = 0
+    n_exon = n_exon_hit = n_exon_novel = 0
+    last_qname = None
+    qexon = {}
+    re_cigar = re.compile(r"(\d+)([MIDNSHP=XFGUV])")
+    re_chr = re.compile(r"^(chr)?([0-9]+|X|Y)$")
+
+    print("Evaluating alignments...", file=err)
+    fp = _open(args[1]) if len(args) > 1 and args[1] != "-" else sys.stdin
+    for line in fp:
+        t = line.rstrip("\n").split("\t")
+        if t[0].startswith("@"):
+            continue
+        if t[0] == "##PAF":
+            t = t[1:]
+        qname = t[0]
+        cigar = None
+        strand = None
+        if is_bed:
+            ctg_name, pos = t[0], int(t[1])
+        elif len(t) > 4 and t[4] in "+-*":      # PAF
+            ctg_name, pos, strand = t[5], int(t[7]), t[4]
+            typ = "P"
+            for x in t[12:]:
+                if x.startswith("tp:A:"):
+                    typ = x[5:]
+                elif x.startswith("cg:Z:"):
+                    cigar = x[5:]
+            if typ == "S":
+                continue
+        else:                                    # SAM
+            ctg_name, pos, cigar = t[2], int(t[3]) - 1, t[5]
+            if int(t[1]) & 0x100:
+                continue
+        if chr_only and not re_chr.match(ctg_name):
+            continue
+        if first_only and last_qname == qname:
+            continue
+        if ctg_name == "*":
+            n_unmapped += 1
+            continue
+        n_pri += 1
+        if last_qname != qname:
+            n_mapped += 1
+            last_qname = qname
+
+        exon = []
+        if is_bed:
+            exon.append([pos, int(t[2])])
+        elif aa:
+            tmp_exon, tmp, tmp_st = [], 0, 0
+            for m in re_cigar.finditer(cigar):
+                ln_, op = int(m.group(1)), m.group(2)
+                if op == "N":
+                    tmp_exon.append([tmp_st, tmp])
+                    tmp_st = tmp + ln_
+                    tmp += ln_
+                elif op == "U":
+                    tmp_exon.append([tmp_st, tmp + 1])
+                    tmp_st = tmp + ln_ - 2
+                    tmp += ln_
+                elif op == "V":
+                    tmp_exon.append([tmp_st, tmp + 2])
+                    tmp_st = tmp + ln_ - 1
+                    tmp += ln_
+                elif op in "MX=D":
+                    tmp += ln_ * 3
+                elif op in "FG":
+                    tmp += ln_
+            tmp_exon.append([tmp_st, tmp])
+            if strand == "+":
+                exon = [[pos + s, pos + e] for s, e in tmp_exon]
+            elif strand == "-":
+                glen = int(t[8]) - int(t[7])
+                exon = [[pos + glen - e, pos + glen - s]
+                        for s, e in reversed(tmp_exon)]
+            if skip_start and exon:
+                exon.pop(0)
+            if skip_last and exon:
+                exon.pop()
+        else:
+            tmp_st = pos
+            for m in re_cigar.finditer(cigar):
+                ln_, op = int(m.group(1)), m.group(2)
+                if op == "N":
+                    exon.append([tmp_st, pos])
+                    tmp_st = pos + ln_
+                    pos += ln_
+                elif op in "MX=D":
+                    pos += ln_
+            exon.append([tmp_st, pos])
+        n_exon += len(exon)
+
+        chrom = anno.get(ctg_name)
+        if chrom is None:
+            n_exon_novel += len(exon)
+            continue
+        for i, (es, ee) in enumerate(exon):
+            if eval_base:
+                qexon.setdefault(ctg_name, []).append([es, ee])
+            o = _intv_find_ovlp(chrom, es, ee)
+            if o:
+                hit = False
+                for oj in o:
+                    if (abs(es - oj[0]) <= l_fuzzy
+                            and abs(ee - oj[1]) <= l_fuzzy):
+                        n_exon_hit += 1
+                        hit = True
+                    if hit:
+                        break
+                if print_ovlp:
+                    if hit and print_err_only:
+                        continue
+                    x = "[" + ", ".join(f"({oj[0]},{oj[1]})"
+                                        for oj in o) + "]"
+                    _print("C" if hit else "P", qname, i + 1, ctg_name,
+                           es, ee, x, out=out)
+            else:
+                n_exon_novel += 1
+                if print_ovlp:
+                    _print("N", qname, i + 1, ctg_name, es, ee, out=out)
+
+    if not print_ovlp:
+        pct = n_exon_hit / n_exon * 100 if n_exon else float("nan")
+        out.write(f"# unmapped reads: {n_unmapped}\n")
+        out.write(f"# mapped reads: {n_mapped}\n")
+        out.write(f"# primary alignments: {n_pri}\n")
+        out.write(f"# predicted exons: {n_exon}\n")
+        out.write(f"# non-overlapping exons: {n_exon_novel}\n")
+        out.write(f"# correct exons: {n_exon_hit} ({pct:.2f}%)\n")
+
+    def merge_and_index(ex):
+        for chrom in list(ex):
+            e = ex[chrom]
+            a = []
+            _intv_sort(e)
+            st, en = e[0][0], e[0][1]
+            for s, eo in ((r[0], r[1]) for r in e[1:]):
+                if s > en:
+                    a.append([st, en])
+                    st, en = s, eo
+                else:
+                    en = max(en, eo)
+            a.append([st, en])
+            _intv_index_end(a)
+            ex[chrom] = a
+
+    def cal_sn(a0, a1):
+        tot = cov = 0
+        for chrom, e1 in a1.items():
+            e0 = a0.get(chrom)
+            for r in e1:
+                tot += r[1] - r[0]
+            if e0 is None:
+                continue
+            for r in e1:
+                for oj in _intv_find_ovlp(e0, r[0], r[1]):
+                    cov += min(r[1], oj[1]) - max(r[0], oj[0])
+        return tot, cov
+
+    if eval_base:
+        print("Computing base Sn and Sp...", file=err)
+        merge_and_index(qexon)
+        merge_and_index(anno)
+        sn = cal_sn(qexon, anno)
+        sp = cal_sn(anno, qexon)
+        out.write(f"Base Sn: {sn[1]} / {sn[0]} = "
+                  f"{sn[1] / sn[0] * 100:.2f}%\n")
+        out.write(f"Base Sp: {sp[1]} / {sp[0]} = "
+                  f"{sp[1] / sp[0] * 100:.2f}%\n")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# asmgene (paftools.js:866-1007): evaluate gene completeness of an assembly
+# from cDNA-to-ref and cDNA-to-asm splice PAFs.
+# ---------------------------------------------------------------------------
+
+
+def asmgene(argv, out=None):
+    out = out or sys.stdout
+    min_cov = min_iden = 0.99
+    print_err = auto_only = False
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "-i":
+            min_iden = float(next(it))
+        elif a == "-c":
+            min_cov = float(next(it))
+        elif a == "-e":
+            print_err = True
+        elif a == "-a":
+            auto_only = True
+        elif a.startswith("-i"):
+            min_iden = float(a[2:])
+        elif a.startswith("-c"):
+            min_cov = float(a[2:])
+        else:
+            args.append(a)
+    n_fn = len(args)
+    if n_fn < 2:
+        print("Usage: paftools.py asmgene [options] <ref-splice.paf> "
+              "<asm-splice.paf> [...]", file=sys.stderr)
+        return 1
+
+    def process_query(a):
+        # a rows: [qname, ql, qs, qe, mlen, blen]
+        cnt = [0, 0.0, 0]
+        b = [r[:] for r in a if r[4] >= r[5] * min_iden]
+        if not b:
+            return cnt
+        cnt[0] = sum(1 for r in b if r[3] - r[2] >= r[1] * min_cov)
+        b.sort(key=lambda x: x[2])
+        l_cov, st, en = 0, b[0][2], b[0][3]
+        for r in b[1:]:
+            if r[2] <= en:
+                en = max(en, r[3])
+            else:
+                l_cov += en - st
+        l_cov += en - st
+        cnt[1] = l_cov / b[0][1]
+        cnt[2] = len(b)
+        return cnt
+
+    gene, header, refpos = {}, [], {}
+    for i, fn in enumerate(args):
+        header.append(re.sub(r"\.paf(\.gz)?$", "", fn))
+        a = []
+        for line in _open(fn):
+            t = line.rstrip("\n").split("\t")
+            ql, qs, qe = int(t[1]), int(t[2]), int(t[3])
+            mlen, blen = int(t[9]), int(t[10])
+            if i == 0:
+                refpos[t[0]] = [t[0], int(t[1]), t[5], int(t[7]),
+                                int(t[8])]
+            gene.setdefault(t[0], {})
+            if a and t[0] != a[0][0]:
+                gene[a[0][0]][i] = process_query(a)
+                a = []
+            a.append([t[0], ql, qs, qe, mlen, blen])
+        if a:
+            gene[a[0][0]][i] = process_query(a)
+
+    # select the longest gene per overlapping ref locus (paftools.js:939-953)
+    gene_list = sorted(refpos.values(), key=lambda r: (r[2], r[3]))
+    gene_nr = {}
+    if gene_list:
+        last = 0
+        for j in range(1, len(gene_list)):
+            if (gene_list[j][2] != gene_list[last][2]
+                    or gene_list[j][3] >= gene_list[last][4]):
+                gene_nr[gene_list[last][0]] = 1
+                last = j
+            elif gene_list[j][1] > gene_list[last][1]:
+                last = j
+        gene_nr[gene_list[last][0]] = 1
+
+    col1 = ["full_sgl", "full_dup", "frag", "part50+", "part10+",
+            "part10-", "dup_cnt", "dup_sum"]
+    rst = [[0] * n_fn for _ in col1]
+    re_xy = re.compile(r"^(chr)?[XY]$")
+    for g, gi in gene.items():       # single-copy genes
+        if gi.get(0) is None or gi[0][0] != 1:
+            continue
+        if g not in gene_nr:
+            continue
+        if auto_only and re_xy.match(refpos[g][2]):
+            continue
+        rp = "\t".join(map(str, refpos[g]))
+        for i in range(n_fn):
+            c = gi.get(i)
+            if c is None:
+                rst[5][i] += 1
+                if print_err:
+                    _print("M", header[i], rp, out=out)
+            elif c[0] == 1:
+                rst[0][i] += 1
+            elif c[0] > 1:
+                rst[1][i] += 1
+                if print_err:
+                    _print("D", header[i], rp, out=out)
+            elif c[1] >= min_cov:
+                rst[2][i] += 1
+                if print_err:
+                    _print("F", header[i], rp, out=out)
+            elif c[1] >= 0.5:
+                rst[3][i] += 1
+                if print_err:
+                    _print("5", header[i], rp, out=out)
+            elif c[1] >= 0.1:
+                rst[4][i] += 1
+                if print_err:
+                    _print("1", header[i], rp, out=out)
+            else:
+                rst[5][i] += 1
+                if print_err:
+                    _print("0", header[i], rp, out=out)
+    for g, gi in gene.items():       # multi-copy genes
+        if gi.get(0) is None or gi[0][0] <= 1:
+            continue
+        if g not in gene_nr:
+            continue
+        if auto_only and re_xy.match(refpos[g][2]):
+            continue
+        for i in range(n_fn):
+            c = gi.get(i)
+            if c is not None:
+                rst[7][i] += c[0]
+            if c is not None and c[0] > 1:
+                rst[6][i] += 1
+            elif print_err:
+                _print("d", header[i], gi[0][0],
+                       "\t".join(map(str, refpos[g])), out=out)
+    _print("H", "Metric", "\t".join(header), out=out)
+    for k, name in enumerate(col1):
+        _print("X", name, "\t".join(map(str, rst[k])), out=out)
+    return 0
+
+
 def _parse_num(s):
     """paf_parseNum (paftools.js:3122-3132): float with k/m/g suffix."""
     m = re.match(r"^(\d*\.?\d*)([mMgGkK]?)", s)
@@ -2914,6 +3528,9 @@ _CMDS = {
     "misjoin": misjoin,
     "sveval": sveval,
     "paf2gff": paf2gff,
+    "asmstat": asmstat,
+    "asmgene": asmgene,
+    "exoneval": exoneval,
 }
 
 

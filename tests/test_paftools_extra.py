@@ -304,3 +304,74 @@ def test_paf2gff(tmp_path):
     assert [c[2] for c in cds] == ["CDS", "CDS"]
     assert (cds[0][3], cds[0][4]) == ("2001", "2300")
     assert (cds[1][3], cds[1][4]) == ("3301", "3450")
+
+
+def test_asmgene(tmp_path):
+    ref = tmp_path / "ref.paf"
+    asm = tmp_path / "asm.paf"
+    r = "{g}\t{ql}\t{qs}\t{qe}\t+\t{t}\t1000000\t{ts}\t{te}\t{ml}\t{bl}\t60"
+    # g1: full single copy in both; g2: full in ref, missing in asm
+    ref.write_text("\n".join([
+        r.format(g="g1", ql=1000, qs=0, qe=1000, t="chr1", ts=1000,
+                 te=2000, ml=1000, bl=1000),
+        r.format(g="g2", ql=2000, qs=0, qe=2000, t="chr1", ts=50000,
+                 te=52000, ml=2000, bl=2000)]) + "\n")
+    asm.write_text(
+        r.format(g="g1", ql=1000, qs=0, qe=1000, t="ctg1", ts=100,
+                 te=1100, ml=1000, bl=1000) + "\n")
+    out = io.StringIO()
+    pt.asmgene([str(ref), str(asm)], out=out)
+    v = out.getvalue().strip().split("\n")
+    assert v[0].startswith("H\tMetric")
+    d = {x.split("\t")[1]: x.split("\t")[2:] for x in v[1:]}
+    assert d["full_sgl"] == ["2", "1"]
+    assert d["part10-"] == ["0", "1"]
+
+
+def test_asmstat(tmp_path):
+    fai = tmp_path / "ref.fai"
+    paf = tmp_path / "a.paf"
+    fai.write_text("chr1\t900000\n")
+    row = ("ctg1\t500000\t{qs}\t{qe}\t+\tchr1\t900000\t{ts}\t{te}"
+           "\t{m}\t{b}\t60\ttp:A:P")
+    paf.write_text("\n".join([
+        row.format(qs=0, qe=200000, ts=0, te=200000, m=200000, b=200000),
+        row.format(qs=200000, qe=500000, ts=300000, te=600000, m=300000,
+                   b=300000)]) + "\n")
+    out = io.StringIO()
+    pt.asmstat([str(fai), str(paf)], out=out)
+    v = out.getvalue().strip().split("\n")
+    d = {x.split("\t")[0]: x.split("\t")[1:] for x in v[1:]}
+    assert d["Length"] == ["500000"]
+    assert d["l_cov"] == ["500000"]
+    assert d["Rcov"] == ["55.56%"]
+    assert d["Rdup"] == ["0.00%"]
+    assert d["Qcov"] == ["100.00%"]
+    assert d["#breaks"] == ["1"]
+    assert d["NGA50"] == ["200000"]
+
+
+def test_exoneval(tmp_path):
+    gtf = tmp_path / "anno.gtf"
+    sam = tmp_path / "aln.sam"
+    gtf.write_text(
+        'chr1\tx\texon\t1001\t1200\t.\t+\t.\ttranscript_id "tx1";\n'
+        'chr1\tx\texon\t2001\t2300\t.\t+\t.\ttranscript_id "tx1";\n')
+    # read with two exons: first matches annotation exactly, second is off
+    sam.write_text(
+        "@SQ\tSN:chr1\tLN:100000\n"
+        "r1\t0\tchr1\t1001\t60\t200M800N300M\t*\t0\t0\t*\t*\n"
+        "r2\t0\tchr1\t5001\t60\t100M\t*\t0\t0\t*\t*\n")
+    out, err = io.StringIO(), io.StringIO()
+    pt.exoneval([str(gtf), str(sam)], out=out, err=err)
+    v = out.getvalue()
+    assert "# mapped reads: 2" in v
+    assert "# predicted exons: 3" in v
+    assert "# correct exons: 2 (66.67%)" in v
+    assert "# non-overlapping exons: 1" in v
+    # base-level Sn/Sp
+    out = io.StringIO()
+    pt.exoneval(["-s", str(gtf), str(sam)], out=out, err=err)
+    v = out.getvalue()
+    assert "Base Sn: 500 / 500 = 100.00%" in v
+    assert "Base Sp: 500 / 600 = 83.33%" in v
