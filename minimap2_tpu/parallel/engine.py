@@ -247,7 +247,7 @@ def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
 
 
 def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
-                          L: int = 12288):
+                          L: int = 12288, align_kw: dict | None = None):
     """--batch with -c/-a: device mapping + device base-level alignment.
 
     Per batch: the PAF mapping step picks each read's best chain, then
@@ -285,7 +285,8 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
     interp = jax.default_backend() != "tpu"
     step = make_paf_step(di, p, K=1, min_sc=opt.min_chain_score,
                          interpret=interp)
-    ab = AlignBatcher(mi, opt, QP=L, TP=L + 512)
+    ab = AlignBatcher(mi, opt, **{"QP": L, "TP": L + 512,
+                                  **(align_kw or {})})
     mat = gen_ts_mat(5, opt.a, opt.b, opt.transition, opt.sc_ambi)
     sam = bool(opt.flag & MM_F_OUT_SAM)
     t0 = time.time()
@@ -309,6 +310,13 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
             codes = SEQ_NT4[np.frombuffer(rec.seq, np.uint8)]
             if rev[b]:
                 codes = revcomp_codes(codes)
+            # extend the anchor-bounded chain extent to the read ends
+            # (align.c:779-890 left/right extension), clamped to the
+            # contig so the global band never force-inserts an overhang
+            dl = min(qs_, rs_)
+            qs_, rs_ = qs_ - dl, rs_ - dl
+            dr = min(qlen - qe_, r0 - re2)
+            qe_, re2 = qe_ + dr, re2 + dr
             if not ab.fits(qe_ - qs_, re2 - rs_):
                 fallback.append(rec)
                 continue

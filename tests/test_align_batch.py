@@ -1,0 +1,89 @@
+"""The --batch -c/-a device alignment path (parallel/align_batch.py +
+engine.run_batched_align_cli) in CPU interpret mode on tiny shapes.
+
+The device path is statistically gated (not byte-exact vs align.c): one
+global banded extd2 pass over the best-chain extent + on-device traceback.
+These tests check the CIGAR reconstructs the planted variants and that the
+host fallback engages for oversize reads.
+"""
+import io
+import os
+import re
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from minimap2_tpu.config import (MM_F_CIGAR, MM_F_OUT_CG,  # noqa: E402
+                                 MapOptions, mapopt_update)
+from minimap2_tpu.index.index import MiniIndex  # noqa: E402
+from minimap2_tpu.parallel.engine import run_batched_align_cli  # noqa: E402
+
+KW = {"QP": 256, "TP": 768, "W": 256, "sub": 4}
+
+
+def _run(mi, mo, read_seqs, L=256):
+    fa = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)
+    for i, s in enumerate(read_seqs):
+        fa.write(f">rd{i}\n{s}\n")
+    fa.close()
+    out = io.StringIO()
+    try:
+        run_batched_align_cli(mi, mo, [fa.name], out, batch_reads=4, L=L,
+                              align_kw=KW)
+    finally:
+        os.unlink(fa.name)
+    return out.getvalue()
+
+
+@pytest.fixture(scope="module")
+def small_ref():
+    rng = np.random.default_rng(3)
+    ref = rng.choice(np.frombuffer(b"ACGT", np.uint8), 4000).tobytes()
+    mi = MiniIndex.build(["chrT"], [ref], w=10, k=15)
+    mo = MapOptions()
+    mo.flag |= MM_F_CIGAR | MM_F_OUT_CG
+    mapopt_update(mo, mi)
+    return ref, mi, mo
+
+
+def test_batch_align_snp_del(small_ref):
+    ref, mi, mo = small_ref
+    read = bytearray(ref[1000:1220])
+    read[40] = ord("A") if read[40] != ord("A") else ord("C")
+    del read[120]
+    v = _run(mi, mo, [bytes(read).decode()])
+    t = v.strip().split("\n")[0].split("\t")
+    assert t[5] == "chrT" and t[4] == "+"
+    assert 990 <= int(t[7]) <= 1010 and 1205 <= int(t[8]) <= 1220
+    assert "NM:i:2" in v
+    cg = [x for x in t if x.startswith("cg:Z:")][0][5:]
+    ops = re.findall(r"(\d+)([MIDN])", cg)
+    assert sum(int(n) for n, op in ops if op in "MD") == int(t[8]) - int(t[7])
+    assert sum(int(n) for n, op in ops if op in "MI") == int(t[3]) - int(t[2])
+    assert any(op == "D" and n == "1" for n, op in ops)
+
+
+def test_batch_align_revcomp(small_ref):
+    ref, mi, mo = small_ref
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    read = ref[2000:2200].translate(comp)[::-1]
+    v = _run(mi, mo, [read.decode()])
+    t = v.strip().split("\n")[0].split("\t")
+    assert t[4] == "-" and t[5] == "chrT"
+    assert 1995 <= int(t[7]) <= 2005 and 2195 <= int(t[8]) <= 2205
+    assert "NM:i:0" in v
+
+
+def test_batch_align_oversize_falls_back(small_ref):
+    ref, mi, mo = small_ref
+    # longer than QP=256: must route through the bit-exact host path
+    read = ref[500:1500]
+    v = _run(mi, mo, [read.decode()])
+    t = v.strip().split("\n")[0].split("\t")
+    assert (int(t[7]), int(t[8])) == (500, 1500)
+    assert "NM:i:0" in v
