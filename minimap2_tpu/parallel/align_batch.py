@@ -112,14 +112,19 @@ class AlignBatcher:
         return out
 
 
-def build_reg(mi, opt, mat, qlen, qseg, rec, cigar, rep_len):
+def build_reg(mi, opt, mat, qlen, qseg, rec, cigar, rep_len, reg_id=0,
+              parent=None):
     """Chain record + device cigar -> a Reg the SAM/PAF writers accept.
 
     rec: dict with keys sc, sub, cnt, rev, rid, qs, qe, rs, re in STRAND
-    coordinates (qs/qe on the aligned strand)."""
+    coordinates (qs/qe on the aligned strand).  parent != reg_id marks a
+    secondary of that parent chain (tp:A:S, SAM 0x100, mapq 0);
+    parent == reg_id > 0 is a split-read supplementary primary."""
     from .. import native
     r = Reg()
-    r.id = r.parent = 0
+    r.id = reg_id
+    r.parent = reg_id if parent is None else parent
+    sec = r.parent != r.id
     r.rid = int(rec["rid"])
     r.rev = bool(rec["rev"])
     r.cnt = int(rec["cnt"])
@@ -128,9 +133,10 @@ def build_reg(mi, opt, mat, qlen, qseg, rec, cigar, rep_len):
     if r.rev:       # back to read coordinates (hit.c:23-38)
         r.qs, r.qe = qlen - int(rec["qe"]), qlen - int(rec["qs"])
     r.score = int(rec["sc"])
-    r.mapq = _mapq(int(rec["sc"]), int(rec["sub"]), int(rec["cnt"]),
-                   opt.min_chain_score)
-    r.sam_pri = True
+    r.mapq = (0 if sec else
+              _mapq(int(rec["sc"]), int(rec["sub"]), int(rec["cnt"]),
+                    opt.min_chain_score))
+    r.sam_pri = reg_id == 0
     p = Extra()
     p.cigar = list(cigar)
     tseg = np.asarray(mi.S, np.uint8)[

@@ -631,7 +631,7 @@ def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
 
 
 def topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K: int,
-                min_sc: int):
+                min_sc: int, with_sec: bool = False):
     """Greedy top-K query-non-overlapping chains per read, on device.
 
     Device analogue of mg_chain_backtrack + mm_set_parent's primary
@@ -639,6 +639,12 @@ def topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K: int,
     best-scoring chain end, mask out all anchors overlapping its query
     span, record the runner-up overlapping score as the chain's sub-score.
     Returns (K, B) planes: score, sub, qs, qe, rs, re, rev, rid, cnt.
+
+    with_sec=True additionally emits, after each selected chain, the
+    best query-OVERLAPPING runner-up chain as an explicit record (the
+    reference keeps such chains as secondaries, hit.c:125-186, rather
+    than discarding them) -> (2K, B) planes, slots interleaved
+    [pri0, sec0, pri1, sec1, ...]; missing secondaries have score<=0.
     """
     B, A = f.shape
     alive = av & (f >= min_sc)
@@ -660,8 +666,18 @@ def topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K: int,
         ovlp = (qpos >= qs1[:, None]) & (qpos < qe1[:, None])
         sub_cand = jnp.where(alive & ovlp & ~member, f, NEG_INF)
         sub1 = jnp.max(sub_cand, axis=1)
-        alive = alive & ~ovlp
         outs.append((sc1, sub1, qs1, qe1, rs1, re1, rev1, rid1, cnt1))
+        if with_sec:
+            bi2 = jnp.argmax(sub_cand, axis=1)
+            tk2 = lambda x: jnp.take_along_axis(x, bi2[:, None], 1)[:, 0]
+            qs2, rs2 = tk2(qs_a), tk2(rs_a)
+            qe2, re2 = tk2(qpos) + 1, tk2(rpos) + 1
+            rev2, rid2 = tk2(rev), tk2(rid)
+            member2 = (qs_a == qs2[:, None]) & (rs_a == rs2[:, None]) \
+                & (rev == rev2[:, None]) & (rid == rid2[:, None])
+            cnt2 = jnp.sum(member2 & alive, axis=1).astype(jnp.int32)
+            outs.append((sub1, sc1, qs2, qe2, rs2, re2, rev2, rid2, cnt2))
+        alive = alive & ~ovlp
     return [jnp.stack(x) for x in zip(*outs)]
 
 

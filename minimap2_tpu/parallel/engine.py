@@ -26,7 +26,7 @@ from .batch import (BatchParams, DeviceIndex, _chain_scan, _compact_minimizers,
 
 
 def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
-                  interpret: bool = False):
+                  interpret: bool = False, with_sec: bool = False):
     """Jitted device program: read batch -> (K, B) chain records.
 
     The index is an argument (not a closure constant): jit constants are
@@ -71,7 +71,7 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
             _, (f, pred, vv, qs_a, rs_a) = _chain_scan(rev, rid, rpos,
                                                        qpos, av, p)
         recs = topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K,
-                           min_sc)
+                           min_sc, with_sec=with_sec)
         return jnp.stack(recs)     # one (9, K, B) array -> one host fetch
 
     def step(codes, lens):
@@ -283,8 +283,13 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                     max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc)
     di = DeviceIndex.from_host(mi, 1)[0]
     interp = jax.default_backend() != "tpu"
-    step = make_paf_step(di, p, K=1, min_sc=opt.min_chain_score,
-                         interpret=interp)
+    # with secondaries on, each selection round yields [primary,
+    # overlapping-secondary] slot pairs (mm_select_sub semantics: keep
+    # secondaries while sc >= pri_ratio * best; hit.c:255-281)
+    sec_mode = opt.best_n > 0 and opt.pri_ratio > 0
+    K = 3 if sec_mode else 1
+    step = make_paf_step(di, p, K=K, min_sc=opt.min_chain_score,
+                         interpret=interp, with_sec=sec_mode)
     ab = AlignBatcher(mi, opt, **{"QP": L, "TP": L + 512,
                                   **(align_kw or {})})
     mat = gen_ts_mat(5, opt.a, opt.b, opt.transition, opt.sc_ambi)
@@ -296,52 +301,96 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
         nonlocal n_reads
         n_reads += len(recs)
         arr = np.asarray(map_fut)
-        sc, sub, qs, qe, rs, re_, rev, rid, cnt = arr[:, 0, :]  # K=1
+        sc, sub, qs, qe, rs, re_, rev, rid, cnt = arr    # (9, K, B)
         jobs, jmeta = [], []
         fallback, unmapped = [], []
         for b, rec in enumerate(recs):
             qlen = len(rec.seq)
-            r0 = int(mi.seq[int(rid[b])].length) if sc[b] > 0 else 0
-            qs_, qe_ = int(max(qs[b], 0)), int(min(qe[b], qlen))
-            rs_, re2 = int(max(rs[b], 0)), int(min(re_[b], r0))
-            if sc[b] <= 0 or qe_ <= qs_ or re2 <= rs_:
+            if sc[0, b] <= 0:
                 unmapped.append(rec)
                 continue
-            codes = SEQ_NT4[np.frombuffer(rec.seq, np.uint8)]
-            if rev[b]:
-                codes = revcomp_codes(codes)
-            # extend the anchor-bounded chain extent to the read ends
-            # (align.c:779-890 left/right extension), clamped to the
-            # contig so the global band never force-inserts an overhang
-            dl = min(qs_, rs_)
-            qs_, rs_ = qs_ - dl, rs_ - dl
-            dr = min(qlen - qe_, r0 - re2)
-            qe_, re2 = qe_ + dr, re2 + dr
-            if not ab.fits(qe_ - qs_, re2 - rs_):
-                fallback.append(rec)
-                continue
-            jobs.append((codes[qs_:qe_], int(rid[b]), rs_, re2))
-            jmeta.append((rec, b, codes[qs_:qe_],
-                          {"sc": int(sc[b]), "sub": int(sub[b]),
-                           "cnt": int(cnt[b]), "rev": int(rev[b]),
-                           "rid": int(rid[b]), "qs": qs_, "qe": qe_,
-                           "rs": rs_, "re": re2}))
+            codes_f = SEQ_NT4[np.frombuffer(rec.seq, np.uint8)]
+            codes_r = None
+            top = int(sc[0, b])
+            bad_pri = False
+            for k in range(arr.shape[1]):
+                if bad_pri:
+                    break
+                is_sec = sec_mode and k % 2 == 1
+                if sc[k, b] <= 0:
+                    if k == 0:
+                        break
+                    continue    # empty interleaved slot
+                if is_sec and int(sc[k, b]) < opt.pri_ratio * top:
+                    continue
+                r0 = (int(mi.seq[int(rid[k, b])].length)
+                      if int(rid[k, b]) < mi.n_seq else 0)
+                qs_, qe_ = int(max(qs[k, b], 0)), int(min(qe[k, b], qlen))
+                rs_, re2 = int(max(rs[k, b], 0)), int(min(re_[k, b], r0))
+                if qe_ <= qs_ or re2 <= rs_:
+                    if k == 0:
+                        unmapped.append(rec)
+                        bad_pri = True
+                    continue
+                if rev[k, b]:
+                    if codes_r is None:
+                        codes_r = revcomp_codes(codes_f)
+                    codes = codes_r
+                else:
+                    codes = codes_f
+                # extend the anchor-bounded chain extent to the read ends
+                # (align.c:779-890 left/right extension), clamped to the
+                # contig so the global band never force-inserts an
+                # overhang; secondaries keep their chain extent
+                if k == 0:
+                    dl = min(qs_, rs_)
+                    qs_, rs_ = qs_ - dl, rs_ - dl
+                    dr = min(qlen - qe_, r0 - re2)
+                    qe_, re2 = qe_ + dr, re2 + dr
+                if not ab.fits(qe_ - qs_, re2 - rs_):
+                    if k == 0:
+                        fallback.append(rec)
+                        bad_pri = True
+                    continue    # drop oversize secondaries only
+                jobs.append((codes[qs_:qe_], int(rid[k, b]), rs_, re2))
+                jmeta.append((rec, b, k, is_sec, codes[qs_:qe_],
+                              {"sc": int(sc[k, b]), "sub": int(sub[k, b]),
+                               "cnt": int(cnt[k, b]),
+                               "rev": int(rev[k, b]),
+                               "rid": int(rid[k, b]), "qs": qs_,
+                               "qe": qe_, "rs": rs_, "re": re2}))
         cigs = ab.align_jobs(jobs) if jobs else []
-        for (rec, b, qseg, meta), cig in zip(jmeta, cigs):
+        by_read = {}        # id(rec) -> (rec, [Reg, ...])
+        fb_ids = set()
+        for (rec, b, k, is_sec, qseg, meta), cig in zip(jmeta, cigs):
             if not cig:
+                if k == 0 and id(rec) not in fb_ids:
+                    fallback.append(rec)
+                    fb_ids.add(id(rec))
+                continue
+            r = build_reg(mi, opt, mat, len(rec.seq), qseg, meta, cig, 0,
+                          reg_id=k, parent=k - 1 if is_sec else k)
+            by_read.setdefault(id(rec), (rec, []))[1].append(r)
+        for rec, regs in by_read.values():
+            if id(rec) in fb_ids or not regs:
+                continue
+            if regs[0].id != 0:     # primary cigar failed -> host path
                 fallback.append(rec)
                 continue
-            r = build_reg(mi, opt, mat, len(rec.seq), qseg, meta, cig, 0)
             if sam:
-                out.write(fmt.write_sam(mi, rec, 0, 0, 1, [1], [[r]],
-                                        opt.flag, 0,
-                                        rg_id=getattr(opt, "rg_id",
-                                                      None)))
+                for i in range(len(regs)):
+                    out.write(fmt.write_sam(mi, rec, 0, i, 1,
+                                            [len(regs)], [regs],
+                                            opt.flag, 0,
+                                            rg_id=getattr(opt, "rg_id",
+                                                          None)))
+                    out.write("\n")
             else:
-                out.write(fmt.write_paf(mi, rec.name, len(rec.seq), r,
-                                        opt.flag, 0, qseq=rec.seq,
-                                        comment=rec.comment))
-            out.write("\n")
+                for r in regs:
+                    out.write(fmt.write_paf(mi, rec.name, len(rec.seq),
+                                            r, opt.flag, 0, qseq=rec.seq,
+                                            comment=rec.comment))
+                    out.write("\n")
         for rec in fallback:    # exact host path
             results = map_fragment(mi, opt, [rec])
             write_fragment(out, mi, opt, [rec],

@@ -87,3 +87,24 @@ def test_batch_align_oversize_falls_back(small_ref):
     t = v.strip().split("\n")[0].split("\t")
     assert (int(t[7]), int(t[8])) == (500, 1500)
     assert "NM:i:0" in v
+
+
+def test_batch_align_secondary():
+    rng = np.random.default_rng(11)
+    ref = bytearray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                               4000).tobytes())
+    ref[3000:3220] = ref[1000:1220]          # duplicated segment
+    mi = MiniIndex.build(["chrT"], [bytes(ref)], w=10, k=15)
+    mo = MapOptions()
+    mo.flag |= MM_F_CIGAR | MM_F_OUT_CG
+    mapopt_update(mo, mi)
+    v = _run(mi, mo, [ref[1000:1220].decode()])
+    lines = [ln.split("\t") for ln in v.strip().split("\n")]
+    pri = [t for t in lines if any(x == "tp:A:P" for x in t)]
+    sec = [t for t in lines if any(x == "tp:A:S" for x in t)]
+    assert len(pri) == 1 and len(sec) >= 1
+    ivs = sorted((int(t[7]), int(t[8])) for t in pri + sec)
+    assert 990 <= ivs[0][0] <= 1010 and 2990 <= ivs[1][0] <= 3010
+    assert all(any(x.startswith("cg:Z:") for x in t) for t in pri + sec)
+    assert sec[0][11] == "0"                 # secondary mapq
+    assert int(pri[0][11]) < 60              # ambiguous -> capped mapq
