@@ -341,9 +341,11 @@ def main(argv=None) -> int:
             print(f"ERROR: failed to open file '{f_}'", file=sys.stderr)
             return 1
     multipart = None
+    with open(tgt, "rb") as _f:
+        magic = _f.read(4)
     if tgt.endswith(".npz"):
         mi = MiniIndex.load(tgt)
-    elif open(tgt, "rb").read(4) == b"MMI\x02":
+    elif magic == b"MMI\x02":
         from .index.mmi import load_mmi
         mi = load_mmi(tgt)
     else:

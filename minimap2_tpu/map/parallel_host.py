@@ -3,10 +3,14 @@
 The reference maps fragments with `kt_for` worker threads inside a
 3-step ordered pipeline (kthread.c:54-159, map.c:541-641). Python
 threads cannot parallelize the mapping inner loop, so fragments are
-fanned out to forked worker processes instead: the index is built once
-in the parent and shared copy-on-write, each worker maps + formats a
-chunk of fragments, and `imap` preserves input order exactly like the
-pipeline's ordered step-2 write.
+fanned out to spawned worker processes instead: the index and options
+are shipped once per worker through the pool initializer, each worker
+maps + formats a chunk of fragments, and `imap` preserves input order
+exactly like the pipeline's ordered step-2 write.
+
+Spawn (not fork) is mandatory here: JAX initializes worker threads at
+interpreter start on this platform, and forking a multithreaded process
+deadlocks (CPython emits DeprecationWarnings for exactly this case).
 """
 from __future__ import annotations
 
@@ -15,7 +19,12 @@ import sys
 
 from .driver import iter_fragments, map_fragment, write_fragment
 
-_G: tuple | None = None     # (mi, mo) inherited by forked workers
+_G: tuple | None = None     # (mi, mo) installed by the pool initializer
+
+
+def _init_worker(mi, mo):
+    global _G
+    _G = (mi, mo)
 
 
 def _work_chunk(frags):
@@ -32,12 +41,10 @@ def _work_chunk(frags):
 
 def run_parallel(mi, mo, queries, out, frag_mode: bool, n_threads: int,
                  chunk_frags: int = 16) -> int:
-    """Map all fragments with a fork pool; returns #reads mapped."""
+    """Map all fragments with a spawn pool; returns #reads mapped."""
     import multiprocessing as mp
 
-    global _G
-    _G = (mi, mo)
-    ctx = mp.get_context("fork")
+    ctx = mp.get_context("spawn")
 
     def chunks():
         cur = []
@@ -50,11 +57,9 @@ def run_parallel(mi, mo, queries, out, frag_mode: bool, n_threads: int,
             yield cur
 
     n_mapped = 0
-    try:
-        with ctx.Pool(n_threads) as pool:
-            for n, txt in pool.imap(_work_chunk, chunks()):
-                out.write(txt)
-                n_mapped += n
-    finally:
-        _G = None
+    with ctx.Pool(n_threads, initializer=_init_worker,
+                  initargs=(mi, mo)) as pool:
+        for n, txt in pool.imap(_work_chunk, chunks()):
+            out.write(txt)
+            n_mapped += n
     return n_mapped

@@ -1,12 +1,14 @@
 """ctypes loader for the native host kernels (mmtpu.cpp).
 
-Compiles on first import with g++ (cached next to the source by mtime);
-falls back to `available() == False` if no compiler is present, in which
-case callers use the NumPy paths.
+Compiles on first import with g++ (cache keyed on a content hash of the
+source, so a stale or foreign binary is never loaded); falls back to
+`available() == False` if no compiler is present, in which case callers
+use the NumPy paths.
 """
 from __future__ import annotations
 
 import ctypes as C
+import hashlib
 import os
 import subprocess
 
@@ -15,17 +17,25 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "mmtpu.cpp")
 _SO = os.path.join(_DIR, "_mmtpu.so")
+_HASH = _SO + ".srchash"
 
 _lib = None
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(h: str) -> bool:
     try:
         subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
                         "--param", "vect-max-version-for-alias-checks=40",
                         _SRC, "-o", _SO + ".tmp"], check=True,
                        capture_output=True)
         os.replace(_SO + ".tmp", _SO)
+        with open(_HASH, "w") as f:
+            f.write(h)
         return True
     except Exception:
         return False
@@ -35,9 +45,13 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-        if not _build():
+    h = _src_hash()
+    cached = None
+    if os.path.exists(_SO) and os.path.exists(_HASH):
+        with open(_HASH) as f:
+            cached = f.read().strip()
+    if cached != h:
+        if not _build(h):
             return None
     lib = C.CDLL(_SO)
     lib.mm_sketch_nt4.restype = C.c_int64
@@ -188,6 +202,7 @@ def ksw_extd2(qlen, query, tlen, target, m, mat, q, e, q2, e2, w, zdrop,
     lib.ksw_extd2_cpp(qlen, _ptr(query), tlen, _ptr(target), m, _ptr(mat),
                       q, e, q2, e2, w, zdrop, end_bonus, flag,
                       C.byref(ez), _ptr(cig), cap)
+    assert ez.n_cigar <= cap, "cigar overflow (truncated native buffer)"
     d = {n: getattr(ez, n) for n, _t in ez._fields_}
     return d, cig[:ez.n_cigar].tolist()
 
@@ -205,6 +220,7 @@ def ksw_extz2(qlen, query, tlen, target, m, mat, q, e, w, zdrop,
     lib.ksw_extz2_cpp(qlen, _ptr(query), tlen, _ptr(target), m, _ptr(mat),
                       q, e, w, zdrop, end_bonus, flag, C.byref(ez),
                       _ptr(cig), cap)
+    assert ez.n_cigar <= cap, "cigar overflow (truncated native buffer)"
     d = {n: getattr(ez, n) for n, _t in ez._fields_}
     return d, cig[:ez.n_cigar].tolist()
 
@@ -226,6 +242,7 @@ def ksw_exts2(qlen, query, tlen, target, m, mat, q, e, q2, noncan, zdrop,
     lib.ksw_exts2_cpp(qlen, _ptr(query), tlen, _ptr(target), m, _ptr(mat),
                       q, e, q2, noncan, zdrop, end_bonus, junc_bonus,
                       junc_pen, flag, jptr, C.byref(ez), _ptr(cig), cap)
+    assert ez.n_cigar <= cap, "cigar overflow (truncated native buffer)"
     d = {n: getattr(ez, n) for n, _t in ez._fields_}
     return d, cig[:ez.n_cigar].tolist()
 

@@ -17,7 +17,7 @@ parallel layer shards over a `jax.sharding.Mesh`:
 
 Numerics follow the reference: hash64 (sketch.c:28-38) for minimizer hashing,
 comput_sc with the mg_log2 fast-log penalty (lchain.c:113-138, mmpriv.h:139)
-for chaining, and the extd2 Pallas kernel (ops/extend_pallas.py) for base
+for chaining, and the extd2 Pallas kernel (ops/extend_pallas2.py) for base
 extension.  The device chaining scan uses a fixed look-back window (the
 reference's own max_iter/max_skip heuristics bound its scan the same way).
 

@@ -311,7 +311,6 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                 continue
             codes_f = SEQ_NT4[np.frombuffer(rec.seq, np.uint8)]
             codes_r = None
-            top = int(sc[0, b])
             bad_pri = False
             for k in range(arr.shape[1]):
                 if bad_pri:
@@ -321,8 +320,15 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                     if k == 0:
                         break
                     continue    # empty interleaved slot
-                if is_sec and int(sc[k, b]) < opt.pri_ratio * top:
-                    continue
+                # mm_select_sub (hit.c:265): a secondary survives against
+                # ITS OWN parent slot's score, with the min_diff escape
+                # (min_diff = mi->k*2 at every call site, map.c:210/221/529)
+                if is_sec:
+                    psc = int(sc[k - 1, b])
+                    s_ = int(sc[k, b])
+                    if not (s_ >= opt.pri_ratio * psc
+                            or s_ + 2 * mi.k >= psc):
+                        continue
                 r0 = (int(mi.seq[int(rid[k, b])].length)
                       if int(rid[k, b]) < mi.n_seq else 0)
                 qs_, qe_ = int(max(qs[k, b], 0)), int(min(qe[k, b], qlen))
