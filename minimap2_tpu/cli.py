@@ -19,6 +19,11 @@ from .map.pipeline import map_frag_core
 REALTIME0 = time.time()
 
 
+def _set_dbg_qname():
+    from .map import pipeline as _pl
+    _pl.DBG_PRINT_QNAME = True
+
+
 def parse_num(s: str) -> int:
     s = s.strip()
     mult = 1
@@ -70,7 +75,7 @@ LONG_FLAG_OPTS = {
     "--rmq": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_RMQ),
     "--hard-mask-level": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_HARD_MLEVEL),
     "--no-kalloc": lambda io, mo, v: None,
-    "--print-qname": lambda io, mo, v: None,
+    "--print-qname": lambda io, mo, v: _set_dbg_qname(),
     "--qstrand": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_QSTRAND),
     "--no-inv": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_NO_INV),
     "--no-hash-name": lambda io, mo, v: setattr(mo, "flag", mo.flag | C.MM_F_NO_HASH_NAME),
@@ -121,6 +126,8 @@ def main(argv=None) -> int:
     dbg_print_seed = dbg_print_chain = False
     from .map import pipeline as _pl0
     _pl0.DBG_PRINT_SEED = _pl0.DBG_PRINT_CHAIN = False
+    _pl0.DBG_PRINT_ALN_SEQ = _pl0.DBG_SEED_FREQ = False
+    _pl0.DBG_PRINT_QNAME = False
 
     # pass 1: preset
     it = iter(range(len(argv)))
@@ -277,6 +284,13 @@ def main(argv=None) -> int:
             dbg_print_chain = True
             from .map import pipeline as _pl
             _pl.DBG_PRINT_CHAIN = True
+        elif a == "--print-aln-seq":    # main.c:224 (forces 1 thread)
+            from .map import pipeline as _pl
+            _pl.DBG_PRINT_ALN_SEQ = True
+            args.n_threads = 1
+        elif a == "--dbg-seed-occ":     # main.c:264
+            from .map import pipeline as _pl
+            _pl.DBG_SEED_FREQ = True
         elif a == "--junc-bed" or a == "--bed":
             args.junc_bed = val()
         elif a == "-j" or a == "--jump":
@@ -454,7 +468,9 @@ def main(argv=None) -> int:
     # debug printing interleaves with stdout (map.c:576, kthread.c:54)
     from .map import pipeline as _plmod
     use_pool = (args.n_threads > 1 and sys.platform.startswith("linux")
-                and not (_plmod.DBG_PRINT_SEED or _plmod.DBG_PRINT_CHAIN))
+                and not (_plmod.DBG_PRINT_SEED or _plmod.DBG_PRINT_CHAIN
+                         or _plmod.DBG_PRINT_ALN_SEQ
+                         or _plmod.DBG_SEED_FREQ))
     if use_pool:
         from .map.parallel_host import run_parallel
         n_mapped = run_parallel(mi, mo, queries, out, frag_mode,

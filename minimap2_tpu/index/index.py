@@ -59,20 +59,34 @@ class MiniIndex:
     @classmethod
     def build(cls, names, seqs, w: int, k: int, b: int = 14, flag: int = 0) -> "MiniIndex":
         """Build from in-memory sequences (str/bytes). rid = list order."""
+        codes_list = []
+        for s in seqs:
+            if isinstance(s, str):
+                s = s.encode()
+            codes_list.append(SEQ_NT4[np.frombuffer(s, dtype=np.uint8)])
+        return cls.build_codes(names, codes_list, w, k, b, flag)
+
+    @classmethod
+    def build_codes(cls, names, codes_list, w: int, k: int, b: int = 14,
+                    flag: int = 0) -> "MiniIndex":
+        """Build from nt4 code arrays (uint8, 0-3 + 4=ambiguous).
+
+        The scale path: for genome-sized inputs the sketch runs in native
+        C++ (mm_sketch_many) and the (key, pos) stream is sorted with a
+        native stable LSD radix sort keyed on the minimizer hash -- the
+        flat-tensor analogue of the reference's per-bucket
+        radix_sort_128x + khash build (index.c:226-278)."""
         mi = cls(w, k, b, flag)
-        total = sum(len(s) for s in seqs)
+        total = sum(len(c) for c in codes_list)
         mi.S = np.empty(total, dtype=np.uint8)
         offs, lens = [], []
         off = 0
-        for rid, (name, s) in enumerate(zip(names, seqs)):
-            if isinstance(s, str):
-                s = s.encode()
-            codes = SEQ_NT4[np.frombuffer(s, dtype=np.uint8)]
-            mi.S[off:off + len(s)] = codes
-            mi.seq.append(SeqMeta(name=name, offset=off, length=len(s)))
+        for name, codes in zip(names, codes_list):
+            mi.S[off:off + len(codes)] = codes
+            mi.seq.append(SeqMeta(name=name, offset=off, length=len(codes)))
             offs.append(off)
-            lens.append(len(s))
-            off += len(s)
+            lens.append(len(codes))
+            off += len(codes)
         from .. import native
         if native.available():
             x, y = native.sketch_many(mi.S, np.array(offs, np.int64),
@@ -89,12 +103,19 @@ class MiniIndex:
             x = np.concatenate(xs) if xs else np.empty(0, np.uint64)
             y = np.concatenate(ys) if ys else np.empty(0, np.uint64)
         if len(x):
-            h = x >> np.uint64(8)              # index key = kmer hash (span dropped)
-            order = np.lexsort((y, h))
-            h, y = h[order], y[order]
-            keys, start_idx, counts = np.unique(h, return_index=True, return_counts=True)
-            mi.keys = keys
-            mi.starts = np.concatenate((start_idx, [len(y)])).astype(np.int64)
+            h = np.ascontiguousarray(x >> np.uint64(8))   # key = hash (span dropped)
+            y = np.ascontiguousarray(y)
+            if native.available():
+                # stable by key => emission order within a key is kept,
+                # matching the reference's stable radix_sort_128x
+                native.radix_sort_pair(h, y, 2 * k)
+            else:
+                order = np.lexsort((y, h))
+                h, y = h[order], y[order]
+            bnd = np.flatnonzero(h[1:] != h[:-1]) + 1
+            mi.keys = h[np.concatenate(([0], bnd))] if len(h) else h
+            mi.starts = np.concatenate(
+                ([0], bnd, [len(h)])).astype(np.int64)
             mi.pos = y
         return mi
 
@@ -167,8 +188,11 @@ class MiniIndex:
         return "\n".join(lines)
 
     # ---- native serialization ----
-    def save(self, path: str) -> None:
-        np.savez_compressed(
+    def save(self, path: str, compressed: bool = True) -> None:
+        # genome-scale indices (GBs of arrays) save uncompressed: zlib at
+        # this size costs minutes for little gain on already-dense arrays
+        saver = np.savez_compressed if compressed else np.savez
+        saver(
             path,
             meta=np.array([self.w, self.k, self.b, self.flag, self.n_seq], dtype=np.int64),
             names=np.array([s.name for s in self.seq]),

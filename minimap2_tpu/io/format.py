@@ -10,9 +10,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import (MM_CIGAR_STR, MM_F_COPY_COMMENT, MM_F_FRAG_MODE,
-                      MM_F_OUT_CG, MM_F_OUT_CS, MM_F_OUT_CS_LONG, MM_F_OUT_DS,
-                      MM_F_OUT_MD, MM_F_QSTRAND, MM_F_SECONDARY_SEQ,
-                      MM_F_SOFTCLIP)
+                      MM_F_LONG_CIGAR, MM_F_OUT_CG, MM_F_OUT_CS,
+                      MM_F_OUT_CS_LONG, MM_F_OUT_DS, MM_F_OUT_MD,
+                      MM_F_QSTRAND, MM_F_SECONDARY_SEQ, MM_F_SOFTCLIP)
 from ..map.hit import Reg
 
 
@@ -119,16 +119,27 @@ def write_sam_hdr(mi, rg: str | None, ver: str, cmdline: str | None) -> str:
     return "".join(out)
 
 
-def _sam_cigar(r: Reg, sam_flag: int, qlen: int, opt_flag: int) -> str:
-    """write_sam_cigar (format.c:494-520), not in-tag."""
+def _sam_cigar(r: Reg, sam_flag: int, qlen: int, opt_flag: int,
+               in_tag: bool = False) -> str:
+    """write_sam_cigar (format.c:494-520); in_tag emits the CG:B:I form."""
     if r.p is None:
         return "*"
     clip0 = qlen - r.qe if r.rev else r.qs
     clip1 = r.qs if r.rev else qlen - r.qe
     hard = (((sam_flag & 0x800) or ((sam_flag & 0x100) and (opt_flag & MM_F_SECONDARY_SEQ)))
             and not (opt_flag & MM_F_SOFTCLIP))
-    cc = "H" if hard else "S"
     out = []
+    if in_tag:
+        clip_op = 5 if hard else 4
+        out.append("\tCG:B:I")
+        if clip0:
+            out.append(f",{clip0 << 4 | clip_op}")
+        for c in r.p.cigar:
+            out.append(f",{c}")
+        if clip1:
+            out.append(f",{clip1 << 4 | clip_op}")
+        return "".join(out)
+    cc = "H" if hard else "S"
     if clip0:
         out.append(f"{clip0}{cc}")
     for c in r.p.cigar:
@@ -189,6 +200,7 @@ def write_sam(mi, rec, seg_idx: int, reg_idx: int, n_seg: int,
     out.append(f"\t{flag}")
 
     this_rid = this_pos = -1
+    cigar_in_tag = False
     if r is None:
         if r_prev is not None:
             this_rid, this_pos = r_prev.rid, r_prev.rs
@@ -198,7 +210,29 @@ def write_sam(mi, rec, seg_idx: int, reg_idx: int, n_seg: int,
     else:
         this_rid, this_pos = r.rid, r.rs
         out.append(f"\t{mi.seq[r.rid].name}\t{r.rs + 1}\t{r.mapq}\t")
-        out.append(_sam_cigar(r, flag, len(rec.seq), opt_flag))
+        # BAM caps CIGAR ops at 65535: with -L, oversize CIGARs go to the
+        # CG:B:I tag and the placeholder <slen>S<reflen>N is emitted here
+        # (format.c:524, 577-590)
+        max_bam_cigar_op = 65535
+        if ((opt_flag & MM_F_LONG_CIGAR) and r.p is not None
+                and len(r.p.cigar) > max_bam_cigar_op - 2):
+            n_cigar = len(r.p.cigar)
+            if r.qs != 0:
+                n_cigar += 1
+            if r.qe != len(rec.seq):
+                n_cigar += 1
+            if n_cigar > max_bam_cigar_op:
+                cigar_in_tag = True
+        if cigar_in_tag:
+            if (flag & 0x900) == 0 or (opt_flag & MM_F_SOFTCLIP):
+                slen = len(rec.seq)
+            elif (flag & 0x100) and not (opt_flag & MM_F_SECONDARY_SEQ):
+                slen = 0
+            else:
+                slen = r.qe - r.qs
+            out.append(f"{slen}S{r.re - r.rs}N")
+        else:
+            out.append(_sam_cigar(r, flag, len(rec.seq), opt_flag))
 
     if n_seg > 1:
         tlen = 0
@@ -286,6 +320,9 @@ def write_sam(mi, rec, seg_idx: int, reg_idx: int, n_seg: int,
                                       is_MD=bool(opt_flag & MM_F_OUT_MD),
                                       is_ds=bool(opt_flag & MM_F_OUT_DS),
                                       write_tag=True, is_qstrand=False))
+        if cigar_in_tag:
+            out.append(_sam_cigar(r, flag, len(rec.seq), opt_flag,
+                                  in_tag=True))
     if rep_len >= 0:
         out.append(f"\trl:i:{rep_len}")
     if (opt_flag & MM_F_COPY_COMMENT) and rec.comment:

@@ -393,6 +393,16 @@ def align_pair(opt, qseq, tseq, junc, mat, w, end_bonus, zdrop, ksw_flag,
                ez: K.ExtzResult):
     """mm_align_pair (align.c:336-368)."""
     qlen, tlen = len(qseq), len(tseq)
+    from . import pipeline as _pl
+    if _pl.DBG_PRINT_ALN_SEQ:   # --print-aln-seq (align.c:339-346)
+        import sys
+        print(f"===> q=({opt.q},{opt.q2}), e=({opt.e},{opt.e2}), bw={w}, "
+              f"ksw_flag={ksw_flag}, zdrop={opt.zdrop}, "
+              f"end_bonus={end_bonus} <===", file=sys.stderr)
+        print("".join("ACGTN"[min(int(c), 4)] for c in tseq),
+              file=sys.stderr)
+        print("".join("ACGTN"[min(int(c), 4)] for c in qseq),
+              file=sys.stderr)
     if opt.transition != 0 and opt.b != opt.transition:
         ksw_flag |= K.KSW_EZ_GENERIC_SC
     if opt.max_sw_mat > 0 and tlen * qlen > opt.max_sw_mat:
@@ -411,6 +421,11 @@ def align_pair(opt, qseq, tseq, junc, mat, w, end_bonus, zdrop, ksw_flag,
     else:
         K.ksw_extd2(qlen, qseq, tlen, tseq, 5, mat, opt.q, opt.e, opt.q2,
                     opt.e2, w, zdrop, end_bonus, ksw_flag, ez)
+    if _pl.DBG_PRINT_ALN_SEQ:   # align.c:361-367
+        import sys
+        from ..config import MM_CIGAR_STR
+        cig = "".join(f"{c >> 4}{MM_CIGAR_STR[c & 0xF]}" for c in ez.cigar)
+        print(f"score={ez.score}, cigar={cig}", file=sys.stderr)
     return ez
 
 

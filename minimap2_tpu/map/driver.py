@@ -56,6 +56,13 @@ def iter_fragments(queries, frag_mode: bool):
 
 def map_fragment(mi, mo, frag):
     """worker_for (map.c:425-474): pe_ori revcomp, map, flip back."""
+    from . import pipeline as _pl
+    dbg_qname = _pl.DBG_PRINT_ALN_SEQ or _pl.DBG_PRINT_QNAME
+    if dbg_qname:       # QR/QT lines (map.c:433-434, :472-473); tid==0
+        import time
+        t_qr = time.time()
+        for r in frag:
+            print(f"QR\t{r.name}\t0\t{len(r.seq)}", file=sys.stderr)
     n_seg = len(frag)
     pe_ori = mo.pe_ori
     flipped = [n_seg == 2 and ((j == 0 and (pe_ori >> 1) & 1)
@@ -80,6 +87,11 @@ def map_fragment(mi, mo, frag):
                     r.p.trans_strand = 2
                 elif r.p.trans_strand == 2:
                     r.p.trans_strand = 1
+    if dbg_qname:
+        import time
+        for r in frag:
+            print(f"QT\t{r.name}\t0\t{time.time() - t_qr:.6f}",
+                  file=sys.stderr)
     return results
 
 

@@ -17,11 +17,14 @@ from ..index.sketch import sketch
 from ..utils.intfloat import SEQ_NT4, qname_hash
 from . import hit as hitmod
 from .chain import chain_dp, chain_rmq
-from .seed import collect_seed_hits, seed_mz_flt
+from .seed import collect_seed_hits, collect_seed_hits_heap, seed_mz_flt
 
 # mm_dbg_flag analogues (mmpriv.h:12-17); set by the CLI
 DBG_PRINT_SEED = False
 DBG_PRINT_CHAIN = False
+DBG_PRINT_ALN_SEQ = False    # --print-aln-seq (MM_DBG_PRINT_ALN_SEQ)
+DBG_SEED_FREQ = False        # --dbg-seed-occ (MM_DBG_SEED_FREQ)
+DBG_PRINT_QNAME = False      # --print-qname (MM_DBG_PRINT_QNAME)
 
 
 def _dbg_seed_dump(mi, ax, ay, rep_len):
@@ -124,7 +127,9 @@ def map_frag_core(mi: MiniIndex, seqs: list[bytes], opt: MapOptions,
     mx, my = collect_minimizers(mi, opt, seqs)
     if opt.q_occ_frac > 0.0:
         mx, my = seed_mz_flt(mx, my, opt.mid_occ, opt.q_occ_frac)
-    ax, ay, rep_len, mini_pos = collect_seed_hits(
+    _collect = (collect_seed_hits_heap if opt.flag & MM_F_HEAP_SORT
+                else collect_seed_hits)     # map.c:252-253
+    ax, ay, rep_len, mini_pos = _collect(
         mi, opt, opt.mid_occ, mx, my, qlen_sum, qname)
     if DBG_PRINT_SEED:
         _dbg_seed_dump(mi, ax, ay, rep_len)
@@ -186,7 +191,7 @@ def map_frag_core(mi: MiniIndex, seqs: list[bytes], opt: MapOptions,
         else:
             rechain = True
         if rechain:
-            ax, ay, rep_len, mini_pos = collect_seed_hits(
+            ax, ay, rep_len, mini_pos = _collect(
                 mi, opt, opt.max_occ, mx, my, qlen_sum, qname)
             u, ax, ay = chain_dp(max_chain_gap_ref, max_chain_gap_qry, opt.bw,
                                  opt.max_chain_skip, opt.max_chain_iter,

@@ -112,6 +112,12 @@ def collect_matches(mi, mx, my, qlen: int, max_occ: int, max_max_occ: int,
         seed_select(s, qlen, max_occ, max_max_occ, dist)
     else:
         s.flt |= s.n > max_occ
+    from . import pipeline as _pl
+    if _pl.DBG_SEED_FREQ:       # --dbg-seed-occ SF lines (seed.c:115-116)
+        import sys
+        for i in range(len(s.n)):
+            print(f"SF\t{int(s.q_pos[i]) >> 1}\t{int(s.n[i])}"
+                  f"\t{int(s.flt[i])}", file=sys.stderr)
     # rep_len: union length of filtered-seed intervals, merged in seed order
     rep_len = 0
     rep_st = rep_en = 0
@@ -135,15 +141,128 @@ def collect_matches(mi, mx, my, qlen: int, max_occ: int, max_max_occ: int,
     return kept, n_a, rep_len, mini_pos
 
 
+def _heapdown(heap, i, n):
+    """ks_heapdown (ksort.h) with heap_lt = (a.x > b.x): min-heap on x."""
+    tmp = heap[i]
+    k = i
+    while True:
+        k = (k << 1) + 1
+        if k >= n:
+            break
+        if k != n - 1 and heap[k][0] > heap[k + 1][0]:
+            k += 1
+        if heap[k][0] > tmp[0]:
+            break
+        heap[i] = heap[k]
+        i = k
+    heap[i] = tmp
+
+
+def _skip_seed(flag, r, q_pos, qname, qlen, mi):
+    """skip_seed (map.c:78-100), scalar. Returns (skip, is_self)."""
+    is_self = False
+    if qname is not None and (flag & (MM_F_NO_DIAG | MM_F_NO_DUAL)):
+        sq = mi.seq[int(r >> 32)]
+        cmp = (qname > sq.name) - (qname < sq.name)
+        if (flag & MM_F_NO_DIAG) and cmp == 0 and sq.length == qlen:
+            if ((r & 0xFFFFFFFF) >> 1) == (q_pos >> 1):
+                return True, is_self
+            if (r & 1) == (q_pos & 1):
+                is_self = True
+        if (flag & MM_F_NO_DUAL) and cmp > 0:
+            return True, is_self
+    if flag & (MM_F_FOR_ONLY | MM_F_REV_ONLY):
+        if (r & 1) == (q_pos & 1):
+            if flag & MM_F_REV_ONLY:
+                return True, is_self
+        elif flag & MM_F_FOR_ONLY:
+            return True, is_self
+    return False, is_self
+
+
+def collect_seed_hits_heap(mi, opt, max_occ: int, mx, my, qlen: int,
+                           qname: str | None):
+    """collect_seed_hits_heap (map.c:102-166): merge the per-seed sorted
+    occurrence lists with a ksort min-heap instead of a flat sort.  Used by
+    the sr presets (MM_F_HEAP_SORT): forward anchors stream out ascending,
+    reverse anchors descending (then reversed in place), exactly like the
+    reference -- including the ksort heap's tie behavior, which this is a
+    faithful port of.
+
+    Returns (ax, ay, rep_len, mini_pos)."""
+    s, n_a, rep_len, mini_pos = collect_matches(
+        mi, mx, my, qlen, max_occ, opt.max_max_occ, opt.occ_dist)
+    n_m = len(s.n)
+    pos = mi.pos
+    flag = opt.flag
+    ax = np.zeros(n_a, np.uint64)
+    ay = np.zeros(n_a, np.uint64)
+    heap = []
+    for i in range(n_m):
+        if s.n[i] > 0:
+            heap.append([int(pos[int(s.start[i])]), i << 32])
+    hs = len(heap)
+    for i in range((hs >> 1) - 1, -1, -1):      # ks_heapmake
+        _heapdown(heap, i, hs)
+    n_for = 0
+    n_rev = 0
+    while hs > 0:
+        x, y = heap[0]
+        si = y >> 32
+        q_pos = int(s.q_pos[si])
+        q_span = int(s.q_span[si])
+        seg_id = int(s.seg_id[si])
+        skip, is_self = _skip_seed(flag, x, q_pos, qname, qlen, mi)
+        if not skip:
+            rpos = (x & 0xFFFFFFFF) >> 1
+            if (x & 1) == (q_pos & 1):          # forward strand
+                px = (x & 0xFFFFFFFF00000000) | rpos
+                py = (q_span << 32) | (q_pos >> 1)
+                idx = n_for
+                n_for += 1
+            else:
+                px = (1 << 63) | (x & 0xFFFFFFFF00000000) | rpos
+                py = ((q_span << 32)
+                      | (qlen - ((q_pos >> 1) + 1 - q_span) - 1))
+                n_rev += 1
+                idx = n_a - n_rev
+            py |= seg_id << MM_SEED_SEG_SHIFT
+            if s.is_tandem[si]:
+                py |= MM_SEED_TANDEM
+            if is_self:
+                py |= MM_SEED_SELF
+            ax[idx] = px
+            ay[idx] = py
+        within = y & 0xFFFFFFFF
+        if within < int(s.n[si]) - 1:
+            heap[0] = [int(pos[int(s.start[si]) + within + 1]), y + 1]
+        else:
+            heap[0] = heap[hs - 1]
+            hs -= 1
+        _heapdown(heap, 0, hs)
+    # reverse-strand block is descending; flip it and close the gap
+    if n_rev:
+        ax[n_a - n_rev:n_a] = ax[n_a - n_rev:n_a][::-1]
+        ay[n_a - n_rev:n_a] = ay[n_a - n_rev:n_a][::-1]
+    if n_a > n_for + n_rev:
+        ax[n_for:n_for + n_rev] = ax[n_a - n_rev:n_a]
+        ay[n_for:n_for + n_rev] = ay[n_a - n_rev:n_a]
+    return (ax[:n_for + n_rev], ay[:n_for + n_rev], rep_len, mini_pos)
+
+
 def collect_seed_hits(mi, opt, max_occ: int, mx, my, qlen: int,
                       qname: str | None):
     """map.c:168-204: expand seeds to anchors and stable-sort by x.
 
     Returns (ax, ay, rep_len, mini_pos).
     """
+    from . import pipeline as _pl
     # fast native path (bit-exact) when no ava/strand/qstrand special-casing
+    # (the SF debug dump needs the Python path, like the reference forces
+    # single-thread for its debug modes)
     if not (opt.flag & (MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_FOR_ONLY
-                        | MM_F_REV_ONLY | MM_F_QSTRAND)):
+                        | MM_F_REV_ONLY | MM_F_QSTRAND)) \
+            and not _pl.DBG_SEED_FREQ:
         from .. import native
         if native.available():
             mmo = opt.max_max_occ if (opt.occ_dist > 0

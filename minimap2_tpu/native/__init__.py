@@ -113,6 +113,9 @@ def _load():
     lib.mm_update_extra_scan.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_void_p, C.c_int,
         C.c_int, C.c_int, C.c_int, C.c_void_p]
+    lib.radix_sort_u64_pair.restype = None
+    lib.radix_sort_u64_pair.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_int64, C.c_int]
     _lib = lib
     return lib
 
@@ -187,6 +190,15 @@ def collect_anchors(mx: np.ndarray, my: np.ndarray, keys: np.ndarray,
         if n < cap:
             return ax[:n], ay[:n], int(rep[0]), minipos[:int(n_mini[0])]
         cap *= 4
+
+
+def radix_sort_pair(keys: np.ndarray, vals: np.ndarray, key_bits: int):
+    """Stable in-place LSD radix sort of (u64 key, u64 payload) by the low
+    key_bits of the key."""
+    lib = _load()
+    assert keys.dtype == np.uint64 and vals.dtype == np.uint64
+    assert keys.flags.c_contiguous and vals.flags.c_contiguous
+    lib.radix_sort_u64_pair(_ptr(keys), _ptr(vals), len(keys), key_bits)
 
 
 def ksw_extd2(qlen, query, tlen, target, m, mat, q, e, q2, e2, w, zdrop,

@@ -1805,4 +1805,38 @@ void mm_update_extra_scan(const uint8_t *qseq, const uint8_t *tseq,
     out[4] = spliced;
 }
 
+// ---------------------------------------------------------------------
+// Stable LSD radix sort of (key, payload) u64 pairs by the low key_bits
+// of the key, 16 bits per pass (radix_sort_128x ksort.h analogue, but
+// for the flat-tensor index build where n ~ 2e8).  In-place; allocates
+// one n-sized scratch pair internally.
+// ---------------------------------------------------------------------
+void radix_sort_u64_pair(uint64_t* keys, uint64_t* vals, int64_t n,
+                         int key_bits)
+{
+    if (n <= 1) return;
+    int passes = (key_bits + 15) / 16;
+    std::vector<uint64_t> tk((size_t)n), tv((size_t)n);
+    uint64_t *k0 = keys, *v0 = vals, *k1 = tk.data(), *v1 = tv.data();
+    std::vector<int64_t> cnt(1 << 16);
+    for (int p = 0; p < passes; ++p) {
+        int sh = p * 16;
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < n; ++i) ++cnt[(k0[i] >> sh) & 0xFFFF];
+        int64_t acc = 0;
+        for (int b = 0; b < (1 << 16); ++b) {
+            int64_t c = cnt[b]; cnt[b] = acc; acc += c;
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t d = cnt[(k0[i] >> sh) & 0xFFFF]++;
+            k1[d] = k0[i]; v1[d] = v0[i];
+        }
+        std::swap(k0, k1); std::swap(v0, v1);
+    }
+    if (k0 != keys) {
+        std::memcpy(keys, k0, (size_t)n * 8);
+        std::memcpy(vals, v0, (size_t)n * 8);
+    }
+}
+
 }  // extern "C"

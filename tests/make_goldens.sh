@@ -45,3 +45,5 @@ run mt-chains       -t1 --print-chains "$D/MT-human.fa" "$D/MT-orang.fa"
 run x3s-chains      -t1 -x splice --print-chains "$D/x3s-ref.fa" "$D/x3s-qry.fa"
 
 echo "goldens written to $G"
+run mt-alnseq       -a --print-aln-seq "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-seedocc      --dbg-seed-occ "$D/MT-human.fa" "$D/MT-orang.fa"

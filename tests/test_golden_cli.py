@@ -175,3 +175,68 @@ def test_print_chains_golden():
     want = [l for l in open(f"{GOLD}/mt-chains.err").read().splitlines()
             if l.startswith("CN\t")]
     assert got == want
+
+
+def test_print_aln_seq_golden():
+    # align.c:339-346, 361-367; QM/QT lines are kalloc/time-dependent and
+    # excluded from the byte comparison
+    err = run_cli_stderr(["-a", "--print-aln-seq", f"{DATA}/MT-human.fa",
+                          f"{DATA}/MT-orang.fa"])
+    drop = ("[M::", "QM\t", "QT\t")
+    got = [l for l in err.splitlines() if not l.startswith(drop)]
+    want = [l for l in open(f"{GOLD}/mt-alnseq.err").read().splitlines()
+            if not l.startswith(drop)]
+    assert got == want
+
+
+def test_dbg_seed_occ_golden():
+    # seed.c:115-116 SF lines
+    err = run_cli_stderr(["--dbg-seed-occ", f"{DATA}/MT-human.fa",
+                          f"{DATA}/MT-orang.fa"])
+    got = [l for l in err.splitlines() if l.startswith("SF\t")]
+    want = [l for l in open(f"{GOLD}/mt-seedocc.err").read().splitlines()
+            if l.startswith("SF\t")]
+    assert got == want
+
+
+def test_long_cigar_cg_tag():
+    # format.c:524,577-590: with -L and >65535 ops the CIGAR column becomes
+    # <slen>S<reflen>N and the real CIGAR moves to CG:B:I (unit-level: the
+    # reference needs a >8Mbp alignment to trigger this, so the structure is
+    # checked against the C logic rather than a golden)
+    from minimap2_tpu.config import MM_F_LONG_CIGAR
+    from minimap2_tpu.io.format import write_sam
+    from minimap2_tpu.io.fastx import SeqRecord
+    from minimap2_tpu.map.hit import Extra, Reg
+    from minimap2_tpu.index.index import MiniIndex
+
+    n_ops = 70000
+    qlen = n_ops * 2 - (n_ops // 2)
+    mi = MiniIndex.build(["ctg"], [b"ACGT" * 60000], w=10, k=15)
+    r = Reg()
+    r.id = r.parent = 0
+    r.rid = 0
+    r.rev = 0
+    r.qs, r.qe = 5, qlen
+    r.rs, r.re = 0, n_ops * 2 - n_ops // 2 - 5
+    r.mapq = 60
+    r.score = 100
+    r.blen = r.mlen = qlen
+    r.sam_pri = True
+    p = Extra()
+    # alternating 2M1I -> n_ops ops, none mergeable
+    p.cigar = [(2 << 4) | 0 if i % 2 == 0 else (1 << 4) | 1
+               for i in range(n_ops)]
+    r.p = p
+    rec = SeqRecord(name="lr", seq=b"A" * qlen, qual=None, comment=None)
+    line = write_sam(mi, rec, 0, 0, 1, [1], [[r]], MM_F_LONG_CIGAR, 0)
+    fields = line.split("\t")
+    assert fields[5] == f"{qlen}S{r.re - r.rs}N"
+    cg = [f for f in fields if f.startswith("CG:B:I")]
+    assert len(cg) == 1
+    ops = cg[0][len("CG:B:I,"):].split(",")
+    assert len(ops) == n_ops + 1            # + leading 5S clip entry
+    assert int(ops[0]) == (5 << 4) | 4      # 5S encoded soft clip
+    assert int(ops[1]) == p.cigar[0]
+    line2 = write_sam(mi, rec, 0, 0, 1, [1], [[r]], 0, 0)
+    assert "CG:B:I" not in line2            # without -L: plain giant CIGAR
