@@ -1,11 +1,21 @@
 #!/usr/bin/env python
 """North-star benchmark: end-to-end reads/s per chip, ONT-like ~10kb reads
-vs a synthetic 5Mb genome, batched device PAF mapping (sketch -> seed ->
-chain on TPU). Baseline: the reference minimap2 binary, single thread,
-scaled x64 as the 64-core-Xeon proxy from BASELINE.md, measured on this
-machine when available.
+vs a 1 Gb repeat-bearing synthetic genome (GRCh38-class workload stand-in;
+see minimap2_tpu/utils/simgenome.py), batched device PAF mapping
+(sketch -> seed -> chain on TPU).  Baseline: the reference minimap2
+binary, single thread on the same genome/reads, scaled x64 as the
+64-core-Xeon proxy from BASELINE.md, measured on this machine when the
+binary is available.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Artifacts (genome, index, reads, reference mmi, reference timing) are
+cached under .bench_cache/ so repeat runs skip the ~4 min of build work.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "extra"}
+where extra carries the DP cell-updates/s secondary metric (BASELINE
+north-star #2) and the mapeval accuracy gate.
+
+Env knobs: MM2TPU_BENCH_SMALL=1 falls back to the round-1 5 Mb toy
+workload (no reference index build; useful for smoke runs).
 """
 from __future__ import annotations
 
@@ -22,55 +32,82 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_BIN = os.environ.get("MM2_REF_BIN", "/tmp/mm2build/minimap2")
-# single-thread reads/s of the reference on this workload, recorded from
-# this machine, used only if the binary is absent
-FALLBACK_REF_READS_PER_S = 730.0
+# single-thread reads/s of the reference on the 1 Gb workload, recorded
+# from this machine; used only if the binary is absent
+FALLBACK_REF_READS_PER_S = 77.0
 XEON_CORES = 64
 B = 512          # reads per device batch
 N_READS = 512
-REF_LEN = 5_000_000
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+GENOME_LEN = 1_000_000_000
+GENOME_SEED = 7
+SMALL = os.environ.get("MM2TPU_BENCH_SMALL") == "1"
 
 
-def simulate(rng):
-    ref = rng.choice(np.frombuffer(b"ACGT", np.uint8), REF_LEN).tobytes()
-    comp = bytes.maketrans(b"ACGT", b"TGCA")
-    names, seqs = [], []
-    acgt = np.frombuffer(b"ACGT", np.uint8)
-    for i in range(N_READS):
-        ln = int(rng.integers(8000, 11000))
-        st = int(rng.integers(0, REF_LEN - ln))
-        src = np.frombuffer(ref[st:st + ln], np.uint8)
-        r = rng.random(ln)
-        out = []
-        for j in range(ln):       # ~10% ONT-like errors
-            if r[j] < 0.05:
-                out.append(int(acgt[rng.integers(0, 4)]))
-            elif r[j] < 0.075:
-                pass              # deletion
-            else:
-                out.append(int(src[j]))
-                if r[j] < 0.10:
-                    out.append(int(acgt[rng.integers(0, 4)]))
-        s = bytes(out)
-        if i % 2:
-            s = s.translate(comp)[::-1]
-        names.append(f"r{i}!chr1!{st}!{st + ln}!{'-' if i % 2 else '+'}")
-        seqs.append(s)
-    return ref, names, seqs
+def ensure_artifacts():
+    """Build-or-load the cached genome / index / reads / ref FASTA."""
+    from minimap2_tpu.index.index import MiniIndex
+    from minimap2_tpu.utils.simgenome import (simulate_genome,
+                                              simulate_reads, write_fasta)
+    os.makedirs(CACHE, exist_ok=True)
+    tag = f"1g_s{GENOME_SEED}" if not SMALL else "5m_s0"
+    gpath = os.path.join(CACHE, f"genome_{tag}.npz")
+    ipath = os.path.join(CACHE, f"index_{tag}.npz")
+    rpath = os.path.join(CACHE, f"reads_{tag}.npz")
+    fpath = os.path.join(CACHE, f"ref_{tag}.fa")
+    if not os.path.exists(gpath):
+        t0 = time.time()
+        if SMALL:
+            rng = np.random.default_rng(0)
+            names = ["chr1"]
+            seqs = [rng.integers(0, 4, 5_000_000, dtype=np.uint8)]
+        else:
+            names, seqs = simulate_genome(GENOME_LEN, 8, GENOME_SEED)
+        np.savez(gpath, **{n: s for n, s in zip(names, seqs)})
+        print(f"[bench] genome generated in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+    z = np.load(gpath)
+    names = list(z.keys())
+    seqs = [z[n] for n in names]
+    if not os.path.exists(ipath):
+        t0 = time.time()
+        mi = MiniIndex.build_codes(names, seqs, w=10, k=15)
+        mi.save(ipath, compressed=False)
+        print(f"[bench] index built in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+        del mi
+    mi = MiniIndex.load(ipath)
+    if not os.path.exists(rpath):
+        rng = np.random.default_rng(1)
+        rnames, rseqs = simulate_reads(seqs, N_READS, rng)
+        np.savez(rpath, names=np.array(rnames),
+                 seqs=np.array(rseqs, dtype=object), allow_pickle=True)
+    rz = np.load(rpath, allow_pickle=True)
+    rnames = [str(n) for n in rz["names"]]
+    rcodes = [np.asarray(s, np.uint8) for s in rz["seqs"]]
+    if not os.path.exists(fpath) and os.path.exists(REF_BIN):
+        write_fasta(fpath, names, seqs)
+    return mi, rnames, rcodes, fpath
 
 
-def bench_ours(mi, names, seqs):
+def bench_ours(mi, names, rcodes):
     import jax
 
     from minimap2_tpu.config import MapOptions, mapopt_update
     from minimap2_tpu.parallel import engine
     from minimap2_tpu.parallel.batch import BatchParams, DeviceIndex
 
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    seqs = [ACGT[c].tobytes() for c in rcodes]
     mo = MapOptions()
     mapopt_update(mo, mi)
-    p = BatchParams(L=12288, M=2048, A=4096, occ_cap=max(mo.mid_occ, 10),
-                    chain_window=64)
+    p = BatchParams(L=12288, M=2048, A=8192,
+                    occ_cap=max(mo.mid_occ, 10), chain_window=64)
+    t0 = time.time()
     di = DeviceIndex.from_host(mi, 1)[0]
+    print(f"[bench] device index uploaded in {time.time()-t0:.0f}s",
+          file=sys.stderr)
     interp = jax.default_backend() != "tpu"
     step = engine.make_paf_step(di, p, K=5, min_sc=40, interpret=interp)
     buf = io.StringIO()
@@ -107,7 +144,7 @@ def bench_ours(mi, names, seqs):
               f"{[round(x * 1e3) for x in iv]} wall={dt:.2f}s",
               file=sys.stderr)
         dt = float(np.median(iv)) * len(done_ts)
-    # accuracy gate: mapeval at Q60 must stay clean
+    # accuracy gate: mapeval error at Q60 and Q10 cumulative
     from minimap2_tpu.tools import paftools as pt
     ev = io.StringIO()
     with tempfile.NamedTemporaryFile("w", suffix=".paf",
@@ -116,37 +153,76 @@ def bench_ours(mi, names, seqs):
         paf = f.name
     pt.mapeval([paf], out=ev)
     os.unlink(paf)
-    q60 = ev.getvalue().splitlines()[0].split("\t") if ev.getvalue() else []
-    return n / dt, q60
+    lines = [l.split("\t") for l in ev.getvalue().splitlines()]
+    return n / dt, lines
 
 
-def bench_ref(ref, names, seqs):
-    if not os.path.exists(REF_BIN):
+def bench_dp_cells():
+    """DP cell-updates/s of the extd2 Pallas kernel (north-star #2):
+    64 x ~10kb banded global alignments, band 500 (W=640 lanes)."""
+    import jax
+    from minimap2_tpu.ops.extend_pallas2 import extd2_batch2
+    if jax.default_backend() != "tpu":
         return None
-    with tempfile.TemporaryDirectory() as td:
-        fa = os.path.join(td, "ref.fa")
-        fq = os.path.join(td, "reads.fa")
-        mmi = os.path.join(td, "ref.mmi")
-        with open(fa, "w") as f:
-            f.write(">chr1\n")
-            for i in range(0, len(ref), 80):
-                f.write(ref[i:i + 80].decode() + "\n")
-        with open(fq, "w") as f:
-            for nm, s in zip(names, seqs):
-                f.write(f">{nm}\n{s.decode()}\n")
-        subprocess.run([REF_BIN, "-d", mmi, fa], check=True,
+    rng = np.random.default_rng(0)
+    NP_, QP, TP, w, W = 64, 10240, 10240, 500, 640
+    qr = rng.integers(0, 4, (NP_, QP)).astype(np.uint8)
+    sf = rng.integers(0, 4, (NP_, TP)).astype(np.uint8)
+    lens = np.full((NP_, 2), QP, np.int32)
+    R = (QP + TP + 127) // 128 * 128
+    kw = dict(G=16, W=W, RB=128, R=R, QP=QP, TP=TP, q=4, e=2, q2=24, e2=1,
+              w=w, zdrop=-1, right_mode=False, approx_max=True,
+              approx_drop=False, sc_mch=2, sc_mis=-4, sc_N=0,
+              with_cigar=True)
+    args = (np.asarray(qr), np.asarray(sf), np.asarray(lens))
+    p, ez = extd2_batch2(*args, **kw)
+    np.asarray(ez[:1])
+    t0 = time.perf_counter()
+    REPS = 4
+    for _ in range(REPS):
+        p, ez = extd2_batch2(*args, **kw)
+        np.asarray(ez[:1])
+    dt = (time.perf_counter() - t0) / REPS
+    # banded cells: per diagonal r the band covers ~min(w, diag extent)
+    rr = np.arange(QP + TP - 1)
+    band = np.minimum.reduce([np.full_like(rr, w), rr + 1,
+                              QP + TP - 1 - rr])
+    cells = int(band.sum()) * NP_
+    return cells / dt
+
+
+def bench_ref(fa_path, names, rcodes):
+    if not os.path.exists(REF_BIN) or not os.path.exists(fa_path):
+        return None
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    mmi = fa_path + ".mmi"
+    if not os.path.exists(mmi):
+        t0 = time.time()
+        subprocess.run([REF_BIN, "-d", mmi, fa_path], check=True,
                        capture_output=True)
+        print(f"[bench] reference index built in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+    stamp = fa_path + ".refrate.json"
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            return json.load(f)["reads_per_s"]
+    with tempfile.TemporaryDirectory() as td:
+        fq = os.path.join(td, "reads.fa")
+        with open(fq, "w") as f:
+            for nm, c in zip(names, rcodes):
+                f.write(f">{nm}\n{ACGT[c].tobytes().decode()}\n")
         t0 = time.perf_counter()
         subprocess.run([REF_BIN, "-t1", mmi, fq], check=True,
                        capture_output=True)
         dt = time.perf_counter() - t0
-        return N_READS / dt
+    rate = len(names) / dt
+    with open(stamp, "w") as f:
+        json.dump({"reads_per_s": rate, "n_reads": len(names)}, f)
+    return rate
 
 
 def main():
     import jax
-
-    from minimap2_tpu.index.index import MiniIndex
 
     # persistent jit cache: compile through the tunnel can stall for
     # minutes; warm-cache startup is seconds
@@ -159,25 +235,39 @@ def main():
     except Exception:
         pass
 
-    rng = np.random.default_rng(0)
-    ref, names, seqs = simulate(rng)
-    mi = MiniIndex.build(["chr1"], [ref], w=10, k=15)
-    ours, q60 = bench_ours(mi, names, seqs)
+    mi, names, rcodes, fa_path = ensure_artifacts()
+    ours, ev = bench_ours(mi, names, rcodes)
     refr = None
     try:
-        refr = bench_ref(ref, names, seqs)
+        refr = bench_ref(fa_path, names, rcodes)
     except Exception as e:
         print(f"[bench] ref binary failed: {e}", file=sys.stderr)
     if refr is None:
         refr = FALLBACK_REF_READS_PER_S
+    cells = None
+    try:
+        cells = bench_dp_cells()
+    except Exception as e:
+        print(f"[bench] dp-cells bench failed: {e}", file=sys.stderr)
     baseline = refr * XEON_CORES
+    q60 = next((l for l in ev if l and l[1] == "60"), None)
+    qlast = ev[-1] if ev else None
     print(f"[bench] backend={jax.default_backend()} ours={ours:.1f} reads/s "
-          f"ref_1core={refr:.1f} reads/s mapeval_q60={q60}", file=sys.stderr)
+          f"ref_1core={refr:.1f} reads/s mapeval_q60={q60} "
+          f"mapeval_all={qlast}", file=sys.stderr)
+    gsize = "5Mb" if SMALL else "1Gb repeat-bearing"
     print(json.dumps({
-        "metric": "reads/s per chip (ONT ~10kb sim vs 5Mb, batched PAF)",
+        "metric": f"reads/s per chip (ONT ~10kb sim vs {gsize}, "
+                  "batched PAF)",
         "value": round(ours, 1),
         "unit": "reads/s",
         "vs_baseline": round(ours / baseline, 5),
+        "extra": {
+            "ref_1core_reads_per_s": round(refr, 1),
+            "dp_cells_per_s": None if cells is None else round(cells),
+            "mapeval_q60": q60,
+            "mapeval_cum": qlast,
+        },
     }))
 
 

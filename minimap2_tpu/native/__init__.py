@@ -116,6 +116,10 @@ def _load():
     lib.radix_sort_u64_pair.restype = None
     lib.radix_sort_u64_pair.argtypes = [
         C.c_void_p, C.c_void_p, C.c_int64, C.c_int]
+    lib.build_hash2_table.restype = C.c_int64
+    lib.build_hash2_table.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_int64, C.c_int64, C.c_int, C.c_int,
+        C.c_void_p]
     _lib = lib
     return lib
 
@@ -190,6 +194,20 @@ def collect_anchors(mx: np.ndarray, my: np.ndarray, keys: np.ndarray,
         if n < cap:
             return ax[:n], ay[:n], int(rep[0]), minipos[:int(n_mini[0])]
         cap *= 4
+
+
+def build_hash2_table(keys: np.ndarray, starts: np.ndarray, NB: int,
+                      S: int, key32: bool) -> tuple[np.ndarray, int]:
+    """Build the (NB, S*stride) int32 2-choice bucketed device seed table
+    (stride 3 when key32 else 4).  Returns (table, n_overflow)."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    stride = 3 if key32 else 4
+    table = np.empty((NB, S * stride), np.int32)
+    ov = lib.build_hash2_table(_ptr(keys), _ptr(starts), len(keys), NB, S,
+                               int(key32), _ptr(table))
+    return table, int(ov)
 
 
 def radix_sort_pair(keys: np.ndarray, vals: np.ndarray, key_bits: int):

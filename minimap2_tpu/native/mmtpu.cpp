@@ -1839,4 +1839,53 @@ void radix_sort_u64_pair(uint64_t* keys, uint64_t* vals, int64_t n,
     }
 }
 
+// ---------------------------------------------------------------------
+// 2-choice bucketed hash table for the DEVICE seed lookup: each key goes
+// into the emptier of two candidate buckets of S slots, so a device
+// probe is exactly TWO wide row gathers (vs ~6-8 element gathers for
+// the binary-search scheme).  Layouts (empty slot marker in [0]):
+//   key32=1 (key bits < 32): (NB, S, 3) int32 [key_lo, start, cnt],
+//            empty key_lo = -1 (unreachable: keys < 2^31)
+//   key32=0: (NB, S, 4) int32 [key_hi, key_lo, start, cnt], empty
+//            key_hi = -1 (unreachable: keys < 2^56)
+// The b1/b2 hash mixing must match the jnp lookup in parallel/batch.py
+// bit for bit.  Returns the number of overflowed keys (0 on success).
+// ---------------------------------------------------------------------
+int64_t build_hash2_table(const uint64_t* keys, const int64_t* starts,
+                          int64_t n, int64_t NB, int S, int key32,
+                          int32_t* table)
+{
+    uint32_t mask = (uint32_t)(NB - 1);
+    int st = key32 ? 3 : 4;
+    std::vector<uint8_t> occ((size_t)NB, 0);
+    std::memset(table, 0, (size_t)NB * S * st * sizeof(int32_t));
+    for (int64_t b = 0; b < NB; ++b)
+        for (int s = 0; s < S; ++s)
+            table[(b * S + s) * st] = -1;
+    int64_t overflow = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t key = keys[i];
+        uint32_t lo = (uint32_t)key, hi = (uint32_t)(key >> 32);
+        uint32_t b1 = lo & mask;
+        uint32_t k11 = (uint32_t)((lo >> 11) | (hi << 21)) * 2654435761u;
+        uint32_t b2 = (k11 >> 7) & mask;
+        uint32_t b = occ[b1] <= occ[b2] ? b1 : b2;
+        if (occ[b] >= S) b = (b == b1) ? b2 : b1;
+        if (occ[b] >= S) { ++overflow; continue; }
+        int32_t* slot = table + ((int64_t)b * S + occ[b]) * st;
+        if (key32) {
+            slot[0] = (int32_t)lo;
+            slot[1] = (int32_t)starts[i];
+            slot[2] = (int32_t)(starts[i + 1] - starts[i]);
+        } else {
+            slot[0] = (int32_t)hi;
+            slot[1] = (int32_t)lo;
+            slot[2] = (int32_t)starts[i];
+            slot[3] = (int32_t)(starts[i + 1] - starts[i]);
+        }
+        ++occ[b];
+    }
+    return overflow;
+}
+
 }  // extern "C"

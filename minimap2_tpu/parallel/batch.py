@@ -191,33 +191,45 @@ class DeviceIndex:
     re-expressed as sorted keys + offset/count + int32 position planes)."""
 
     def __init__(self, keys2, sc2, pos2, S, seq_off, seq_len,
-                 bucket_start=None, key_shift: int = 0, n_probe: int = 6):
+                 bucket_start=None, h2=None, key_shift: int = 0,
+                 n_probe: int = 6, h2_bits: int = 0, h2_slots: int = 8,
+                 pos_fmt: int = 0):
         # pair-packed planes: one 2-wide gather fetches what used to take
         # two element gathers (gathers are the device bottleneck)
         self.keys2 = keys2          # (K, 2) u32 [hi, lo], sorted, UMAX pad
         self.sc2 = sc2              # (K, 2) i32 [start, cnt]
-        self.pos2 = pos2            # (P, 2) i32 [rid, rpos<<1|strand]
+        # pos_fmt 0: (P, 2) i32 [rid, rpos<<1|strand]
+        # pos_fmt 1: (P,) u32 global (seq_off[rid]+rpos)<<1|strand -- HALF
+        #            the gather bytes; rid recovered by comparing against
+        #            seq_off (requires total<2^31 and small n_seq)
+        self.pos2 = pos2
         self.S = S                  # (T,) u8 nt4 codes, concatenated refs
         self.seq_off = seq_off      # (n_seq,) i32
         self.seq_len = seq_len      # (n_seq,) i32
         # direct-address bucket table over the top key bits (the 2^b-bucket
         # structure of index.c:50, rebuilt for O(1)-ish device probes)
         self.bucket_start = bucket_start   # (2^bb + 1,) i32 or None
+        # 2-choice bucketed hash table (native build_hash2_table): one
+        # probe = TWO (h2_slots*stride)-wide row gathers; preferred over
+        # the binary search when present
+        self.h2 = h2                       # (NB, h2_slots*st) i32 or None
         self.key_shift = key_shift         # static: key >> shift = bucket
         self.n_probe = n_probe             # static: ceil(log2(max bucket))
+        self.h2_bits = h2_bits             # static: log2(NB)
+        self.h2_slots = h2_slots           # static: slots per bucket
+        self.pos_fmt = pos_fmt             # static: pos2 layout
 
     def tree_flatten(self):
         return ((self.keys2, self.sc2, self.pos2, self.S,
-                 self.seq_off, self.seq_len, self.bucket_start),
-                (self.key_shift, self.n_probe))
+                 self.seq_off, self.seq_len, self.bucket_start, self.h2),
+                (self.key_shift, self.n_probe, self.h2_bits, self.h2_slots,
+                 self.pos_fmt))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        if isinstance(aux, tuple):
-            key_shift, n_probe = aux
-        else:                              # older single-int aux
-            key_shift, n_probe = aux, 6
-        return cls(*children, key_shift=key_shift, n_probe=n_probe)
+        key_shift, n_probe, h2_bits, h2_slots, pos_fmt = aux
+        return cls(*children, key_shift=key_shift, n_probe=n_probe,
+                   h2_bits=h2_bits, h2_slots=h2_slots, pos_fmt=pos_fmt)
 
     @classmethod
     def from_host(cls, mi, n_shards: int = 1, pad_pos_to: int | None = None):
@@ -245,33 +257,80 @@ class DeviceIndex:
         bb = min(26, max(4, int(math.ceil(math.log2(max(K, 2)))) + 2))
         key_bits = 2 * mi.k
         shift = max(0, key_bits - bb)
+        from .. import native
+        use_h2 = native.available() and K > 0
+        key32 = key_bits < 32
+        h2_slots = 4 if key32 else 8
+        h2_bits = 0
+        h2_tables = None
+        if use_h2:
+            kmax = max(bounds[i + 1] - bounds[i] for i in range(n_shards))
+            h2_bits = max(6, int(math.ceil(math.log2(
+                max(1.0, kmax / (h2_slots * 0.75))))))
+            while True:     # all shards share one size (stackable pytrees)
+                h2_tables = []
+                ov_tot = 0
+                for i in range(n_shards):
+                    lo, hi = bounds[i], bounds[i + 1]
+                    p0 = int(mi.starts[lo])
+                    rel = (mi.starts[lo:hi + 1] - p0).astype(np.int64)
+                    t, ov = native.build_hash2_table(
+                        mi.keys[lo:hi], rel, 1 << h2_bits, h2_slots, key32)
+                    ov_tot += ov
+                    h2_tables.append(t)
+                if ov_tot == 0:
+                    break
+                h2_bits += 1        # overflow: double the table
         for i in range(n_shards):
             lo, hi = bounds[i], bounds[i + 1]
-            keys = np.full(kpad, UMAX64_NP, np.uint64)
-            keys[:hi - lo] = mi.keys[lo:hi]
-            keys2 = np.empty((kpad, 2), np.uint32)
-            keys2[:, 0] = (keys >> np.uint64(32)).astype(np.uint32)
-            keys2[:, 1] = keys.astype(np.uint32)
-            nb = 1 << min(bb, key_bits)
-            bstart = np.searchsorted(
-                mi.keys[lo:hi] >> np.uint64(shift),
-                np.arange(nb + 1, dtype=np.uint64)).astype(np.int32)
             p0 = int(mi.starts[lo]) if K else 0
             p1 = int(mi.starts[hi]) if K else 0
-            sc2 = np.zeros((kpad, 2), np.int32)
-            sc2[:hi - lo, 0] = (mi.starts[lo:hi] - p0).astype(np.int32)
-            sc2[:hi - lo, 1] = cnts_all[lo:hi]
+            h2 = None
+            if use_h2:
+                h2 = jnp.asarray(h2_tables[i])
+                # placeholders keep the pytree shape without the upload
+                keys2 = np.full((1, 2), 0xFFFFFFFF, np.uint32)
+                sc2 = np.zeros((1, 2), np.int32)
+                bstart = np.zeros(2, np.int32)
+                n_probe = 1
+            else:
+                keys = np.full(kpad, UMAX64_NP, np.uint64)
+                keys[:hi - lo] = mi.keys[lo:hi]
+                keys2 = np.empty((kpad, 2), np.uint32)
+                keys2[:, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+                keys2[:, 1] = keys.astype(np.uint32)
+                nb = 1 << min(bb, key_bits)
+                bstart = np.searchsorted(
+                    mi.keys[lo:hi] >> np.uint64(shift),
+                    np.arange(nb + 1, dtype=np.uint64)).astype(np.int32)
+                sc2 = np.zeros((kpad, 2), np.int32)
+                sc2[:hi - lo, 0] = (mi.starts[lo:hi] - p0).astype(np.int32)
+                sc2[:hi - lo, 1] = cnts_all[lo:hi]
+                bmax = int(np.diff(bstart).max()) if len(bstart) > 1 else 1
+                n_probe = max(1, int(math.ceil(math.log2(bmax + 1))))
             pos = mi.pos[p0:p1]
-            pos2 = np.zeros((ppad, 2), np.int32)
-            pos2[:len(pos), 0] = (pos >> np.uint64(32)).astype(np.int32)
-            # packed: rpos<<1 | strand (one gather serves both)
-            pos2[:len(pos), 1] = (pos & np.uint64(0xFFFFFFFF)).astype(np.int32)
-            bmax = int(np.diff(bstart).max()) if len(bstart) > 1 else 1
-            n_probe = max(1, int(math.ceil(math.log2(bmax + 1))))
+            total_len = int(seq_off[-1]) + int(seq_len[-1]) if len(S) else 0
+            pos_fmt = 1 if (total_len < (1 << 31) and len(seq_off) <= 64) \
+                else 0
+            if pos_fmt:
+                rid_h = (pos >> np.uint64(32)).astype(np.int64)
+                rp_h = (pos & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                goff = seq_off.astype(np.uint32)[
+                    np.clip(rid_h, 0, len(seq_off) - 1)]
+                pos2 = np.zeros(ppad, np.uint32)
+                pos2[:len(pos)] = rp_h + (goff << np.uint32(1))
+            else:
+                pos2 = np.zeros((ppad, 2), np.int32)
+                pos2[:len(pos), 0] = (pos >> np.uint64(32)).astype(np.int32)
+                # packed: rpos<<1 | strand (one gather serves both)
+                pos2[:len(pos), 1] = (pos
+                                      & np.uint64(0xFFFFFFFF)).astype(np.int32)
             shards.append(cls(jnp.asarray(keys2), jnp.asarray(sc2),
                               jnp.asarray(pos2), jnp.asarray(S),
                               jnp.asarray(seq_off), jnp.asarray(seq_len),
-                              jnp.asarray(bstart), shift, n_probe))
+                              jnp.asarray(bstart), h2, key_shift=shift,
+                              n_probe=n_probe, h2_bits=h2_bits,
+                              h2_slots=h2_slots, pos_fmt=pos_fmt))
         return shards
 
 
@@ -455,10 +514,41 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     """Seed lookup + anchor expansion (seed.c:30-52, map.c:168-204).
 
     Returns int32 anchor planes sorted by (rev, rid, rpos, qpos):
-      a_rev, a_rid, a_rpos, a_qpos (B, A) with valid mask.
+      a_rev, a_rid, a_rpos, a_qpos (B, A) with valid mask, plus the
+      per-read rep_len (B,) -- the union length of the query intervals of
+      occurrence-filtered seeds (seed.c:113-129), which feeds both the
+      rl:i tag and the mapq uniq_ratio (hit.c:447).
     """
     B, M = mh_hi.shape
     K = di.keys2.shape[0]
+    if di.h2 is not None:
+        # 2-choice bucketed hash probe: exactly two row gathers per
+        # minimizer (native build_hash2_table layout)
+        S_ = di.h2_slots
+        key32 = di.h2.shape[1] == S_ * 3
+        stride = 3 if key32 else 4
+        mask = jnp.uint32((1 << di.h2_bits) - 1)
+        b1 = (mh_lo & mask).astype(jnp.int32)
+        k11 = (((mh_lo >> jnp.uint32(11)) | (mh_hi << jnp.uint32(21)))
+               * jnp.uint32(2654435761))
+        b2 = ((k11 >> jnp.uint32(7)) & mask).astype(jnp.int32)
+        t = jnp.concatenate([di.h2[b1], di.h2[b2]], axis=-1) \
+            .reshape(B, M, 2 * S_, stride)                 # (B, M, 2S, st)
+        if key32:
+            hit = t[..., 0] == mh_lo.astype(jnp.int32)[..., None]
+            s_pl, c_pl = t[..., 1], t[..., 2]
+        else:
+            hit = ((t[..., 0] == mh_hi.astype(jnp.int32)[..., None])
+                   & (t[..., 1] == mh_lo.astype(jnp.int32)[..., None]))
+            s_pl, c_pl = t[..., 2], t[..., 3]
+        found = jnp.any(hit, axis=-1) & mvalid
+        start = jnp.max(jnp.where(hit, s_pl, 0), axis=-1)
+        cnt_raw = jnp.max(jnp.where(hit, c_pl, 0), axis=-1)
+        start = jnp.where(found, start, 0)
+        cnt = jnp.where(found & (cnt_raw <= p.occ_cap), cnt_raw, 0)
+        flt = found & (cnt_raw > p.occ_cap)
+        return _expand_anchors(di, start, cnt, flt, mz, mpos, qlen, p,
+                               interpret)
     if di.bucket_start is not None:
         # direct-address bucket probe (index.c bucket structure as a
         # device table): ~6 bounded-search gathers instead of ~2*log2(K);
@@ -490,6 +580,26 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     # threshold are skipped entirely, not truncated
     cnt_raw = sv[..., 1]
     cnt = jnp.where(found & (cnt_raw <= p.occ_cap), cnt_raw, 0)
+    flt = found & (cnt_raw > p.occ_cap)
+    return _expand_anchors(di, start, cnt, flt, mz, mpos, qlen, p,
+                           interpret)
+
+
+def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, qlen,
+                    p: BatchParams, interpret: bool):
+    """Seed (start, cnt) runs -> sorted anchor planes + rep_len (the
+    shared tail of _lookup_anchors for both probe schemes)."""
+    B, M = start.shape
+    # rep_len: union of [pos-k+1, pos+1) over filtered seeds, in position
+    # order (mpos is ascending) -- sum of min(k, en_i - en_prev_filtered)
+    en = mpos + 1
+    en_f = jnp.where(flt, en, 0)
+    prev_incl = lax.associative_scan(jnp.maximum, en_f, axis=1)
+    prev_excl = jnp.concatenate(
+        [jnp.zeros((prev_incl.shape[0], 1), prev_incl.dtype),
+         prev_incl[:, :-1]], axis=1)
+    contrib = jnp.where(flt, jnp.minimum(p.k, en - prev_excl), 0)
+    rep_len = jnp.sum(contrib, axis=1).astype(jnp.int32)
     # per-seed output offsets; anchors beyond capacity A are dropped
     offs = jnp.cumsum(cnt, axis=1) - cnt                      # (B, M)
     ends = offs + cnt
@@ -510,11 +620,26 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     within = slot - g[..., 0]
     pidx = g[..., 1] + within
     pidx = jnp.clip(pidx, 0, di.pos2.shape[0] - 1)
-    pv = di.pos2[pidx]                                        # (B, A, 2)
-    rid = pv[..., 0]
-    rps = pv[..., 1]                 # rpos<<1 | strand (packed plane)
-    rpos = rps >> 1
-    rstrand = rps & 1
+    if di.pos_fmt == 1:
+        # single u32 plane: global (off+rpos)<<1|strand; rid recovered by
+        # unrolled compares against the (small) seq_off table -- no gather
+        pv1 = di.pos2[pidx]                                   # (B, A) u32
+        gpos = (pv1 >> jnp.uint32(1)).astype(jnp.int32)
+        rstrand = (pv1 & jnp.uint32(1)).astype(jnp.int32)
+        n_seq = di.seq_off.shape[0]
+        rid = jnp.zeros_like(gpos)
+        off_sel = jnp.zeros_like(gpos)
+        for j in range(1, n_seq):
+            in_j = gpos >= di.seq_off[j]
+            rid = rid + in_j.astype(jnp.int32)
+            off_sel = jnp.where(in_j, di.seq_off[j], off_sel)
+        rpos = gpos - off_sel
+    else:
+        pv = di.pos2[pidx]                                    # (B, A, 2)
+        rid = pv[..., 0]
+        rps = pv[..., 1]             # rpos<<1 | strand (packed plane)
+        rpos = rps >> 1
+        rstrand = rps & 1
     qz = g[..., 2]
     qpos = g[..., 3]
     same = rstrand == qz
@@ -541,7 +666,7 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     rid = (key1 & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32)
     rpos = key2.astype(jnp.int32)
     qpos_s = key3.astype(jnp.int32)
-    return rev, rid, rpos, qpos_s, av.astype(bool)
+    return rev, rid, rpos, qpos_s, av.astype(bool), rep_len
 
 
 def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
@@ -738,8 +863,9 @@ def map_batch(di: DeviceIndex, codes, lens, p: BatchParams,
     hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
     mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(hhi, hlo, z,
                                                          is_mini, p.M)
-    rev, rid, rpos, qpos, av = _lookup_anchors(di, mh_hi, mh_lo, mz, mpos,
-                                               mvalid, lens, p, interpret)
+    rev, rid, rpos, qpos, av, _rep = _lookup_anchors(di, mh_hi, mh_lo, mz,
+                                                     mpos, mvalid, lens, p,
+                                                     interpret)
     best, _ = _chain_scan(rev, rid, rpos, qpos, av, p)
     ext = _extend_best(di, codes, lens, best, p, interpret)
     b_sc, qs, qe, rs, re_, rv, rid_b = best
@@ -757,7 +883,9 @@ def map_batch(di: DeviceIndex, codes, lens, p: BatchParams,
 
 
 def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
-                      key_shift: int = 0, n_probe: int = 6):
+                      key_shift: int = 0, n_probe: int = 6,
+                      h2_bits: int = 0, h2_slots: int = 8,
+                      pos_fmt: int = 0):
     """Build a pjit-ed mapping step over a ('data', 'idx') mesh.
 
     Reads shard over 'data'.  The index shards over 'idx' by key range; each
@@ -779,7 +907,7 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
                                                              is_mini, p.M)
         # di leaves carry a leading shard axis of size 1 inside shard_map
         di_l = jax.tree_util.tree_map(lambda x: x[0], di)
-        rev, rid, rpos, qpos, av = _lookup_anchors(
+        rev, rid, rpos, qpos, av, _rep = _lookup_anchors(
             di_l, mh_hi, mh_lo, mz, mpos, mvalid, lens, p)
         # merge anchors across index shards (collective merge_hits)
         n_idx = mesh.shape["idx"]
@@ -806,7 +934,8 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
         return out, n_mapped
 
     di_spec = jax.tree_util.tree_map(lambda _: P("idx"),
-                                     _di_proto(key_shift, n_probe))
+                                     _di_proto(key_shift, n_probe,
+                                               h2_bits, h2_slots, pos_fmt))
     fn = shard_map(local_step, mesh=mesh,
                    in_specs=(di_spec, P("data", None), P("data")),
                    out_specs=(jax.tree_util.tree_map(
@@ -818,9 +947,10 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
     return jax.jit(fn)
 
 
-def _di_proto(key_shift: int = 0, n_probe: int = 6):
-    return DeviceIndex(*([0] * 7), key_shift=key_shift,
-                       n_probe=n_probe)
+def _di_proto(key_shift: int = 0, n_probe: int = 6, h2_bits: int = 0,
+              h2_slots: int = 8, pos_fmt: int = 0):
+    return DeviceIndex(*([0] * 8), key_shift=key_shift, n_probe=n_probe,
+                       h2_bits=h2_bits, h2_slots=h2_slots, pos_fmt=pos_fmt)
 
 
 def stack_shards(shards: list[DeviceIndex]) -> DeviceIndex:

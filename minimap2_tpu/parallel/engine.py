@@ -57,7 +57,7 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
             mpos = jnp.where(mvalid,
                              jnp.take_along_axis(
                                  hpos, jnp.clip(mpos, 0, L - 1), axis=1), L)
-        rev, rid, rpos, qpos, av = _lookup_anchors(
+        rev, rid, rpos, qpos, av, rep_len = _lookup_anchors(
             di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p, interpret)
         B = codes.shape[0]
         if not interpret and B % 128 == 0 and p.A % 256 == 0:
@@ -72,7 +72,9 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
                                                        qpos, av, p)
         recs = topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K,
                            min_sc, with_sec=with_sec)
-        return jnp.stack(recs)     # one (9, K, B) array -> one host fetch
+        Kout = recs[0].shape[0]
+        recs.append(jnp.broadcast_to(rep_len[None, :], (Kout, rep_len.shape[0])))
+        return jnp.stack(recs)     # one (10, K, B) array -> one host fetch
 
     def step(codes, lens):
         return step_di(di_dev, codes, lens)
@@ -92,14 +94,28 @@ def encode_batch(seqs: list[bytes], L: int):
     return codes, lens
 
 
-def _mapq(score: int, sub: int, cnt: int, min_chain_score: int) -> int:
-    """Approximate mm_set_mapq2 (hit.c:432-485) from chain scores only."""
+def _mapq(score: int, sub: int, cnt: int, min_chain_score: int,
+          rep_len: int = 0, sum_sc: int | None = None,
+          n_sub: int = 0) -> int:
+    """mm_set_mapq2 (hit.c:432-485), no-DP branch: the chain-only mapq of
+    the reference's PAF mode, including the uniq_ratio repeat penalty and
+    the n_sub correction.  sum_sc defaults to this chain's own score (the
+    single-primary case)."""
     if score <= 0:
         return 0
-    sub = max(sub, 0)
-    x = sub / score
-    mapq = int(40.0 * (1.0 - x) * min(1.0, cnt / 10.0) * np.log(score / 8.0
-                                                                + 1.0))
+    if sum_sc is None:
+        sum_sc = score
+    uniq_ratio = np.float32(sum_sc) / np.float32(sum_sc + rep_len)
+    pen_s1 = (np.float32(1.0) if score > 100
+              else np.float32(0.01) * score) * uniq_ratio
+    pen_cm = np.float32(1.0) if cnt > 10 else np.float32(0.1) * cnt
+    pen_cm = min(pen_s1, pen_cm)
+    subsc = max(sub, min_chain_score)
+    x = np.float32(subsc) / np.float32(score)
+    mapq = int(pen_cm * np.float32(40.0) * (np.float32(1.0) - x)
+               * np.log(np.float32(score)))
+    mapq -= int(np.float32(4.343) * np.log(np.float32(n_sub + 1))
+                + np.float32(0.499))
     return max(0, min(mapq, 60))
 
 
@@ -206,21 +222,26 @@ def dispatch_batch(step, seqs, p: BatchParams, pad_to: int | None = None):
 
 
 def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
-                  p: BatchParams, out, rep_len: int = 0, pending=None):
+                  p: BatchParams, out, pending=None):
     """Run one encoded batch through the device step and write PAF lines."""
     if pending is None:
         pending = dispatch_batch(step, seqs, p)
     rec = np.asarray(pending)
-    sc, sub, qs, qe, rs, re_, rev, rid, cnt = rec
+    sc, sub, qs, qe, rs, re_, rev, rid, cnt, rep = rec
     K, B = sc.shape
     n_mapped = 0
     for b in range(min(B, len(seqs))):    # B may include pad rows
         qlen = len(seqs[b])
+        rep_len = int(rep[0, b])
+        # sum_sc over primaries (hit.c:438-443): the K slots are
+        # query-disjoint, so every positive slot is a primary here
+        sum_sc = int(np.sum(np.maximum(sc[:, b], 0)))
         wrote = False
         for k in range(K):
             if sc[k, b] <= 0:
                 break
-            mq = _mapq(int(sc[k, b]), int(sub[k, b]), int(cnt[k, b]), 40)
+            mq = _mapq(int(sc[k, b]), int(sub[k, b]), int(cnt[k, b]), 40,
+                       rep_len=rep_len, sum_sc=sum_sc)
             if k > 0:
                 mq = 0
             r0 = int(mi.seq[int(rid[k, b])].length) \
@@ -301,7 +322,8 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
         nonlocal n_reads
         n_reads += len(recs)
         arr = np.asarray(map_fut)
-        sc, sub, qs, qe, rs, re_, rev, rid, cnt = arr    # (9, K, B)
+        # (10, K, B): rep_len rides as the last plane
+        sc, sub, qs, qe, rs, re_, rev, rid, cnt, rep = arr
         jobs, jmeta = [], []
         fallback, unmapped = [], []
         for b, rec in enumerate(recs):
@@ -364,7 +386,8 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                                "cnt": int(cnt[k, b]),
                                "rev": int(rev[k, b]),
                                "rid": int(rid[k, b]), "qs": qs_,
-                               "qe": qe_, "rs": rs_, "re": re2}))
+                               "qe": qe_, "rs": rs_, "re": re2,
+                               "rep": int(rep[0, b])}))
         cigs = ab.align_jobs(jobs) if jobs else []
         by_read = {}        # id(rec) -> (rec, [Reg, ...])
         fb_ids = set()
@@ -374,8 +397,9 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                     fallback.append(rec)
                     fb_ids.add(id(rec))
                 continue
-            r = build_reg(mi, opt, mat, len(rec.seq), qseg, meta, cig, 0,
-                          reg_id=k, parent=k - 1 if is_sec else k)
+            r = build_reg(mi, opt, mat, len(rec.seq), qseg, meta, cig,
+                          meta.get("rep", 0), reg_id=k,
+                          parent=k - 1 if is_sec else k)
             by_read.setdefault(id(rec), (rec, []))[1].append(r)
         for rec, regs in by_read.values():
             if id(rec) in fb_ids or not regs:

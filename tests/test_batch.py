@@ -123,7 +123,9 @@ def test_sharded_step_matches_single(tiny_world):
     mesh = Mesh(devs, ("data", "idx"))
     di = stack_shards(DeviceIndex.from_host(mi, 2))
     step = make_sharded_step(mesh, p, interpret=True,
-                             key_shift=di.key_shift, n_probe=di.n_probe)
+                             key_shift=di.key_shift, n_probe=di.n_probe,
+                             h2_bits=di.h2_bits, h2_slots=di.h2_slots,
+                             pos_fmt=di.pos_fmt)
     with mesh:
         out, n_mapped = step(di, jnp.asarray(codes), jnp.asarray(lens))
     assert int(n_mapped) == len(truth)
