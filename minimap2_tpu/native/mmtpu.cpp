@@ -1840,6 +1840,85 @@ void radix_sort_u64_pair(uint64_t* keys, uint64_t* vals, int64_t n,
 }
 
 // ---------------------------------------------------------------------
+// Max-scoring sub-path trim of a forced global alignment (Kadane over
+// per-step score deltas).  The batch device path aligns the whole
+// extended chain extent in one global band; the reference instead STOPS
+// its left/right extensions at the max-score position (align.c:779-890,
+// ksw mqe/mte logic).  Trimming the forced path at its own maximal
+// window reproduces that stop on the fixed path: junk ends fall off,
+// real alignment is kept.  M runs may split at base granularity; I/D/N
+// runs are atomic with penalty min(q+l*e, q2+l*e2).
+// out8: {q0, t0, q1, t1, best_score, n_cigar_out, 0, 0}; the trimmed
+// cigar (merged ops) is written to cigar_out (cap >= n_cigar + 2).
+// ---------------------------------------------------------------------
+void mm_cigar_kadane_trim(const uint8_t* qseq, const uint8_t* tseq,
+                          const uint32_t* cigar, int64_t n_cigar,
+                          const int8_t* mat, int m, int q, int e,
+                          int q2, int e2, uint32_t* cigar_out,
+                          long long* out8)
+{
+    // pass 1: Kadane over atomic steps to find the best window
+    long long cur = 0, best = -1, cs_q = 0, cs_t = 0;
+    long long bq0 = 0, bt0 = 0, bq1 = 0, bt1 = 0;
+    long long iq = 0, it = 0;
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        uint32_t op = cigar[k] & 0xf, len = cigar[k] >> 4;
+        if (op == 0) {                          // M: per-base
+            for (uint32_t l = 0; l < len; ++l) {
+                int d = mat[tseq[it] * m + qseq[iq]];
+                if (cur <= 0 && d > 0) { cur = 0; cs_q = iq; cs_t = it; }
+                cur += d;
+                ++iq; ++it;
+                if (cur > best) {
+                    best = cur; bq0 = cs_q; bt0 = cs_t; bq1 = iq; bt1 = it;
+                }
+                if (cur < 0) { cur = 0; cs_q = iq; cs_t = it; }
+            }
+        } else {
+            long long p1 = (long long)q + (long long)e * len;
+            long long p2 = (long long)q2 + (long long)e2 * len;
+            cur -= p1 < p2 ? p1 : p2;
+            if (op == 1) iq += len;
+            else it += len;                     // D or N consume target
+            if (cur < 0) { cur = 0; cs_q = iq; cs_t = it; }
+        }
+    }
+    out8[4] = best;
+    if (best <= 0) { out8[0] = out8[1] = out8[2] = out8[3] = 0;
+                     out8[5] = 0; return; }
+    out8[0] = bq0; out8[1] = bt0; out8[2] = bq1; out8[3] = bt1;
+    // pass 2: emit the cigar restricted to [bq0,bq1) x [bt0,bt1)
+    int64_t no = 0;
+    iq = 0; it = 0;
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        uint32_t op = cigar[k] & 0xf, len = cigar[k] >> 4;
+        long long q_lo = iq, t_lo = it;
+        long long q_hi = iq + (op != 2 && op != 3 ? len : 0);
+        long long t_hi = it + (op != 1 ? len : 0);
+        iq = q_hi; it = t_hi;
+        // inside the window?
+        long long keep = 0;
+        if (op == 0) {
+            long long lo = q_lo < bq0 ? bq0 : q_lo;
+            long long hi = q_hi > bq1 ? bq1 : q_hi;
+            keep = hi - lo;
+        } else if (op == 1) {
+            if (q_lo >= bq0 && q_hi <= bq1 && t_lo >= bt0 && t_lo < bt1)
+                keep = len;
+        } else {
+            if (t_lo >= bt0 && t_hi <= bt1 && q_lo >= bq0 && q_lo < bq1)
+                keep = len;
+        }
+        if (keep <= 0) continue;
+        if (no > 0 && (cigar_out[no - 1] & 0xf) == op)
+            cigar_out[no - 1] += (uint32_t)keep << 4;
+        else
+            cigar_out[no++] = (uint32_t)keep << 4 | op;
+    }
+    out8[5] = no;
+}
+
+// ---------------------------------------------------------------------
 // 2-choice bucketed hash table for the DEVICE seed lookup: each key goes
 // into the emptier of two candidate buckets of S slots, so a device
 // probe is exactly TWO wide row gathers (vs ~6-8 element gathers for

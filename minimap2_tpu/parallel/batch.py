@@ -909,6 +909,10 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
         di_l = jax.tree_util.tree_map(lambda x: x[0], di)
         rev, rid, rpos, qpos, av, _rep = _lookup_anchors(
             di_l, mh_hi, mh_lo, mz, mpos, mvalid, lens, p)
+        # per-(data, idx)-shard anchor count: the load-balance observable
+        # for key-range index sharding (a skewed key distribution shows up
+        # here before it shows up as a straggler)
+        n_anc_local = av.sum(dtype=jnp.int32).reshape(1, 1)
         # merge anchors across index shards (collective merge_hits)
         n_idx = mesh.shape["idx"]
         if n_idx > 1:
@@ -931,7 +935,7 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
         n_mapped = lax.psum((b_sc > 0).sum(), "data")
         out = {"chain_score": b_sc, "ext_score": ext, "rid": rid_b,
                "rev": rv, "qs": qs, "qe": qe, "rs": rs, "re": re_}
-        return out, n_mapped
+        return out, n_mapped, n_anc_local
 
     di_spec = jax.tree_util.tree_map(lambda _: P("idx"),
                                      _di_proto(key_shift, n_probe,
@@ -942,7 +946,7 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
                        lambda _: P("data"), {"chain_score": 0, "ext_score": 0,
                                              "rid": 0, "rev": 0, "qs": 0,
                                              "qe": 0, "rs": 0, "re": 0}),
-                       P()),
+                       P(), P("data", "idx")),
                    **_sm_kw)
     return jax.jit(fn)
 

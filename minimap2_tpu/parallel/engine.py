@@ -391,12 +391,51 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
         cigs = ab.align_jobs(jobs) if jobs else []
         by_read = {}        # id(rec) -> (rec, [Reg, ...])
         fb_ids = set()
+        from .. import native
+        can_audit = native.available()
         for (rec, b, k, is_sec, qseg, meta), cig in zip(jmeta, cigs):
             if not cig:
                 if k == 0 and id(rec) not in fb_ids:
                     fallback.append(rec)
                     fb_ids.add(id(rec))
                 continue
+            if can_audit:
+                tseg = ab.S[ab.seq_off[meta["rid"]] + meta["rs"]:
+                            ab.seq_off[meta["rid"]] + meta["re"]]
+                # 1) trim the forced global path at its max-scoring
+                #    sub-path (the reference's extensions STOP at the max
+                #    score, align.c:779-890; the global band instead
+                #    force-aligns to the extent ends -- junk ends and
+                #    over-extension fall off here)
+                q0, t0, q1, t1, bsc, tcig = native.cigar_kadane_trim(
+                    qseg, tseg, cig, mat, 5, opt.q, opt.e, opt.q2, opt.e2)
+                if not tcig:
+                    if k == 0 and id(rec) not in fb_ids:
+                        fallback.append(rec)
+                        fb_ids.add(id(rec))
+                    continue
+                if q1 > q0 and (q0 or t0 or q1 < len(qseg)
+                                or t1 < len(tseg)):
+                    meta = dict(meta)
+                    meta["qe"] = meta["qs"] + q1
+                    meta["qs"] += q0
+                    meta["re"] = meta["rs"] + t1
+                    meta["rs"] += t0
+                    qseg = qseg[q0:q1]
+                    tseg = tseg[t0:t1]
+                    cig = tcig
+                if k == 0 and id(rec) not in fb_ids and opt.zdrop > 0:
+                    # 2) post-hoc z-drop audit (mm_test_zdrop
+                    #    align.c:61-103, applied at align.c:843-868):
+                    #    an internal drop means the reference would split
+                    #    the chain / try inversion rescue -> exact host
+                    #    path for this read
+                    mz, _pos = native.zdrop_scan(qseg, tseg, cig, mat, 5,
+                                                 opt.q, opt.e)
+                    if mz > opt.zdrop:
+                        fallback.append(rec)
+                        fb_ids.add(id(rec))
+                        continue
             r = build_reg(mi, opt, mat, len(rec.seq), qseg, meta, cig,
                           meta.get("rep", 0), reg_id=k,
                           parent=k - 1 if is_sec else k)

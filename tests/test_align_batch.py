@@ -108,3 +108,49 @@ def test_batch_align_secondary():
     assert all(any(x.startswith("cg:Z:") for x in t) for t in pri + sec)
     assert sec[0][11] == "0"                 # secondary mapq
     assert int(pri[0][11]) < 60              # ambiguous -> capped mapq
+
+
+def test_batch_align_junk_end_trim(small_ref):
+    # a read whose tail is 80bp of junk: the global band force-aligns it,
+    # but the Kadane max-subpath trim (the reference's extension-stop
+    # semantics, align.c:779-890) must clip the junk so the alignment
+    # matches the host path's coordinates and CIGAR exactly
+    ref, mi, mo = small_ref
+    rng = np.random.default_rng(9)
+    junk = rng.choice(np.frombuffer(b"ACGT", np.uint8), 80).tobytes()
+    read = ref[1000:1150] + junk
+    v = _run(mi, mo, [read.decode()])
+    # host-path oracle
+    from minimap2_tpu.io.fastx import SeqRecord
+    from minimap2_tpu.map.driver import map_fragment, write_fragment
+    rec = SeqRecord(name="rd0", seq=read, qual=None, comment=None)
+    results = map_fragment(mi, mo, [rec])
+    buf = io.StringIO()
+    write_fragment(buf, mi, mo, [rec], [r.regs for r in results],
+                   [r.rep_len for r in results])
+    bt = v.strip().split("\n")[0].split("\t")
+    ht = buf.getvalue().strip().split("\n")[0].split("\t")
+    # coordinates, strand, extents and NM/cigar must agree (cm/s1 are
+    # device-chain approximations and may differ)
+    assert bt[1:9] == ht[1:9], (bt, ht)
+    assert [f for f in bt if f.startswith(("NM:", "cg:"))] == \
+        [f for f in ht if f.startswith(("NM:", "cg:"))]
+
+
+def test_batch_align_junk_middle_fallback(small_ref):
+    # junk in the MIDDLE of a read: the trimmed path still carries the
+    # internal score drop, so the mm_test_zdrop audit (align.c:61-103)
+    # must route the read to the exact host path (chain split semantics)
+    ref, mi, mo = small_ref
+    rng = np.random.default_rng(11)
+    junk = rng.choice(np.frombuffer(b"ACGT", np.uint8), 600).tobytes()
+    read = ref[800:1100] + junk + ref[1700:2000]
+    v = _run(mi, mo, [read.decode()], L=1536)
+    from minimap2_tpu.io.fastx import SeqRecord
+    from minimap2_tpu.map.driver import map_fragment, write_fragment
+    rec = SeqRecord(name="rd0", seq=read, qual=None, comment=None)
+    results = map_fragment(mi, mo, [rec])
+    buf = io.StringIO()
+    write_fragment(buf, mi, mo, [rec], [r.regs for r in results],
+                   [r.rep_len for r in results])
+    assert v == buf.getvalue()

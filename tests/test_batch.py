@@ -127,7 +127,10 @@ def test_sharded_step_matches_single(tiny_world):
                              h2_bits=di.h2_bits, h2_slots=di.h2_slots,
                              pos_fmt=di.pos_fmt)
     with mesh:
-        out, n_mapped = step(di, jnp.asarray(codes), jnp.asarray(lens))
+        out, n_mapped, n_anc = step(di, jnp.asarray(codes),
+                                    jnp.asarray(lens))
+    assert np.asarray(n_anc).shape == (4, 2)
+    assert int(np.asarray(n_anc).sum()) > 0
     assert int(n_mapped) == len(truth)
     np.testing.assert_array_equal(np.asarray(out["rs"]), np.asarray(ref["rs"]))
     np.testing.assert_array_equal(np.asarray(out["rev"]),
