@@ -27,10 +27,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .extend_pallas2 import wstart
+from .exts_pallas import wstart_q
 
 
-def _bt_kernel(lens_ref, p_ref, ops_ref, fin_ref, st_s, *, G, W, RB, RC, w):
-    """Grid (NG, RCr); rcr walks blocks from the LAST diagonal down."""
+def _bt_kernel(lens_ref, p_ref, ops_ref, fin_ref, st_s, *, G, W, RB, RC, w,
+               splice=False, QP=0):
+    """Grid (NG, RCr); rcr walks blocks from the LAST diagonal down.
+
+    splice mode reads exts2_batch direction rows: the window is
+    query-edge based (wstart_q), the band is unbounded, and state 3
+    (intron) emits op 4 so the decode can label it N."""
     rcr = pl.program_id(1)
     rc = RC - 1 - rcr                  # real block index (descending)
     laneW = lax.broadcasted_iota(jnp.int32, (G, W), 1)
@@ -61,9 +67,14 @@ def _bt_kernel(lens_ref, p_ref, ops_ref, fin_ref, st_s, *, G, W, RB, RC, w):
         rv = iv + jv
         act = (iv >= 0) & (jv >= 0) & (rv == r)          # (G, 1)
         # band bounds of diagonal r (reference st0/en0) and row origin ws
-        st0r = jnp.maximum(jnp.maximum(0, r - qv + 1), (r - w + 1) >> 1)
-        en0r = jnp.minimum(jnp.minimum(tv - 1, r), (r + w) >> 1)
-        wsr = wstart(jnp.full((G, 1), r, jnp.int32), w)
+        if splice:
+            st0r = jnp.maximum(0, r - qv + 1)
+            en0r = jnp.minimum(tv - 1, r)
+            wsr = wstart_q(jnp.full((G, 1), r, jnp.int32), QP)
+        else:
+            st0r = jnp.maximum(jnp.maximum(0, r - qv + 1), (r - w + 1) >> 1)
+            en0r = jnp.minimum(jnp.minimum(tv - 1, r), (r + w) >> 1)
+            wsr = wstart(jnp.full((G, 1), r, jnp.int32), w)
         force = jnp.where(iv < st0r, 2, -1)
         force = jnp.where(iv > en0r, 1, force)
         row = jnp.zeros((G, W), jnp.int32) + p_ref[0, 0, rl, :, :]
@@ -76,10 +87,13 @@ def _bt_kernel(lens_ref, p_ref, ops_ref, fin_ref, st_s, *, G, W, RB, RC, w):
                        jnp.where((tmpv >> (sv + 2)) & 1, sv, 0))
         s1 = jnp.where(s1 == 0, tmpv & 7, s1)
         s1 = jnp.where(force >= 0, force, s1)
-        # moves: state 0 -> M (i--, j--); 1 or 3 -> D (i--); 2 -> I (j--)
+        # moves: state 0 -> M (i--, j--); 1 or 3 -> D/N (i--); 2 -> I (j--)
         is_m = s1 == 0
         is_d = (s1 == 1) | (s1 == 3)
-        op = jnp.where(is_m, 1, jnp.where(is_d, 3, 2))   # 1=M 2=I 3=D
+        # op codes: 1=M 2=I 3=D, and in splice mode state 3 -> 4 (N)
+        op = jnp.where(is_m, 1, jnp.where(is_d, 3, 2))
+        if splice:
+            op = jnp.where(s1 == 3, 4, op)
         acc = acc + jnp.where((laneRB == rl) & act, op, 0)
         iv2 = jnp.where(act & (is_m | is_d), iv - 1, iv)
         jv2 = jnp.where(act & (is_m | ~is_d), jv - 1, jv)
@@ -99,8 +113,9 @@ def _bt_kernel(lens_ref, p_ref, ops_ref, fin_ref, st_s, *, G, W, RB, RC, w):
 
 
 @functools.partial(jax.jit, static_argnames=("G", "W", "RB", "R", "w",
-                                             "interpret"))
-def traceback_batch(p, lens, *, G, W, RB, R, w, interpret=False):
+                                             "splice", "QP", "interpret"))
+def traceback_batch(p, lens, *, G, W, RB, R, w, splice=False, QP=0,
+                    interpret=False):
     """p: (NG, RC, RB, G, W) u8 direction rows from extd2_batch2
     (with_cigar=True, global mode); lens: (N, 2) i32 [qlen, tlen].
 
@@ -115,7 +130,8 @@ def traceback_batch(p, lens, *, G, W, RB, R, w, interpret=False):
         if pad else lens
     lens_v = lens_v.at[:, :, 0].set(lp[:, 0].reshape(NG, G))
     lens_v = lens_v.at[:, :, 1].set(lp[:, 1].reshape(NG, G))
-    kernel = functools.partial(_bt_kernel, G=G, W=W, RB=RB, RC=RC, w=w)
+    kernel = functools.partial(_bt_kernel, G=G, W=W, RB=RB, RC=RC, w=w,
+                               splice=splice, QP=QP)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(NG, RC),
@@ -149,10 +165,11 @@ def traceback_batch(p, lens, *, G, W, RB, R, w, interpret=False):
     return ops, fin
 
 
-CIG_FROM_OP = np.array([255, 0, 1, 2], np.uint8)   # 1=M 2=I 3=D -> cigar op
+CIG_FROM_OP = np.array([255, 0, 1, 2, 3], np.uint8)  # 1=M 2=I 3=D 4=N
 
 
-def decode_ops(ops_row: np.ndarray, fin_i: int, fin_j: int) -> list[int]:
+def decode_ops(ops_row: np.ndarray, fin_i: int, fin_j: int,
+               splice: bool = False, long_thres: int = 0) -> list[int]:
     """ops (R,) u8 + leftover (i, j) -> forward cigar (len<<4|op) list,
     replicating ksw_backtrack's push+reverse (ksw2.h:155-161)."""
     nz = np.nonzero(ops_row)[0]
@@ -160,7 +177,9 @@ def decode_ops(ops_row: np.ndarray, fin_i: int, fin_j: int) -> list[int]:
     cig: list[int] = []
     # tails first (they are pushed last, so they lead after the reverse)
     if fin_i >= 0:
-        cig.append((fin_i + 1) << 4 | 2)   # leading deletion
+        # leading deletion; N when intron-sized (ksw2.h:156)
+        lead_op = 3 if (splice and fin_i >= long_thres) else 2
+        cig.append((fin_i + 1) << 4 | lead_op)
     if fin_j >= 0:
         cig.append((fin_j + 1) << 4 | 1)   # leading insertion
     if len(mv):

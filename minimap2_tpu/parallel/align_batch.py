@@ -112,6 +112,97 @@ class AlignBatcher:
         return out
 
 
+class SpliceAlignBatcher:
+    """Splice-aware device alignment for --batch -x splice: per job the
+    exts2 Pallas kernel runs the TWO-ROUND transcript-strand trial
+    (mm_align_skeleton align.c:1068-1096: once with SPLICE_FOR
+    donor/acceptor arrays, once with SPLICE_REV) and the higher-scoring
+    round's device CIGAR (with N introns) wins."""
+
+    def __init__(self, mi, opt, mat=None, *, QP=2048, TP=8192, G=8,
+                 RB=64, sub=32):
+        from ..config import MM_F_SPLICE_OLD
+        self.mat = mat
+        self.mi = mi
+        self.opt = opt
+        self.QP, self.TP = QP, TP
+        self.G, self.RB, self.sub = G, RB, sub
+        self.W = (QP + 32 + 127) // 128 * 128
+        self.R = (QP + TP + RB - 1) // RB * RB
+        self.S = np.asarray(mi.S, np.uint8)
+        self.seq_off = np.array([s.offset for s in mi.seq] or [0], np.int64)
+        self.interpret = jax.default_backend() != "tpu"
+        self.cmplx = not (opt.flag & MM_F_SPLICE_OLD)
+        lt = (opt.q2 - opt.q) // opt.e - 1
+        if opt.q2 > opt.q + opt.e + lt * opt.e:
+            lt += 1
+        self.long_thres = lt
+
+    def fits(self, qlen_seg: int, tlen_seg: int) -> bool:
+        return 0 < qlen_seg <= self.QP and 0 < tlen_seg <= self.TP
+
+    def _dispatch(self, chunk, flag_for: bool):
+        from ..ops.exts_pallas import exts2_batch, splice_site_arrays
+        from ..ops.traceback_pallas import traceback_batch
+        o = self.opt
+        qr = np.zeros((self.sub, self.QP), np.uint8)
+        sf = np.zeros((self.sub, self.TP), np.uint8)
+        lens = np.ones((self.sub, 2), np.int32)
+        for i, (qseg, rid, rs, re_) in enumerate(chunk):
+            qr[i, :len(qseg)] = qseg[::-1]
+            off = int(self.seq_off[rid])
+            tseg = self.S[off + rs:off + re_]
+            sf[i, :len(tseg)] = tseg
+            lens[i] = (len(qseg), len(tseg))
+        dn, ac = splice_site_arrays(sf, lens[:, 1], flag_for, o.noncan,
+                                    self.cmplx, False)
+        # sc_N from the scoring matrix ambi entry (ksw2_exts.py:128)
+        sc_N = -o.e if (self.mat is None or int(self.mat[-1]) == 0) \
+            else int(self.mat[-1])
+        p, ez = exts2_batch(qr, sf, dn, ac, lens, G=self.G, W=self.W,
+                            RB=self.RB, R=self.R, QP=self.QP, TP=self.TP,
+                            q=o.q, e=o.e, q2=o.q2, zdrop=-1,
+                            right_mode=False, approx_max=True,
+                            approx_drop=False, sc_mch=o.a,
+                            sc_mis=-abs(o.b), sc_N=sc_N, with_cigar=True,
+                            interpret=self.interpret)
+        ops, fin = traceback_batch(p, jnp.asarray(lens), G=self.G,
+                                   W=self.W, RB=self.RB, R=self.R, w=0,
+                                   splice=True, QP=self.QP,
+                                   interpret=self.interpret)
+        return ops, fin, ez
+
+    def align_jobs(self, jobs):
+        """Returns [(cigar, trans_strand, score)] per job; the 2-round
+        strand trial picks per job the better of FOR/REV."""
+        from ..ops.extend_pallas2 import EZ_SCORE
+        from ..ops.traceback_pallas import decode_ops
+        out = []
+        for lo in range(0, len(jobs), self.sub):
+            chunk = jobs[lo:lo + self.sub]
+            rounds = []
+            for flag_for in (True, False):
+                ops, fin, ez = self._dispatch(chunk, flag_for)
+                rounds.append((np.asarray(ops), np.asarray(fin),
+                               np.asarray(ez)))
+            for i in range(len(chunk)):
+                sc_f = int(rounds[0][2][i, EZ_SCORE])
+                sc_r = int(rounds[1][2][i, EZ_SCORE])
+                # strand pick incl. the tie pseudo-random (align.c:1078-1080)
+                if sc_f > sc_r:
+                    ridx, ts = 0, 1
+                elif sc_f < sc_r:
+                    ridx, ts = 1, 2
+                else:
+                    ts = 3
+                    ridx = (len(chunk[i][0]) + sc_f) & 1
+                ops, fin, ez = rounds[ridx]
+                cig = decode_ops(ops[i], int(fin[i, 0]), int(fin[i, 1]),
+                                 splice=True, long_thres=self.long_thres)
+                out.append((cig, ts, int(ez[i, EZ_SCORE])))
+        return out
+
+
 def build_reg(mi, opt, mat, qlen, qseg, rec, cigar, rep_len, reg_id=0,
               parent=None):
     """Chain record + device cigar -> a Reg the SAM/PAF writers accept.
@@ -139,14 +230,26 @@ def build_reg(mi, opt, mat, qlen, qseg, rec, cigar, rep_len, reg_id=0,
     r.sam_pri = reg_id == 0
     p = Extra()
     p.cigar = list(cigar)
+    p.trans_strand = int(rec.get("ts", 0))
+    r.is_spliced = any((c & 0xF) == 3 for c in p.cigar)
     tseg = np.asarray(mi.S, np.uint8)[
         mi.seq[r.rid].offset + int(rec["rs"]):
         mi.seq[r.rid].offset + int(rec["re"])]
     if native.available():
-        blen, mlen, n_ambi, dp_max, _ = native.update_extra_scan(
-            qseg, tseg, p.cigar, mat, 5, opt.q, opt.e, False)
+        from ..config import MM_F_SR
+        blen, mlen, n_ambi, dp_max, spliced = native.update_extra_scan(
+            qseg, tseg, p.cigar, mat, 5, opt.q, opt.e,
+            not (opt.flag & MM_F_SR))     # log_gap (align.c:906)
         r.blen, r.mlen, p.n_ambi = blen, mlen, n_ambi
+        r.is_spliced = bool(spliced) or r.is_spliced
         p.dp_max = p.dp_max0 = p.dp_score = dp_max
+        if "dsc" in rec:          # device DP score (splice path): the
+            p.dp_score = int(rec["dsc"])   # AS:i the ksw run would report
+        if r.is_spliced and p.trans_strand:   # align.c:1090-1094
+            if p.trans_strand in (1, 2):
+                p.dp_max += (opt.a + opt.b) + ((opt.a + opt.b) >> 1)
+            elif p.trans_strand == 3:
+                p.dp_max -= opt.a + opt.b
     else:
         r.blen = max(r.qe - r.qs, r.re - r.rs)
         r.mlen = min(r.qe - r.qs, r.re - r.rs)

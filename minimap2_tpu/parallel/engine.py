@@ -286,7 +286,8 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
     from ..io.fastx import FastxReader
     from ..map.align_engine import gen_ts_mat
     from ..map.driver import map_fragment, write_fragment
-    from .align_batch import AlignBatcher, build_reg, revcomp_codes
+    from .align_batch import (AlignBatcher, SpliceAlignBatcher, build_reg,
+                              revcomp_codes)
 
     import os
     cache_dir = os.environ.get("MM2TPU_JIT_CACHE",
@@ -311,9 +312,17 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
     K = 3 if sec_mode else 1
     step = make_paf_step(di, p, K=K, min_sc=opt.min_chain_score,
                          interpret=interp, with_sec=sec_mode)
-    ab = AlignBatcher(mi, opt, **{"QP": L, "TP": L + 512,
-                                  **(align_kw or {})})
     mat = gen_ts_mat(5, opt.a, opt.b, opt.transition, opt.sc_ambi)
+    from ..config import MM_F_SPLICE
+    splice_mode = bool(opt.flag & MM_F_SPLICE)
+    if splice_mode:
+        skw = {k: v for k, v in (align_kw or {}).items()
+               if k in ("QP", "TP", "G", "RB", "sub")}
+        ab = SpliceAlignBatcher(mi, opt, mat, **{"QP": min(L, 2048),
+                                                 "TP": 8192, **skw})
+    else:
+        ab = AlignBatcher(mi, opt, **{"QP": L, "TP": L + 512,
+                                      **(align_kw or {})})
     sam = bool(opt.flag & MM_F_OUT_SAM)
     t0 = time.time()
     n_reads = 0
@@ -393,7 +402,14 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
         fb_ids = set()
         from .. import native
         can_audit = native.available()
-        for (rec, b, k, is_sec, qseg, meta), cig in zip(jmeta, cigs):
+        for (rec, b, k, is_sec, qseg, meta), cres in zip(jmeta, cigs):
+            if splice_mode:
+                cig, ts_, dsc_ = cres
+                if meta["rev"] and ts_:
+                    ts_ ^= 3        # flip to the read strand (align.c:907)
+                meta = dict(meta, ts=ts_, dsc=dsc_)
+            else:
+                cig = cres
             if not cig:
                 if k == 0 and id(rec) not in fb_ids:
                     fallback.append(rec)
@@ -407,8 +423,10 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                 #    score, align.c:779-890; the global band instead
                 #    force-aligns to the extent ends -- junk ends and
                 #    over-extension fall off here)
+                # splice: the intron penalty is the flat q2 (e2=0)
                 q0, t0, q1, t1, bsc, tcig = native.cigar_kadane_trim(
-                    qseg, tseg, cig, mat, 5, opt.q, opt.e, opt.q2, opt.e2)
+                    qseg, tseg, cig, mat, 5, opt.q, opt.e, opt.q2,
+                    0 if splice_mode else opt.e2)
                 if not tcig:
                     if k == 0 and id(rec) not in fb_ids:
                         fallback.append(rec)
@@ -424,7 +442,10 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                     qseg = qseg[q0:q1]
                     tseg = tseg[t0:t1]
                     cig = tcig
-                if k == 0 and id(rec) not in fb_ids and opt.zdrop > 0:
+                if (k == 0 and id(rec) not in fb_ids and opt.zdrop > 0
+                        and not splice_mode):
+                    # (splice cigars carry N introns the flat-gap zdrop
+                    # scan would misread as giant deletions)
                     # 2) post-hoc z-drop audit (mm_test_zdrop
                     #    align.c:61-103, applied at align.c:843-868):
                     #    an internal drop means the reference would split

@@ -154,3 +154,83 @@ def test_batch_align_junk_middle_fallback(small_ref):
     write_fragment(buf, mi, mo, [rec], [r.regs for r in results],
                    [r.rep_len for r in results])
     assert v == buf.getvalue()
+
+
+def _splice_opts(ref_names, ref_seqs):
+    from minimap2_tpu.config import IndexOptions, set_opt, mapopt_update
+    from minimap2_tpu.config import MapOptions as MO
+    io_opt = IndexOptions()
+    mo = MO()
+    set_opt("splice", io_opt, mo)
+    mo.flag |= MM_F_CIGAR | MM_F_OUT_CG
+    mi = MiniIndex.build(ref_names, ref_seqs, w=io_opt.w, k=io_opt.k)
+    mapopt_update(mo, mi)
+    return mi, mo
+
+
+def test_batch_splice_x3s():
+    # --batch -x splice on the reference's splice test case: coordinates,
+    # intron placement (N op), AS and ts must match the host parity path
+    from minimap2_tpu.io.fastx import read_fasta
+    names, seqs = read_fasta("tests/data/x3s-ref.fa")
+    mi, mo = _splice_opts(names, seqs)
+    fa = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)
+    qn, qs = read_fasta("tests/data/x3s-qry.fa")
+    for n, s in zip(qn, qs):
+        fa.write(f">{n}\n{s.decode() if isinstance(s, bytes) else s}\n")
+    fa.close()
+    out = io.StringIO()
+    run_batched_align_cli(mi, mo, [fa.name], out, batch_reads=4, L=512,
+                          align_kw={"QP": 512, "TP": 1024, "sub": 4,
+                                    "RB": 32})
+    os.unlink(fa.name)
+    from minimap2_tpu.io.fastx import SeqRecord
+    from minimap2_tpu.map.driver import map_fragment, write_fragment
+    recs = [SeqRecord(name=n, seq=s if isinstance(s, bytes) else s.encode(),
+                      qual=None, comment=None) for n, s in zip(qn, qs)]
+    buf = io.StringIO()
+    for rec in recs:
+        results = map_fragment(mi, mo, [rec])
+        write_fragment(buf, mi, mo, [rec], [r.regs for r in results],
+                       [r.rep_len for r in results])
+    bt = out.getvalue().strip().split("\n")[0].split("\t")
+    ht = buf.getvalue().strip().split("\n")[0].split("\t")
+    assert bt[1:9] == ht[1:9], (bt, ht)
+    for tag in ("cg:", "AS:", "ts:", "NM:"):
+        assert [f for f in bt if f.startswith(tag)] == \
+            [f for f in ht if f.startswith(tag)], (tag, bt, ht)
+
+
+def test_batch_splice_sim_cdna():
+    # simulated 3-exon cDNA reads on both strands: every batch alignment
+    # must place both introns exactly (junceval-style exact-intron check)
+    rng = np.random.default_rng(21)
+    ref = rng.integers(0, 4, 6000, dtype=np.uint8)
+    # force canonical GT..AG introns at known positions
+    ex = [(1000, 1150), (1450, 1600), (2100, 2260)]
+    introns = [(1150, 1450), (1600, 2100)]
+    for st, en in introns:
+        ref[st], ref[st + 1] = 2, 3          # GT
+        ref[en - 2], ref[en - 1] = 0, 2      # AG
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    mi, mo = _splice_opts(["chrS"], [ACGT[ref].tobytes()])
+    cdna = np.concatenate([ref[st:en] for st, en in ex])
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    fwd = ACGT[cdna].tobytes()
+    rev = fwd.translate(comp)[::-1]
+    fa = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)
+    fa.write(f">cdna_f\n{fwd.decode()}\n>cdna_r\n{rev.decode()}\n")
+    fa.close()
+    out = io.StringIO()
+    run_batched_align_cli(mi, mo, [fa.name], out, batch_reads=4, L=512,
+                          align_kw={"QP": 512, "TP": 2048, "sub": 4,
+                                    "RB": 32})
+    os.unlink(fa.name)
+    lines = [l.split("\t") for l in out.getvalue().strip().split("\n")]
+    assert len(lines) == 2
+    for t in lines:
+        assert t[5] == "chrS" and int(t[7]) == 1000 and int(t[8]) == 2260
+        cg = [x for x in t if x.startswith("cg:Z:")][0][5:]
+        nops = re.findall(r"(\d+)N", cg)
+        assert sorted(int(n) for n in nops) == [300, 500], cg
+        assert [x for x in t if x.startswith("ts:A:")], t
