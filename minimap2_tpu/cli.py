@@ -446,7 +446,10 @@ def main(argv=None) -> int:
         out.write("\n")
 
     if args.batch:
-        if mo.flag & (C.MM_F_CIGAR | C.MM_F_OUT_SAM):
+        if len(queries) > 1 and (mo.flag & C.MM_F_FRAG_MODE):
+            from .parallel.engine import run_batched_pe_cli
+            run_batched_pe_cli(mi, mo, queries, out)
+        elif mo.flag & (C.MM_F_CIGAR | C.MM_F_OUT_SAM):
             from .parallel.engine import run_batched_align_cli
             run_batched_align_cli(mi, mo, queries, out)
         else:

@@ -123,7 +123,8 @@ def _load():
     lib.mm_cigar_kadane_trim.restype = None
     lib.mm_cigar_kadane_trim.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_void_p, C.c_int,
-        C.c_int, C.c_int, C.c_int, C.c_int, C.c_void_p, C.c_void_p]
+        C.c_int, C.c_int, C.c_int, C.c_int, C.c_int, C.c_void_p,
+        C.c_void_p]
     _lib = lib
     return lib
 
@@ -314,7 +315,8 @@ def ksw_ll(qlen, query, tlen, target, m, mat, gapo, gape):
     return int(sc), int(qe[0]), int(te[0])
 
 
-def cigar_kadane_trim(qseq, tseq, cigar, mat, m, q, e, q2, e2):
+def cigar_kadane_trim(qseq, tseq, cigar, mat, m, q, e, q2, e2,
+                      end_bonus=0):
     """Max-scoring sub-path trim of a forced global cigar.
 
     Returns (q0, t0, q1, t1, best_score, trimmed_cigar list)."""
@@ -326,8 +328,8 @@ def cigar_kadane_trim(qseq, tseq, cigar, mat, m, q, e, q2, e2):
     out = np.zeros(8, np.int64)
     cout = np.empty(len(cig) + 2, np.uint32)
     lib.mm_cigar_kadane_trim(_ptr(qseq), _ptr(tseq), _ptr(cig), len(cig),
-                             _ptr(mat), m, q, e, q2, e2, _ptr(cout),
-                             _ptr(out))
+                             _ptr(mat), m, q, e, q2, e2, end_bonus,
+                             _ptr(cout), _ptr(out))
     n = int(out[5])
     return (int(out[0]), int(out[1]), int(out[2]), int(out[3]),
             int(out[4]), cout[:n].tolist())

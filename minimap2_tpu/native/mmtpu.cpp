@@ -1854,33 +1854,56 @@ void radix_sort_u64_pair(uint64_t* keys, uint64_t* vals, int64_t n,
 void mm_cigar_kadane_trim(const uint8_t* qseq, const uint8_t* tseq,
                           const uint32_t* cigar, int64_t n_cigar,
                           const int8_t* mat, int m, int q, int e,
-                          int q2, int e2, uint32_t* cigar_out,
-                          long long* out8)
+                          int q2, int e2, int end_bonus,
+                          uint32_t* cigar_out, long long* out8)
 {
-    // pass 1: Kadane over atomic steps to find the best window
-    long long cur = 0, best = -1, cs_q = 0, cs_t = 0;
-    long long bq0 = 0, bt0 = 0, bq1 = 0, bt1 = 0;
+    // pass 1: prefix score S(step) over atomic path steps, tracking both
+    // the Kadane best window and the full-path endpoints (for the
+    // end_bonus comparison: the reference's extensions prefer reaching
+    // the read end when score_at_end + end_bonus beats the interior max,
+    // align.c:779-890 / ksw mqe+end_bonus logic)
+    long long cur = 0, best = -1, cs_q = 0, cs_t = 0, cs_S = 0, S = 0;
+    long long bq0 = 0, bt0 = 0, bq1 = 0, bt1 = 0, bS0 = 0;
     long long iq = 0, it = 0;
     for (int64_t k = 0; k < n_cigar; ++k) {
         uint32_t op = cigar[k] & 0xf, len = cigar[k] >> 4;
         if (op == 0) {                          // M: per-base
             for (uint32_t l = 0; l < len; ++l) {
                 int d = mat[tseq[it] * m + qseq[iq]];
-                if (cur <= 0 && d > 0) { cur = 0; cs_q = iq; cs_t = it; }
-                cur += d;
+                if (cur <= 0 && d > 0) { cur = 0; cs_q = iq; cs_t = it;
+                                         cs_S = S; }
+                cur += d; S += d;
                 ++iq; ++it;
                 if (cur > best) {
                     best = cur; bq0 = cs_q; bt0 = cs_t; bq1 = iq; bt1 = it;
+                    bS0 = cs_S;
                 }
-                if (cur < 0) { cur = 0; cs_q = iq; cs_t = it; }
+                if (cur < 0) { cur = 0; cs_q = iq; cs_t = it; cs_S = S; }
             }
         } else {
             long long p1 = (long long)q + (long long)e * len;
             long long p2 = (long long)q2 + (long long)e2 * len;
-            cur -= p1 < p2 ? p1 : p2;
+            long long pen = p1 < p2 ? p1 : p2;
+            cur -= pen; S -= pen;
             if (op == 1) iq += len;
             else it += len;                     // D or N consume target
-            if (cur < 0) { cur = 0; cs_q = iq; cs_t = it; }
+            if (cur < 0) { cur = 0; cs_q = iq; cs_t = it; cs_S = S; }
+        }
+    }
+    if (best > 0 && end_bonus > 0) {
+        // extend the window to the path END when the end-bonused score
+        // there beats the interior max (right extension reach-end)
+        if (bq1 < iq && S - bS0 + end_bonus >= best) {
+            best = S - bS0; bq1 = iq; bt1 = it;
+        }
+        // and to the path START (left extension reach-end); recompute
+        // the window score from prefix 0
+        if (bq0 > 0) {
+            // S at bq1 = bS0 + best
+            long long s_from0 = bS0 + best;   // window [0, bq1) score
+            if (s_from0 + end_bonus >= best) {
+                best = s_from0; bq0 = 0; bt0 = 0;
+            }
         }
     }
     out8[4] = best;

@@ -223,7 +223,8 @@ def build_reg(mi, opt, mat, qlen, qseg, rec, cigar, rep_len, reg_id=0,
     r.rs, r.re = int(rec["rs"]), int(rec["re"])
     if r.rev:       # back to read coordinates (hit.c:23-38)
         r.qs, r.qe = qlen - int(rec["qe"]), qlen - int(rec["qs"])
-    r.score = int(rec["sc"])
+    r.score = r.score0 = int(rec["sc"])
+    r.subsc = max(int(rec["sub"]), 0)
     r.mapq = (0 if sec else
               _mapq(int(rec["sc"]), int(rec["sub"]), int(rec["cnt"]),
                     opt.min_chain_score))

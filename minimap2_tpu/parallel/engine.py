@@ -37,7 +37,8 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
     di_dev = jax.device_put(di)
 
     @jax.jit
-    def step_di(di, codes, lens):
+    def step_di(di, packed, nbits, lens):
+        codes = unpack_codes(packed, nbits, p.L)
         if p.hpc:        # homopolymer-compress, sketch the run stream
             from .batch import hpc_compact
             codes_s, hpos, lens_s = hpc_compact(codes, lens,
@@ -76,8 +77,8 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
         recs.append(jnp.broadcast_to(rep_len[None, :], (Kout, rep_len.shape[0])))
         return jnp.stack(recs)     # one (10, K, B) array -> one host fetch
 
-    def step(codes, lens):
-        return step_di(di_dev, codes, lens)
+    def step(packed, nbits, lens):
+        return step_di(di_dev, packed, nbits, lens)
 
     return step
 
@@ -92,6 +93,34 @@ def encode_batch(seqs: list[bytes], L: int):
         codes[i, :n] = SEQ_NT4[np.frombuffer(s[:n], np.uint8)]
         lens[i] = n
     return codes, lens
+
+
+def pack_codes(codes: np.ndarray):
+    """(B, L) nt4 codes -> 2-bit packed (B, L//4) + N bitmap (B, L//8).
+
+    The read batch crosses the host->device link every step; packing
+    cuts that transfer ~4x (ambiguous bases ride in the bitmap)."""
+    B, L = codes.shape
+    assert L % 8 == 0
+    isn = codes >= 4
+    c2 = np.where(isn, 0, codes).astype(np.uint8)
+    c4 = c2.reshape(B, L // 4, 4)
+    packed = (c4[:, :, 0] | (c4[:, :, 1] << 2) | (c4[:, :, 2] << 4)
+              | (c4[:, :, 3] << 6)).astype(np.uint8)
+    nb = np.packbits(isn.reshape(B, L // 8, 8), axis=-1,
+                     bitorder="little")[:, :, 0]
+    return packed, nb
+
+
+def unpack_codes(packed, nbits, L: int):
+    """Device-side inverse of pack_codes -> (B, L) u8 nt4."""
+    B = packed.shape[0]
+    sh = jnp.arange(4, dtype=jnp.uint8) * 2
+    c = (packed[:, :, None] >> sh[None, None, :]) & jnp.uint8(3)
+    c = c.reshape(B, L)
+    nb = (nbits[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    nmask = nb.reshape(B, L) != 0
+    return jnp.where(nmask, jnp.uint8(4), c)
 
 
 def _mapq(score: int, sub: int, cnt: int, min_chain_score: int,
@@ -218,7 +247,8 @@ def dispatch_batch(step, seqs, p: BatchParams, pad_to: int | None = None):
     if tgt > B:
         seqs = list(seqs) + [b""] * (tgt - B)
     codes, lens = encode_batch(seqs, p.L)
-    return step(jnp.asarray(codes), jnp.asarray(lens))
+    packed, nbits = pack_codes(codes)
+    return step(jnp.asarray(packed), jnp.asarray(nbits), jnp.asarray(lens))
 
 
 def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
@@ -265,6 +295,175 @@ def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
         if wrote:
             n_mapped += 1
     return n_mapped
+
+
+def batch_build_regs(recs, map_fut, ab, mi, opt, mat, sec_mode, splice_mode,
+                     out_jobs=None):
+    """Chain records + device CIGARs -> per-read Reg lists (the shared
+    core of the --batch -a/-c and paired-end paths).
+
+    Returns (by_read: dict id(rec) -> (rec, [Reg...]), fallback list,
+    unmapped list, fb_ids set)."""
+    from .align_batch import build_reg, revcomp_codes
+    arr = np.asarray(map_fut)
+    # (10, K, B): rep_len rides as the last plane
+    sc, sub, qs, qe, rs, re_, rev, rid, cnt, rep = arr
+    jobs, jmeta = [], []
+    fallback, unmapped = [], []
+    for b, rec in enumerate(recs):
+        qlen = len(rec.seq)
+        if sc[0, b] <= 0:
+            unmapped.append(rec)
+            continue
+        codes_f = SEQ_NT4[np.frombuffer(rec.seq, np.uint8)]
+        codes_r = None
+        bad_pri = False
+        for k in range(arr.shape[1]):
+            if bad_pri:
+                break
+            is_sec = sec_mode and k % 2 == 1
+            if sc[k, b] <= 0:
+                if k == 0:
+                    break
+                continue    # empty interleaved slot
+            # mm_select_sub (hit.c:265): a secondary survives against
+            # ITS OWN parent slot's score, with the min_diff escape
+            # (min_diff = mi->k*2 at every call site, map.c:210/221/529)
+            if is_sec:
+                psc = int(sc[k - 1, b])
+                s_ = int(sc[k, b])
+                if not (s_ >= opt.pri_ratio * psc
+                        or s_ + 2 * mi.k >= psc):
+                    continue
+            r0 = (int(mi.seq[int(rid[k, b])].length)
+                  if int(rid[k, b]) < mi.n_seq else 0)
+            qs_, qe_ = int(max(qs[k, b], 0)), int(min(qe[k, b], qlen))
+            rs_, re2 = int(max(rs[k, b], 0)), int(min(re_[k, b], r0))
+            if qe_ <= qs_ or re2 <= rs_:
+                if k == 0:
+                    unmapped.append(rec)
+                    bad_pri = True
+                continue
+            if rev[k, b]:
+                if codes_r is None:
+                    codes_r = revcomp_codes(codes_f)
+                codes = codes_r
+            else:
+                codes = codes_f
+            # extend the anchor-bounded chain extent to the read ends
+            # (align.c:779-890 left/right extension), clamped to the
+            # contig so the global band never force-inserts an
+            # overhang; secondaries keep their chain extent
+            if k == 0:
+                dl = min(qs_, rs_)
+                qs_, rs_ = qs_ - dl, rs_ - dl
+                dr = min(qlen - qe_, r0 - re2)
+                qe_, re2 = qe_ + dr, re2 + dr
+            if not ab.fits(qe_ - qs_, re2 - rs_):
+                if k == 0:
+                    fallback.append(rec)
+                    bad_pri = True
+                continue    # drop oversize secondaries only
+            jobs.append((codes[qs_:qe_], int(rid[k, b]), rs_, re2))
+            jmeta.append((rec, b, k, is_sec, codes[qs_:qe_],
+                          {"sc": int(sc[k, b]), "sub": int(sub[k, b]),
+                           "cnt": int(cnt[k, b]),
+                           "rev": int(rev[k, b]),
+                           "rid": int(rid[k, b]), "qs": qs_,
+                           "qe": qe_, "rs": rs_, "re": re2,
+                           "rep": int(rep[0, b])}))
+    cigs = ab.align_jobs(jobs) if jobs else []
+    by_read = {}        # id(rec) -> (rec, [Reg, ...])
+    fb_ids = set()
+    from .. import native
+    can_audit = native.available()
+    for (rec, b, k, is_sec, qseg, meta), cres in zip(jmeta, cigs):
+        if splice_mode:
+            cig, ts_, dsc_ = cres
+            if meta["rev"] and ts_:
+                ts_ ^= 3        # flip to the read strand (align.c:907)
+            meta = dict(meta, ts=ts_, dsc=dsc_)
+        else:
+            cig = cres
+        if not cig:
+            if k == 0 and id(rec) not in fb_ids:
+                fallback.append(rec)
+                fb_ids.add(id(rec))
+            continue
+        if can_audit:
+            tseg = ab.S[ab.seq_off[meta["rid"]] + meta["rs"]:
+                        ab.seq_off[meta["rid"]] + meta["re"]]
+            # 1) trim the forced global path at its max-scoring
+            #    sub-path (the reference's extensions STOP at the max
+            #    score, align.c:779-890; the global band instead
+            #    force-aligns to the extent ends -- junk ends and
+            #    over-extension fall off here)
+            # splice: the intron penalty is the flat q2 (e2=0)
+            q0, t0, q1, t1, bsc, tcig = native.cigar_kadane_trim(
+                qseg, tseg, cig, mat, 5, opt.q, opt.e, opt.q2,
+                0 if splice_mode else opt.e2,
+                end_bonus=max(opt.end_bonus, 0))
+            if not tcig:
+                if k == 0 and id(rec) not in fb_ids:
+                    fallback.append(rec)
+                    fb_ids.add(id(rec))
+                continue
+            if q1 > q0 and (q0 or t0 or q1 < len(qseg)
+                            or t1 < len(tseg)):
+                meta = dict(meta)
+                meta["qe"] = meta["qs"] + q1
+                meta["qs"] += q0
+                meta["re"] = meta["rs"] + t1
+                meta["rs"] += t0
+                qseg = qseg[q0:q1]
+                tseg = tseg[t0:t1]
+                cig = tcig
+            if (k == 0 and id(rec) not in fb_ids and opt.zdrop > 0
+                    and not splice_mode):
+                # (splice cigars carry N introns the flat-gap zdrop
+                # scan would misread as giant deletions)
+                # 2) post-hoc z-drop audit (mm_test_zdrop
+                #    align.c:61-103, applied at align.c:843-868):
+                #    an internal drop means the reference would split
+                #    the chain / try inversion rescue -> exact host
+                #    path for this read
+                mz, _pos = native.zdrop_scan(qseg, tseg, cig, mat, 5,
+                                             opt.q, opt.e)
+                if mz > opt.zdrop:
+                    fallback.append(rec)
+                    fb_ids.add(id(rec))
+                    continue
+        r = build_reg(mi, opt, mat, len(rec.seq), qseg, meta, cig,
+                      meta.get("rep", 0), reg_id=k,
+                      parent=k - 1 if is_sec else k)
+        r._rep_len = meta.get("rep", 0)
+        by_read.setdefault(id(rec), (rec, []))[1].append(r)
+    # finalize: dp_max2/n_sub from the aligned secondaries
+    # (mm_set_parent hit.c:171-176,226-237) then the full DP-informed
+    # mm_set_mapq2 (hit.c:432-485) via the host port
+    from ..config import MM_F_SR, MM_F_SPLICE
+    from ..map import hit as hitmod
+    is_sr = bool(opt.flag & MM_F_SR)
+    is_splice = bool(opt.flag & MM_F_SPLICE)
+    sub_diff = opt.a * 2 + opt.b
+    for _rec, regs in by_read.values():
+        by_id = {r.id: r for r in regs}
+        for r in regs:
+            if r.parent == r.id or r.parent not in by_id:
+                continue
+            rp = by_id[r.parent]
+            ident = (r.rid == rp.rid and r.rs == rp.rs and r.re == rp.re)
+            cnt_sub = 1 if r.cnt >= rp.cnt else 0
+            if rp.p is not None and r.p is not None and not ident:
+                rp.p.dp_max2 = max(rp.p.dp_max2, r.p.dp_max)
+                if rp.p.dp_max - r.p.dp_max <= sub_diff:
+                    cnt_sub = 1
+            if cnt_sub:
+                rp.n_sub += 1
+        hitmod.set_mapq(regs, opt.min_chain_score, opt.a,
+                        regs[0]._rep_len if regs else 0, is_sr, is_splice)
+    return by_read, fallback, unmapped, fb_ids
+
 
 
 def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
@@ -330,137 +529,8 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
     def emit_batch(recs, map_fut):
         nonlocal n_reads
         n_reads += len(recs)
-        arr = np.asarray(map_fut)
-        # (10, K, B): rep_len rides as the last plane
-        sc, sub, qs, qe, rs, re_, rev, rid, cnt, rep = arr
-        jobs, jmeta = [], []
-        fallback, unmapped = [], []
-        for b, rec in enumerate(recs):
-            qlen = len(rec.seq)
-            if sc[0, b] <= 0:
-                unmapped.append(rec)
-                continue
-            codes_f = SEQ_NT4[np.frombuffer(rec.seq, np.uint8)]
-            codes_r = None
-            bad_pri = False
-            for k in range(arr.shape[1]):
-                if bad_pri:
-                    break
-                is_sec = sec_mode and k % 2 == 1
-                if sc[k, b] <= 0:
-                    if k == 0:
-                        break
-                    continue    # empty interleaved slot
-                # mm_select_sub (hit.c:265): a secondary survives against
-                # ITS OWN parent slot's score, with the min_diff escape
-                # (min_diff = mi->k*2 at every call site, map.c:210/221/529)
-                if is_sec:
-                    psc = int(sc[k - 1, b])
-                    s_ = int(sc[k, b])
-                    if not (s_ >= opt.pri_ratio * psc
-                            or s_ + 2 * mi.k >= psc):
-                        continue
-                r0 = (int(mi.seq[int(rid[k, b])].length)
-                      if int(rid[k, b]) < mi.n_seq else 0)
-                qs_, qe_ = int(max(qs[k, b], 0)), int(min(qe[k, b], qlen))
-                rs_, re2 = int(max(rs[k, b], 0)), int(min(re_[k, b], r0))
-                if qe_ <= qs_ or re2 <= rs_:
-                    if k == 0:
-                        unmapped.append(rec)
-                        bad_pri = True
-                    continue
-                if rev[k, b]:
-                    if codes_r is None:
-                        codes_r = revcomp_codes(codes_f)
-                    codes = codes_r
-                else:
-                    codes = codes_f
-                # extend the anchor-bounded chain extent to the read ends
-                # (align.c:779-890 left/right extension), clamped to the
-                # contig so the global band never force-inserts an
-                # overhang; secondaries keep their chain extent
-                if k == 0:
-                    dl = min(qs_, rs_)
-                    qs_, rs_ = qs_ - dl, rs_ - dl
-                    dr = min(qlen - qe_, r0 - re2)
-                    qe_, re2 = qe_ + dr, re2 + dr
-                if not ab.fits(qe_ - qs_, re2 - rs_):
-                    if k == 0:
-                        fallback.append(rec)
-                        bad_pri = True
-                    continue    # drop oversize secondaries only
-                jobs.append((codes[qs_:qe_], int(rid[k, b]), rs_, re2))
-                jmeta.append((rec, b, k, is_sec, codes[qs_:qe_],
-                              {"sc": int(sc[k, b]), "sub": int(sub[k, b]),
-                               "cnt": int(cnt[k, b]),
-                               "rev": int(rev[k, b]),
-                               "rid": int(rid[k, b]), "qs": qs_,
-                               "qe": qe_, "rs": rs_, "re": re2,
-                               "rep": int(rep[0, b])}))
-        cigs = ab.align_jobs(jobs) if jobs else []
-        by_read = {}        # id(rec) -> (rec, [Reg, ...])
-        fb_ids = set()
-        from .. import native
-        can_audit = native.available()
-        for (rec, b, k, is_sec, qseg, meta), cres in zip(jmeta, cigs):
-            if splice_mode:
-                cig, ts_, dsc_ = cres
-                if meta["rev"] and ts_:
-                    ts_ ^= 3        # flip to the read strand (align.c:907)
-                meta = dict(meta, ts=ts_, dsc=dsc_)
-            else:
-                cig = cres
-            if not cig:
-                if k == 0 and id(rec) not in fb_ids:
-                    fallback.append(rec)
-                    fb_ids.add(id(rec))
-                continue
-            if can_audit:
-                tseg = ab.S[ab.seq_off[meta["rid"]] + meta["rs"]:
-                            ab.seq_off[meta["rid"]] + meta["re"]]
-                # 1) trim the forced global path at its max-scoring
-                #    sub-path (the reference's extensions STOP at the max
-                #    score, align.c:779-890; the global band instead
-                #    force-aligns to the extent ends -- junk ends and
-                #    over-extension fall off here)
-                # splice: the intron penalty is the flat q2 (e2=0)
-                q0, t0, q1, t1, bsc, tcig = native.cigar_kadane_trim(
-                    qseg, tseg, cig, mat, 5, opt.q, opt.e, opt.q2,
-                    0 if splice_mode else opt.e2)
-                if not tcig:
-                    if k == 0 and id(rec) not in fb_ids:
-                        fallback.append(rec)
-                        fb_ids.add(id(rec))
-                    continue
-                if q1 > q0 and (q0 or t0 or q1 < len(qseg)
-                                or t1 < len(tseg)):
-                    meta = dict(meta)
-                    meta["qe"] = meta["qs"] + q1
-                    meta["qs"] += q0
-                    meta["re"] = meta["rs"] + t1
-                    meta["rs"] += t0
-                    qseg = qseg[q0:q1]
-                    tseg = tseg[t0:t1]
-                    cig = tcig
-                if (k == 0 and id(rec) not in fb_ids and opt.zdrop > 0
-                        and not splice_mode):
-                    # (splice cigars carry N introns the flat-gap zdrop
-                    # scan would misread as giant deletions)
-                    # 2) post-hoc z-drop audit (mm_test_zdrop
-                    #    align.c:61-103, applied at align.c:843-868):
-                    #    an internal drop means the reference would split
-                    #    the chain / try inversion rescue -> exact host
-                    #    path for this read
-                    mz, _pos = native.zdrop_scan(qseg, tseg, cig, mat, 5,
-                                                 opt.q, opt.e)
-                    if mz > opt.zdrop:
-                        fallback.append(rec)
-                        fb_ids.add(id(rec))
-                        continue
-            r = build_reg(mi, opt, mat, len(rec.seq), qseg, meta, cig,
-                          meta.get("rep", 0), reg_id=k,
-                          parent=k - 1 if is_sec else k)
-            by_read.setdefault(id(rec), (rec, []))[1].append(r)
+        by_read, fallback, unmapped, fb_ids = batch_build_regs(
+            recs, map_fut, ab, mi, opt, mat, sec_mode, splice_mode)
         for rec, regs in by_read.values():
             if id(rec) in fb_ids or not regs:
                 continue
@@ -522,5 +592,128 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
         emit_batch(r0, f0)
     dt = time.time() - t0
     print(f"[M::batch] aligned {n_reads} reads in {dt:.2f}s "
+          f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
+    return n_reads
+
+
+def run_batched_pe_cli(mi, opt, queries, out, batch_frags: int = 256,
+                       L: int = 1024, align_kw: dict | None = None):
+    """--batch paired-end (-ax sr r1 r2): both ends map independently on
+    the device engine (the reference's weak-pairing mode, map.c:380-390),
+    then mm_pair's sort + windowed join rescues proper pairs and blends
+    the pair mapq (pe.c:81-182).  Fragments where either end needs the
+    exact treatment fall back to the host path whole."""
+    import sys
+    import time
+
+    import jax
+
+    from ..config import MM_F_OUT_SAM, MM_I_HPC
+    from ..map.align_engine import gen_ts_mat
+    from ..map.driver import iter_fragments, map_fragment, write_fragment
+    from ..map.pe import pair as pe_pair
+    from .align_batch import AlignBatcher
+
+    import os
+    cache_dir = os.environ.get("MM2TPU_JIT_CACHE",
+                               os.path.expanduser("~/.cache/mm2tpu_jit"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    hpc = bool(mi.flag & MM_I_HPC)
+    p = BatchParams(L=L, M=max(256, L // 4), A=2048,
+                    occ_cap=max(opt.mid_occ, 10), chain_window=64,
+                    k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
+                    max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc)
+    di = DeviceIndex.from_host(mi, 1)[0]
+    interp = jax.default_backend() != "tpu"
+    sec_mode = opt.best_n > 0 and opt.pri_ratio > 0
+    K = 3 if sec_mode else 1
+    B = 2 * batch_frags
+    step = make_paf_step(di, p, K=K, min_sc=opt.min_chain_score,
+                         interpret=interp, with_sec=sec_mode)
+    mat = gen_ts_mat(5, opt.a, opt.b, opt.transition, opt.sc_ambi)
+    ab = AlignBatcher(mi, opt, **{"QP": L, "TP": L + 512, "W": 256,
+                                  **(align_kw or {})})
+    t0 = time.time()
+    n_reads = 0
+    pe_ori = opt.pe_ori
+
+    def process(frags):
+        nonlocal n_reads
+        from ..io.fastx import revcomp_record
+        # flatten: seg1 revcomp'ed per pe_ori (worker_for map.c:437-442)
+        recs, flips = [], []
+        for frag in frags:
+            for j, rec in enumerate(frag):
+                flip = (j == 0 and (pe_ori >> 1) & 1) \
+                    or (j == 1 and pe_ori & 1)
+                recs.append(revcomp_record(rec) if flip else rec)
+                flips.append(flip)
+        n_reads += len(recs)
+        fut = dispatch_batch(step, [r.seq for r in recs], p, pad_to=B)
+        by_read, _fb, _unm, fb_ids = batch_build_regs(
+            recs, fut, ab, mi, opt, mat, sec_mode, False)
+        # per-fragment: pair IN THE MAPPED ORIENTATION (mm_pair runs
+        # before worker_for's flip-back, map.c:355 vs :454-470), then
+        # flip the revcomp'ed mate's regs to the read strand and write
+        idx = 0
+        for frag in frags:
+            n_seg = len(frag)
+            regss = []
+            host_fb = False
+            for j in range(n_seg):
+                rec = recs[idx + j]
+                if id(rec) in fb_ids:
+                    host_fb = True
+                    break
+                regs = by_read.get(id(rec), (None, []))[1]
+                if regs and regs[0].id != 0:
+                    host_fb = True
+                    break
+                regss.append(regs)
+            if host_fb:
+                idx += n_seg
+                results = map_fragment(mi, opt, frag)
+                write_fragment(out, mi, opt, frag,
+                               [res.regs for res in results],
+                               [res.rep_len for res in results])
+                continue
+            if n_seg == 2:
+                qlens = [len(r.seq) for r in frag]
+                # max_chain_gap_ref (map.c:266-271) feeds mm_pair
+                # (map.c:354): honor max_gap_ref, else derive from
+                # max_frag_len
+                if opt.max_gap_ref > 0:
+                    mgr = opt.max_gap_ref
+                elif opt.max_frag_len > 0:
+                    mgr = max(opt.max_frag_len - sum(qlens), opt.max_gap)
+                else:
+                    mgr = opt.max_gap
+                pe_pair(mgr, opt.pe_bonus, opt.a * 2 + opt.b, opt.a,
+                        qlens, regss)
+            for j in range(n_seg):
+                if flips[idx + j]:      # back to the read strand
+                    qlen = len(frag[j].seq)
+                    for r in regss[j]:
+                        r.qs, r.qe = qlen - r.qe, qlen - r.qs
+                        r.rev = 0 if r.rev else 1
+            idx += n_seg
+            write_fragment(out, mi, opt, frag, regss,
+                           [0] * n_seg)
+
+    buf = []
+    for frag in iter_fragments(queries, True):
+        buf.append(frag)
+        if len(buf) >= batch_frags:
+            process(buf)
+            buf = []
+    if buf:
+        process(buf)
+    dt = time.time() - t0
+    print(f"[M::batch] aligned {n_reads} paired reads in {dt:.2f}s "
           f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
     return n_reads

@@ -234,3 +234,51 @@ def test_batch_splice_sim_cdna():
         nops = re.findall(r"(\d+)N", cg)
         assert sorted(int(n) for n in nops) == [300, 500], cg
         assert [x for x in t if x.startswith("ts:A:")], t
+
+
+def test_batch_paired_end_sr():
+    # --batch -ax sr r1 r2: device mapping of both ends + mm_pair rescue
+    # (pe.c:81-182).  Gate: proper-pair flags identical to the host path,
+    # >=90% of records byte-identical in the first 9 SAM columns.
+    import collections
+    from minimap2_tpu.config import IndexOptions, set_opt
+    from minimap2_tpu.config import MapOptions as MO
+    from minimap2_tpu.config import MM_F_OUT_SAM
+    from minimap2_tpu.io.fastx import read_fasta
+    from minimap2_tpu.parallel.engine import run_batched_pe_cli
+    io_opt = IndexOptions()
+    mo = MO()
+    set_opt("sr", io_opt, mo)
+    mo.flag |= MM_F_CIGAR | MM_F_OUT_SAM
+    names, seqs = read_fasta("tests/data/MT-human.fa")
+    mi = MiniIndex.build(names, seqs, w=io_opt.w, k=io_opt.k)
+    mapopt_update(mo, mi)
+    out = io.StringIO()
+    run_batched_pe_cli(mi, mo, ["tests/data/sr-r1.fq",
+                                "tests/data/sr-r2.fq"], out,
+                       batch_frags=8, L=256,
+                       align_kw={"QP": 256, "TP": 768, "W": 256, "sub": 8})
+    lines = out.getvalue().splitlines()
+    from minimap2_tpu.map.driver import (iter_fragments, map_fragment,
+                                         write_fragment)
+    buf = io.StringIO()
+    for frag in iter_fragments(["tests/data/sr-r1.fq",
+                                "tests/data/sr-r2.fq"], True):
+        res = map_fragment(mi, mo, frag)
+        write_fragment(buf, mi, mo, frag, [r.regs for r in res],
+                       [r.rep_len for r in res])
+    hlines = buf.getvalue().splitlines()
+    assert len(lines) == len(hlines) == 80
+    flags = collections.Counter(l.split("\t")[1] for l in lines)
+    hflags = collections.Counter(l.split("\t")[1] for l in hlines)
+    assert flags == hflags, (flags, hflags)     # all pairs proper
+    # coordinates/cigar/mate fields must match; mapq may differ (the
+    # host pairs on the JOINT fragment chain, the batch path on per-end
+    # chains -- the reference's own weak-pairing mode behaves the same)
+    same = sum(1 for a, b in zip(lines, hlines)
+               if a.split("\t")[:4] + a.split("\t")[5:9]
+               == b.split("\t")[:4] + b.split("\t")[5:9])
+    assert same >= 0.9 * len(hlines), f"{same}/{len(hlines)}"
+    dq = [abs(int(a.split("\t")[4]) - int(b.split("\t")[4]))
+          for a, b in zip(lines, hlines)]
+    assert max(dq) <= 20 and float(np.mean(dq)) <= 3.0, dq
