@@ -105,7 +105,9 @@ def bench_ours(mi, names, rcodes):
     p = BatchParams(L=12288, M=2048, A=8192,
                     occ_cap=max(mo.mid_occ, 10), chain_window=64)
     t0 = time.time()
-    di = DeviceIndex.from_host(mi, 1)[0]
+    tag = "5m_s0" if SMALL else f"1g_s{GENOME_SEED}"
+    di = DeviceIndex.from_host(
+        mi, 1, cache=os.path.join(CACHE, f"devidx_{tag}.npz"))[0]
     print(f"[bench] device index uploaded in {time.time()-t0:.0f}s",
           file=sys.stderr)
     interp = jax.default_backend() != "tpu"

@@ -232,13 +232,25 @@ class DeviceIndex:
                    h2_bits=h2_bits, h2_slots=h2_slots, pos_fmt=pos_fmt)
 
     @classmethod
-    def from_host(cls, mi, n_shards: int = 1, pad_pos_to: int | None = None):
+    def from_host(cls, mi, n_shards: int = 1, pad_pos_to: int | None = None,
+                  cache: str | None = None):
         """Build 1..n_shards DeviceIndex pytrees from a host MiniIndex.
 
         Sharding is by contiguous key range (the capacity-sharding analogue of
         the reference's multi-part index).  Each shard is padded to a common
         size so shards can be stacked along a leading axis for shard_map.
+
+        `cache` names an .npz file holding the prebuilt flat tensors (the
+        native-serialization analogue of mm_idx_dump, index.c:475-569):
+        at genome scale the 2-choice table build + position packing cost
+        minutes per process, so the driver persists them once.
         """
+        import os
+        if cache and os.path.exists(cache):
+            try:
+                return cls._load_cache(cache, n_shards)
+            except Exception:
+                pass
         K = len(mi.keys)
         cnts_all = (mi.starts[1:] - mi.starts[:-1]).astype(np.int32)
         bounds = [(i * K) // n_shards for i in range(n_shards + 1)]
@@ -331,6 +343,45 @@ class DeviceIndex:
                               jnp.asarray(bstart), h2, key_shift=shift,
                               n_probe=n_probe, h2_bits=h2_bits,
                               h2_slots=h2_slots, pos_fmt=pos_fmt))
+        if cache:
+            try:
+                cls._save_cache(cache, shards)
+            except Exception:
+                pass
+        return shards
+
+    _CACHE_LEAVES = ("keys2", "sc2", "pos2", "S", "seq_off", "seq_len",
+                     "bucket_start", "h2")
+    _CACHE_AUX = ("key_shift", "n_probe", "h2_bits", "h2_slots", "pos_fmt")
+
+    @classmethod
+    def _save_cache(cls, path, shards):
+        arrs = {}
+        for i, sh in enumerate(shards):
+            for name in cls._CACHE_LEAVES:
+                v = getattr(sh, name)
+                if v is not None:
+                    arrs[f"s{i}_{name}"] = np.asarray(v)
+        sh0 = shards[0]
+        arrs["meta"] = np.array(
+            [len(shards)] + [int(getattr(sh0, a)) for a in cls._CACHE_AUX],
+            np.int64)
+        np.savez(path, **arrs)
+
+    @classmethod
+    def _load_cache(cls, path, n_shards):
+        z = np.load(path)
+        meta = z["meta"]
+        if int(meta[0]) != n_shards:
+            raise ValueError("shard count mismatch")
+        aux = {a: int(v) for a, v in zip(cls._CACHE_AUX, meta[1:])}
+        shards = []
+        for i in range(n_shards):
+            leaves = []
+            for name in cls._CACHE_LEAVES:
+                k = f"s{i}_{name}"
+                leaves.append(jnp.asarray(z[k]) if k in z.files else None)
+            shards.append(cls(*leaves, **aux))
         return shards
 
 

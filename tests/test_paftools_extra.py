@@ -375,3 +375,91 @@ def test_exoneval(tmp_path):
     v = out.getvalue()
     assert "Base Sn: 500 / 500 = 100.00%" in v
     assert "Base Sp: 500 / 600 = 83.33%" in v
+
+
+def test_call_overlap_coverage_and_skips(tmp_path):
+    """paf_call edge semantics traced from paftools.js:386-520:
+    - variants in regions covered by >1 alignment are suppressed (o[3]!=1)
+    - R lines segment at overlap boundaries (c1_start=c1_end on overlap)
+    - records with s1 but no s2 are skipped entirely
+    - tp:A:S (secondary) records are skipped
+    - reverse-strand V lines report QSTART from the query END (y=t[3])
+    """
+    # two overlapping alignments on ctg: [1000,60000) and [40000,100000);
+    # a SNP at 20000 (cov 1) and one at 50000 (cov 2, suppressed)
+    def paf(q, ql, qs, qe, strand, rs, re_, mapq, cs, extra=""):
+        bl = re_ - rs
+        return (f"{q}\t{ql}\t{qs}\t{qe}\t{strand}\tctg\t200000\t{rs}\t{re_}"
+                f"\t{bl}\t{bl}\t{mapq}\ttp:A:P{extra}\tcs:Z:{cs}")
+    l1 = paf("q1", 60000, 0, 59000, "+", 1000, 60000, 60,
+             ":19000*ac:39999")
+    l2 = paf("q2", 80000, 0, 60000, "-", 40000, 100000, 60,
+             ":10000*ga:49999")
+    # skipped: s1 without s2; secondary
+    l3 = paf("q3", 90000, 0, 60000, "+", 120000, 180000, 60,
+             ":30000*tg:29999", extra="\ts1:i:100")
+    l4 = paf("q4", 90000, 0, 60000, "+", 120000, 180000, 60,
+             ":30000*tg:29999").replace("tp:A:P", "tp:A:S")
+    p = tmp_path / "c.paf"
+    p.write_text("\n".join([l1, l2, l3, l4]) + "\n")
+    out = io.StringIO()
+    pt.call(["-l", "10000", "-L", "10000", str(p)], out=out)
+    lines = [l.split("\t") for l in out.getvalue().splitlines()]
+    vs = [l for l in lines if l[0] == "V"]
+    rs = [l for l in lines if l[0] == "R"]
+    # cov-1 SNP at 20000 present; cov-2 SNP at 50000 suppressed; nothing
+    # from the skipped records (which sit at 120k-180k)
+    assert any(v[2] == "20000" and v[6] == "a" and v[7] == "c"
+               for v in vs), vs
+    assert all(v[2] != "50000" for v in vs if int(v[4]) == 1), vs
+    assert not any(v[2] == "150000" for v in vs), vs
+    # R lines: cov-1 region [1000,40000) then [60000,100000)
+    assert ["R", "ctg", "1000", "40000"] in rs, rs
+    assert ["R", "ctg", "60000", "100000"] in rs, rs
+    assert len(rs) == 2, rs
+    # reverse strand record: query start counts down from y=t[3]; after
+    # the 10000-match prefix y=50000 and the '*' op records qs=y-1
+    # (paftools.js rev branch: qs = y - 1)
+    v2 = [v for v in vs if v[2] == "50000"]
+    assert v2 and int(v2[0][4]) == 2        # emitted with coverage 2
+    assert v2[0][9] == "49999" and v2[0][11] == "-", v2
+
+
+def test_liftover_insertion_and_truncation(tmp_path):
+    """liftover edge semantics traced from paftools.js:
+    - a BED position inside an insertion run lifts to the pre-insertion
+      target coordinate x (not x+offset)
+    - intervals extending past the aligned query end get the _t3 suffix
+      and clamp to t[8]; past the start, _t5 and t[7]
+    - reverse-strand BED positions project through flipped coordinates
+    """
+    # q1: qlen 1000, q[100,900) + vs ctg[5000,5790), cigar 300M10I490M
+    paf_lines = [
+        "q1\t1000\t100\t900\t+\tctg\t100000\t5000\t5790\t790\t800\t60"
+        "\ttp:A:P\tcg:Z:300M10I490M",
+        # q2: qlen 600, q[50,550) - strand vs ctg[8000,8500), 500M
+        "q2\t600\t50\t550\t-\tctg\t100000\t8000\t8500\t500\t500\t60"
+        "\ttp:A:P\tcg:Z:500M",
+    ]
+    bed_lines = [
+        "q1\t350\t360",     # plain: 5250-5260
+        "q1\t405\t408",     # inside the I run at y=400..410 -> x=5300
+        "q1\t890\t950",     # runs past qe=900 -> _t3, end=5790
+        "q2\t100\t110",     # rev: y' in [600-110, 600-100) = [490,500)
+    ]
+    paf = tmp_path / "lo.paf"
+    bed = tmp_path / "lo.bed"
+    paf.write_text("\n".join(paf_lines) + "\n")
+    bed.write_text("\n".join(bed_lines) + "\n")
+    out = io.StringIO()
+    pt.liftover(["-l", "100", str(paf), str(bed)], out=out)
+    got = {tuple(l.split()[:6]) for l in out.getvalue().splitlines()}
+    # q1 350-360: M-projected
+    assert ("ctg", "5250", "5260", "q1_350_360", "0", "+") in got, got
+    # q1 405-408: both endpoints inside the insertion -> [5300, 5301)
+    assert ("ctg", "5300", "5301", "q1_405_408", "0", "+") in got, got
+    # q1 890-950: 890 lifts to 5000+300+(890-410)=5780; end truncated
+    assert ("ctg", "5780", "5790", "q1_890_950_t3", "0", "+") in got, got
+    # q2 rev: a-coords [600-110, 600-100-1]=[490,499]; y starts at
+    # t[1]-t[3]=50, x at 8000: lift start=8000+(490-50)=8440, end=8450
+    assert ("ctg", "8440", "8450", "q2_100_110", "0", "-") in got, got
