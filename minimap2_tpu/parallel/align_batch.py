@@ -236,6 +236,15 @@ def build_reg(mi, opt, mat, qlen, qseg, rec, cigar, rep_len, reg_id=0,
     tseg = np.asarray(mi.S, np.uint8)[
         mi.seq[r.rid].offset + int(rec["rs"]):
         mi.seq[r.rid].offset + int(rec["re"])]
+    # canonicalize like the host path: indel left-shift, 5I6D7I merge,
+    # leading-indel removal (mm_fix_cigar align.c:105-181) -- without
+    # this, tie-equivalent device paths diverge from the host output
+    from ..map.align_engine import fix_cigar
+    r.p = p
+    qshift, tshift = fix_cigar(r, qseg, tseg)
+    p = r.p
+    qseg = qseg[qshift:]
+    tseg = tseg[tshift:]
     if native.available():
         from ..config import MM_F_SR
         blen, mlen, n_ambi, dp_max, spliced = native.update_extra_scan(

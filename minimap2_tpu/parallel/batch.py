@@ -496,14 +496,27 @@ def _compact_minimizers(hhi, hlo, strand, is_mini, M: int,
     B, L = hhi.shape
     posi = jnp.arange(L, dtype=jnp.int32)[None, :]
     if use_pallas and B % 8 == 0:
-        from ..ops.sort_pallas import sort1_rows
+        # 3-plane bitonic: key = pos<<1|strand (unique per row), with the
+        # hash pair riding as carried values -- no post-sort gathers
+        # (element gathers are the device bottleneck; see memory notes)
+        from ..ops.sort_pallas import sort3_rows
         A = 1 << (L - 1).bit_length()                       # pad to pow2
-        key = jnp.where(is_mini, posi, jnp.int32(0x7FFFFFFF))             .astype(jnp.uint32)
+        key = jnp.where(is_mini,
+                        (posi << 1) | strand.astype(jnp.int32),
+                        jnp.int32(0x7FFFFFFF)).astype(jnp.uint32)
         if A > L:
-            key = jnp.pad(key, ((0, 0), (0, A - L)),
-                          constant_values=np.uint32(0x7FFFFFFF))
-        skey = sort1_rows(key, G=8)[:, :M].astype(jnp.int32)
-        mpos = jnp.minimum(skey, L)                         # INF -> L
+            pad = ((0, 0), (0, A - L))
+            key = jnp.pad(key, pad, constant_values=np.uint32(0x7FFFFFFF))
+            hhi = jnp.pad(hhi, pad)
+            hlo = jnp.pad(hlo, pad)
+        skey, mh_hi, mh_lo = sort3_rows(key, hhi, hlo, G=8)
+        skey = skey[:, :M]
+        mh_hi, mh_lo = mh_hi[:, :M], mh_lo[:, :M]
+        mvalid = skey != jnp.uint32(0x7FFFFFFF)
+        mpos = jnp.where(mvalid, (skey >> jnp.uint32(1)).astype(jnp.int32),
+                         L)
+        mz = jnp.where(mvalid, (skey & jnp.uint32(1)).astype(jnp.int32), 0)
+        return mh_hi, mh_lo, mz, mpos, mvalid
     else:
         csum = jnp.cumsum(is_mini.astype(jnp.int32), axis=1)
         rank = jnp.where(is_mini, csum - 1, M)                # (B, L)

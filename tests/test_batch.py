@@ -172,3 +172,35 @@ def test_hpc_device_sketch_matches_host():
         dev = {((int(hhi[0, j]) << 32) | int(hlo[0, j]), int(hp[0, j]),
                 int(z[0, j])) for j in np.nonzero(im[0])[0]}
         assert host == dev
+
+
+def test_compact_minimizers_pallas_matches_fallback():
+    # the 3-plane bitonic compaction (hash planes carried through the
+    # sort) must agree with the rank-scatter fallback
+    import jax.numpy as jnp
+    from minimap2_tpu.ops import sort_pallas
+    from minimap2_tpu.parallel.batch import _compact_minimizers
+    rng = np.random.default_rng(4)
+    B, L, M = 8, 512, 128
+    hhi = jnp.asarray(rng.integers(0, 2**31, (B, L)).astype(np.uint32))
+    hlo = jnp.asarray(rng.integers(0, 2**31, (B, L)).astype(np.uint32))
+    z = jnp.asarray(rng.integers(0, 2, (B, L)).astype(np.int32))
+    is_mini = jnp.asarray(rng.random((B, L)) < 0.15)
+    # force the pallas branch through the interpreter
+    orig = sort_pallas.sort3_rows
+    sort_pallas.sort3_rows = lambda a, b, c, G=8: orig(a, b, c, G=G,
+                                                      interpret=True)
+    try:
+        out_p = _compact_minimizers(hhi, hlo, z, is_mini, M,
+                                    use_pallas=True)
+    finally:
+        sort_pallas.sort3_rows = orig
+    out_f = _compact_minimizers(hhi, hlo, z, is_mini, M, use_pallas=False)
+    names = ("mh_hi", "mh_lo", "mz", "mpos", "mvalid")
+    for nm, a, b in zip(names, out_p, out_f):
+        a, b = np.asarray(a), np.asarray(b)
+        valid = np.asarray(out_f[4])
+        # compare on valid slots (invalid slots carry don't-care hashes)
+        np.testing.assert_array_equal(a[valid], b[valid], err_msg=nm)
+    np.testing.assert_array_equal(np.asarray(out_p[4]),
+                                  np.asarray(out_f[4]))

