@@ -36,13 +36,12 @@ def _mg_log2(x):
                     * zf - jnp.float32(0.67487759))
 
 
-def _chain_kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, av_ref,
+def _chain_kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, span_ref, av_ref,
                   f_ref, pred_ref, qs_ref, rs_ref,
-                  fw, revw, ridw, rposw, qposw, qsw, rsw, jw,
+                  fw, revw, ridw, rposw, qposw, spanw, qsw, rsw, jw,
                   *, BL, WND, AC, k, max_dist_x, max_dist_y, bw,
                   chn_pen_gap, chn_pen_skip):
     rc = pl.program_id(1)
-    qspan = jnp.int32(k)
     subl = lax.broadcasted_iota(jnp.int32, (WND, BL), 0)
 
     @pl.when(rc == 0)
@@ -53,6 +52,7 @@ def _chain_kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, av_ref,
         ridw[:] = z
         rposw[:] = z
         qposw[:] = z
+        spanw[:] = z
         qsw[:] = z
         rsw[:] = z
         jw[:] = jnp.full((WND, BL), -1, jnp.int32)
@@ -63,6 +63,7 @@ def _chain_kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, av_ref,
         ri = rid_ref[0, 0, i, :][None, :]
         rp = rpos_ref[0, 0, i, :][None, :]
         qp = qpos_ref[0, 0, i, :][None, :]
+        sp = span_ref[0, 0, i, :][None, :]
         ok = av_ref[0, 0, i, :][None, :] != 0
 
         fw_v = fw[:]
@@ -75,13 +76,14 @@ def _chain_kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, av_ref,
         bad |= dd > bw
         bad |= ~same
         dg = jnp.minimum(dr, dq)
-        sc = jnp.minimum(qspan, dg)
+        # the PREDECESSOR's q_span caps the gain (comput_sc lchain.c:126)
+        sc = jnp.minimum(spanw[:], dg)
         lin = (jnp.float32(chn_pen_gap) * dd.astype(jnp.float32)
                + jnp.float32(chn_pen_skip) * dg.astype(jnp.float32))
         logp = jnp.where(dd >= 1, _mg_log2((dd + 1).astype(jnp.float32)),
                          jnp.float32(0))
         pen = jnp.trunc(lin + jnp.float32(0.5) * logp).astype(jnp.int32)
-        need = (dd != 0) | (dg > qspan)
+        need = (dd != 0) | (dg > spanw[:])
         sc = jnp.where(need, sc - pen, sc)
         cand = jnp.where(bad | (fw_v <= NEG_INF // 2), NEG_INF, fw_v + sc)
         bsc = jnp.max(cand, axis=0, keepdims=True)             # (1, BL)
@@ -96,11 +98,11 @@ def _chain_kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, av_ref,
             return jnp.max(jnp.where(onehot, arr, NEG_INF), axis=0,
                            keepdims=True)
 
-        use_pred = bsc >= qspan
-        f_i = jnp.where(use_pred, bsc, qspan)
+        use_pred = bsc >= sp
+        f_i = jnp.where(use_pred, bsc, sp)
         f_i = jnp.where(ok, f_i, NEG_INF)
-        qs_i = jnp.where(use_pred & ok, pick(qsw[:]), qp - qspan + 1)
-        rs_i = jnp.where(use_pred & ok, pick(rsw[:]), rp - qspan + 1)
+        qs_i = jnp.where(use_pred & ok, pick(qsw[:]), qp - sp + 1)
+        rs_i = jnp.where(use_pred & ok, pick(rsw[:]), rp - sp + 1)
         pred_i = jnp.where(use_pred & ok, pick(jw[:]), -1)
 
         f_ref[0, 0, i, :] = f_i[0]
@@ -120,6 +122,7 @@ def _chain_kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, av_ref,
         put(ridw, ri)
         put(rposw, rp)
         put(qposw, qp)
+        put(spanw, sp)
         put(qsw, qs_i)
         put(rsw, rs_i)
         put(jw, jnp.full((1, BL), 1, jnp.int32) * a)
@@ -131,8 +134,9 @@ def _chain_kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, av_ref,
 @functools.partial(jax.jit, static_argnames=(
     "BL", "WND", "AC", "k", "max_dist_x", "max_dist_y", "bw",
     "chn_pen_gap", "chn_pen_skip", "interpret"))
-def chain_batch(rev, rid, rpos, qpos, av, *, BL, WND, AC, k, max_dist_x,
-                max_dist_y, bw, chn_pen_gap, chn_pen_skip, interpret=False):
+def chain_batch(rev, rid, rpos, qpos, span, av, *, BL, WND, AC, k,
+                max_dist_x, max_dist_y, bw, chn_pen_gap, chn_pen_skip,
+                interpret=False):
     """Windowed chain DP over sorted anchors.  Inputs (B, A) int32 planes
     (+ av bool); returns (f, pred, qs_a, rs_a) as (B, A) int32."""
     B, A = rpos.shape
@@ -143,7 +147,7 @@ def chain_batch(rev, rid, rpos, qpos, av, *, BL, WND, AC, k, max_dist_x,
         return x.astype(jnp.int32).T.reshape(NA, AC, NB, BL) \
             .transpose(2, 0, 1, 3)      # (NB, NA, AC, BL)
 
-    planes = [tr(rev), tr(rid), tr(rpos), tr(qpos), tr(av)]
+    planes = [tr(rev), tr(rid), tr(rpos), tr(qpos), tr(span), tr(av)]
     kernel = functools.partial(
         _chain_kernel, BL=BL, WND=WND, AC=AC, k=k, max_dist_x=max_dist_x,
         max_dist_y=max_dist_y, bw=bw, chn_pen_gap=chn_pen_gap,
@@ -155,9 +159,9 @@ def chain_batch(rev, rid, rpos, qpos, av, *, BL, WND, AC, k, max_dist_x,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(NB, NA),
-        in_specs=[spec] * 5,
+        in_specs=[spec] * 6,
         out_specs=(spec,) * 4,
-        scratch_shapes=[pltpu.VMEM((WND, BL), jnp.int32) for _ in range(8)],
+        scratch_shapes=[pltpu.VMEM((WND, BL), jnp.int32) for _ in range(9)],
     )
     f, pred, qs_a, rs_a = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shapes,

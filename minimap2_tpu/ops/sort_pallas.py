@@ -73,6 +73,30 @@ def sort3_rows(k1, k2, k3, *, G=8, interpret=False):
     return tuple(o.reshape(B, A) for o in outs)
 
 
+def sort3_chunked(k1, k2, k3, *, chunk=2048, keep=1024, G=8,
+                  interpret=False):
+    """Two-level 3-plane sort for wide rows: sort `chunk`-lane pieces
+    independently, then sort the concatenation of each piece's first
+    `keep` lanes.  Exact whenever no chunk holds more than `keep` live
+    keys (live = key != 0xFFFFFFFF-class sentinels that sort last);
+    VMEM-bounded where a single full-width 3-plane bitonic is not
+    (scoped-vmem stack overflows beyond ~8k lanes x 6 planes)."""
+    B, A = k1.shape
+    assert A % chunk == 0 and keep <= chunk
+    C = A // chunk
+
+    def rs(x):
+        return x.reshape(B * C, chunk)
+
+    s1, s2, s3 = sort3_rows(rs(k1), rs(k2), rs(k3), G=G,
+                            interpret=interpret)
+
+    def tk(x):
+        return x.reshape(B, C, chunk)[:, :, :keep].reshape(B, C * keep)
+
+    return sort3_rows(tk(s1), tk(s2), tk(s3), G=G, interpret=interpret)
+
+
 def _sort1_kernel(k1_ref, o1_ref, *, G, A):
     lane = lax.broadcasted_iota(jnp.int32, (G, A), 1)
     k1 = k1_ref[0]

@@ -499,7 +499,7 @@ def _compact_minimizers(hhi, hlo, strand, is_mini, M: int,
         # 3-plane bitonic: key = pos<<1|strand (unique per row), with the
         # hash pair riding as carried values -- no post-sort gathers
         # (element gathers are the device bottleneck; see memory notes)
-        from ..ops.sort_pallas import sort3_rows
+        from ..ops.sort_pallas import sort3_chunked, sort3_rows
         A = 1 << (L - 1).bit_length()                       # pad to pow2
         key = jnp.where(is_mini,
                         (posi << 1) | strand.astype(jnp.int32),
@@ -509,7 +509,16 @@ def _compact_minimizers(hhi, hlo, strand, is_mini, M: int,
             key = jnp.pad(key, pad, constant_values=np.uint32(0x7FFFFFFF))
             hhi = jnp.pad(hhi, pad)
             hlo = jnp.pad(hlo, pad)
-        skey, mh_hi, mh_lo = sort3_rows(key, hhi, hlo, G=8)
+        if A > 4096:
+            # full-width 3-plane bitonic overflows scoped VMEM; the
+            # chunked variant is exact while any 2048-lane window holds
+            # <= 1024 minimizers (density ~2/(w+1) makes >1024 require
+            # a degenerate all-tie repeat, where M-capping drops tails
+            # anyway)
+            skey, mh_hi, mh_lo = sort3_chunked(key, hhi, hlo, chunk=2048,
+                                               keep=1024, G=8)
+        else:
+            skey, mh_hi, mh_lo = sort3_rows(key, hhi, hlo, G=8)
         skey = skey[:, :M]
         mh_hi, mh_lo = mh_hi[:, :M], mh_lo[:, :M]
         mvalid = skey != jnp.uint32(0x7FFFFFFF)
@@ -574,7 +583,7 @@ def hpc_compact(codes, lens, use_pallas: bool = False):
 
 
 def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
-                    p: BatchParams, interpret: bool = True):
+                    p: BatchParams, interpret: bool = True, mspan=None):
     """Seed lookup + anchor expansion (seed.c:30-52, map.c:168-204).
 
     Returns int32 anchor planes sorted by (rev, rid, rpos, qpos):
@@ -585,6 +594,8 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     """
     B, M = mh_hi.shape
     K = di.keys2.shape[0]
+    if mspan is None:       # per-anchor query span; k unless HPC
+        mspan = jnp.full((B, M), p.k, jnp.int32)
     if di.h2 is not None:
         # 2-choice bucketed hash probe: exactly two row gathers per
         # minimizer (native build_hash2_table layout)
@@ -611,8 +622,8 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
         start = jnp.where(found, start, 0)
         cnt = jnp.where(found & (cnt_raw <= p.occ_cap), cnt_raw, 0)
         flt = found & (cnt_raw > p.occ_cap)
-        return _expand_anchors(di, start, cnt, flt, mz, mpos, qlen, p,
-                               interpret)
+        return _expand_anchors(di, start, cnt, flt, mz, mpos, mspan, qlen,
+                               p, interpret)
     if di.bucket_start is not None:
         # direct-address bucket probe (index.c bucket structure as a
         # device table): ~6 bounded-search gathers instead of ~2*log2(K);
@@ -645,11 +656,11 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     cnt_raw = sv[..., 1]
     cnt = jnp.where(found & (cnt_raw <= p.occ_cap), cnt_raw, 0)
     flt = found & (cnt_raw > p.occ_cap)
-    return _expand_anchors(di, start, cnt, flt, mz, mpos, qlen, p,
+    return _expand_anchors(di, start, cnt, flt, mz, mpos, mspan, qlen, p,
                            interpret)
 
 
-def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, qlen,
+def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, mspan, qlen,
                     p: BatchParams, interpret: bool):
     """Seed (start, cnt) runs -> sorted anchor planes + rep_len (the
     shared tail of _lookup_anchors for both probe schemes)."""
@@ -678,8 +689,8 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, qlen,
     seed_of = lax.associative_scan(jnp.maximum, mark, axis=1)
     seed_of = jnp.clip(seed_of, 0, M - 1)
     a_valid = slot < ends[:, -1:]
-    # one 4-wide row gather replaces four take_along_axis calls
-    seedpk = jnp.stack([offs, start, mz, mpos], axis=-1)      # (B, M, 4)
+    # one 5-wide row gather replaces five take_along_axis calls
+    seedpk = jnp.stack([offs, start, mz, mpos, mspan], axis=-1)
     g = jnp.take_along_axis(seedpk, seed_of[..., None], axis=1)
     within = slot - g[..., 0]
     pidx = g[..., 1] + within
@@ -706,18 +717,20 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, qlen,
         rstrand = rps & 1
     qz = g[..., 2]
     qpos = g[..., 3]
+    span = g[..., 4]
     same = rstrand == qz
     rev = (~same).astype(jnp.int32)
-    # query coordinate flip on reverse strand (seed.c / map.c:196-201):
-    # span = k here (non-HPC device path)
-    qspan = p.k
-    qpos_out = jnp.where(same, qpos, qlen[:, None] - (qpos + 1 - qspan) - 1)
-    # sort by (rev<<30|rid, rpos, qpos); invalid to end; all planes are
-    # reconstructible from the three keys, so sort carries no values
+    # query coordinate flip on reverse strand (seed.c / map.c:196-201)
+    # using the per-anchor span (exact for HPC minimizers)
+    qpos_out = jnp.where(same, qpos, qlen[:, None] - (qpos + 1 - span) - 1)
+    # sort by (rev<<30|rid, rpos, span<<20|qpos); invalid to end; all
+    # planes are reconstructible from the three keys (span rides in
+    # key3's high bits; qpos < 2^20)
     key1 = jnp.where(a_valid, (rev.astype(jnp.uint32) << jnp.uint32(30))
                      | rid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
     key2 = rpos.astype(jnp.uint32)
-    key3 = jnp.clip(qpos_out, 0, None).astype(jnp.uint32)
+    key3 = ((jnp.clip(span, 1, 255).astype(jnp.uint32) << jnp.uint32(20))
+            | jnp.clip(qpos_out, 0, None).astype(jnp.uint32))
     B_, A_ = key1.shape
     if not interpret and B_ % 8 == 0 and (A_ & (A_ - 1)) == 0:
         from ..ops.sort_pallas import sort3_rows
@@ -729,11 +742,12 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, qlen,
     rev = (key1 >> jnp.uint32(30)).astype(jnp.int32) & 1
     rid = (key1 & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32)
     rpos = key2.astype(jnp.int32)
-    qpos_s = key3.astype(jnp.int32)
-    return rev, rid, rpos, qpos_s, av.astype(bool), rep_len
+    qpos_s = (key3 & jnp.uint32(0xFFFFF)).astype(jnp.int32)
+    span_s = (key3 >> jnp.uint32(20)).astype(jnp.int32)
+    return rev, rid, rpos, qpos_s, span_s, av.astype(bool), rep_len
 
 
-def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
+def _chain_scan(rev, rid, rpos, qpos, span, av, p: BatchParams):
     """Windowed chaining DP (lchain.c:148-217 with a fixed look-back window).
 
     Scans anchors in sorted order; for each anchor i the best predecessor is
@@ -744,12 +758,11 @@ def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
     """
     B, A = rpos.shape
     WND = p.chain_window
-    qspan = jnp.int32(p.k)
 
     def step(carry, xs):
         # window planes: (B, WND) of predecessor candidates
-        fw, revw, ridw, rposw, qposw, qsw, rsw, vw, best, i = carry
-        rv, ri, rp, qp_, ok = xs                               # (B,) each
+        fw, revw, ridw, rposw, qposw, spanw, qsw, rsw, vw, best, i = carry
+        rv, ri, rp, qp_, sp_, ok = xs                          # (B,) each
         dq = qp_[:, None] - qposw                              # i minus j
         dr = rp[:, None] - rposw
         same = (revw == rv[:, None]) & (ridw == ri[:, None])
@@ -759,25 +772,26 @@ def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
         bad |= dd > p.bw
         bad |= ~same
         dg = jnp.minimum(dr, dq)
-        sc = jnp.minimum(qspan, dg)
+        # q_span of the PREDECESSOR caps the gain (comput_sc lchain.c:126)
+        sc = jnp.minimum(spanw, dg)
         lin = (jnp.float32(p.chn_pen_gap) * dd.astype(jnp.float32)
                + jnp.float32(p.chn_pen_skip) * dg.astype(jnp.float32))
         logp = jnp.where(dd >= 1, mg_log2_dev((dd + 1).astype(jnp.float32)),
                          jnp.float32(0))
         pen = jnp.trunc(lin + jnp.float32(0.5) * logp).astype(jnp.int32)
-        need = (dd != 0) | (dg > qspan)
+        need = (dd != 0) | (dg > spanw)
         sc = jnp.where(need, sc - pen, sc)
         cand = jnp.where(bad | (fw <= NEG_INF // 2), NEG_INF, fw + sc)
         bj = jnp.argmax(cand, axis=1)                          # (B,)
         bsc = jnp.take_along_axis(cand, bj[:, None], 1)[:, 0]
-        indep = qspan
+        indep = sp_
         use_pred = bsc >= indep
         f_i = jnp.where(use_pred, bsc, indep)
         f_i = jnp.where(ok, f_i, NEG_INF)
         qs_i = jnp.where(use_pred, jnp.take_along_axis(qsw, bj[:, None], 1)[:, 0],
-                         qp_ - qspan + 1)
+                         qp_ - sp_ + 1)
         rs_i = jnp.where(use_pred, jnp.take_along_axis(rsw, bj[:, None], 1)[:, 0],
-                         rp - qspan + 1)
+                         rp - sp_ + 1)
         # peak score along the chain (lchain.c v[] semantics)
         v_pred = jnp.take_along_axis(vw, bj[:, None], 1)[:, 0]
         v_i = jnp.where(use_pred & (v_pred > f_i), v_pred, f_i)
@@ -790,8 +804,8 @@ def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
         def push(wnd, val):
             return jnp.concatenate([wnd[:, 1:], val[:, None]], axis=1)
         carry2 = (push(fw, f_i), push(revw, rv), push(ridw, ri),
-                  push(rposw, rp), push(qposw, qp_), push(qsw, qs_i),
-                  push(rsw, rs_i), push(vw, v_i))
+                  push(rposw, rp), push(qposw, qp_), push(spanw, sp_),
+                  push(qsw, qs_i), push(rsw, rs_i), push(vw, v_i))
         # track the best-ending chain per read
         b_sc, b_qs, b_qe, b_rs, b_re, b_rev, b_rid = best
         better = f_i > b_sc
@@ -807,15 +821,15 @@ def _chain_scan(rev, rid, rpos, qpos, av, p: BatchParams):
 
     z32 = jnp.zeros((B, WND), jnp.int32)
     init = (jnp.full((B, WND), NEG_INF, jnp.int32), z32, z32, z32, z32,
-            z32, z32, jnp.full((B, WND), NEG_INF, jnp.int32),
+            z32, z32, z32, jnp.full((B, WND), NEG_INF, jnp.int32),
             (jnp.full((B,), NEG_INF, jnp.int32), jnp.zeros((B,), jnp.int32),
              jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
              jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
              jnp.zeros((B,), jnp.int32)),
             jnp.int32(0))
-    xs = (rev.T, rid.T, rpos.T, qpos.T, av.T)
+    xs = (rev.T, rid.T, rpos.T, qpos.T, span.T, av.T)
     carry, (f, pred, vv, qs_a, rs_a) = lax.scan(step, init, xs)
-    best = carry[8]
+    best = carry[9]
     return best, (f.T, pred.T, vv.T, qs_a.T, rs_a.T)
 
 
@@ -927,10 +941,9 @@ def map_batch(di: DeviceIndex, codes, lens, p: BatchParams,
     hhi, hlo, z, is_mini = device_sketch(codes, lens, p.k, p.w)
     mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(hhi, hlo, z,
                                                          is_mini, p.M)
-    rev, rid, rpos, qpos, av, _rep = _lookup_anchors(di, mh_hi, mh_lo, mz,
-                                                     mpos, mvalid, lens, p,
-                                                     interpret)
-    best, _ = _chain_scan(rev, rid, rpos, qpos, av, p)
+    rev, rid, rpos, qpos, span, av, _rep = _lookup_anchors(
+        di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p, interpret)
+    best, _ = _chain_scan(rev, rid, rpos, qpos, span, av, p)
     ext = _extend_best(di, codes, lens, best, p, interpret)
     b_sc, qs, qe, rs, re_, rv, rid_b = best
     mapped = b_sc > 0
@@ -971,7 +984,7 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
                                                              is_mini, p.M)
         # di leaves carry a leading shard axis of size 1 inside shard_map
         di_l = jax.tree_util.tree_map(lambda x: x[0], di)
-        rev, rid, rpos, qpos, av, _rep = _lookup_anchors(
+        rev, rid, rpos, qpos, span, av, _rep = _lookup_anchors(
             di_l, mh_hi, mh_lo, mz, mpos, mvalid, lens, p)
         # per-(data, idx)-shard anchor count: the load-balance observable
         # for key-range index sharding (a skewed key distribution shows up
@@ -980,20 +993,21 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
         # merge anchors across index shards (collective merge_hits)
         n_idx = mesh.shape["idx"]
         if n_idx > 1:
-            gathered = lax.all_gather((rev, rid, rpos, qpos,
+            gathered = lax.all_gather((rev, rid, rpos, qpos, span,
                                        av.astype(jnp.int32)), "idx", axis=1,
                                       tiled=True)
-            rev, rid, rpos, qpos, av_i = gathered
+            rev, rid, rpos, qpos, span, av_i = gathered
             # re-sort merged anchors, keep top A
             key1 = jnp.where(av_i.astype(bool),
                              (rev.astype(jnp.uint32) << jnp.uint32(30))
                              | rid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-            key1, key2, key3, rev, rid, rpos, qpos, av_i = lax.sort(
+            key1, key2, key3, rev, rid, rpos, qpos, span, av_i = lax.sort(
                 (key1, rpos.astype(jnp.uint32), qpos.astype(jnp.uint32),
-                 rev, rid, rpos, qpos, av_i), dimension=1, num_keys=3)
-            rev, rid, rpos, qpos = (a[:, :p.A] for a in (rev, rid, rpos, qpos))
+                 rev, rid, rpos, qpos, span, av_i), dimension=1, num_keys=3)
+            rev, rid, rpos, qpos, span = (a[:, :p.A] for a in
+                                          (rev, rid, rpos, qpos, span))
             av = av_i[:, :p.A].astype(bool)
-        best, _ = _chain_scan(rev, rid, rpos, qpos, av, p)
+        best, _ = _chain_scan(rev, rid, rpos, qpos, span, av, p)
         ext = _extend_best(di_l, codes, lens, best, p, interpret)
         b_sc, qs, qe, rs, re_, rv, rid_b = best
         n_mapped = lax.psum((b_sc > 0).sum(), "data")

@@ -53,24 +53,34 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
             hhi, hlo, z, is_mini = device_sketch(codes_s, lens_s, p.k, p.w)
         mh_hi, mh_lo, mz, mpos, mvalid = _compact_minimizers(
             hhi, hlo, z, is_mini, p.M, use_pallas=use_pallas_sketch)
-        if p.hpc:        # map minimizer slots back to original coords
+        mspan = None
+        if p.hpc:        # map minimizer slots back to original coords;
+            # the true HPC span = hpos[mc] - hpos[mc-k] (sum of the k
+            # runs' lengths, sketch.c:94-105), capped at 255
             L = codes.shape[1]
-            mpos = jnp.where(mvalid,
-                             jnp.take_along_axis(
-                                 hpos, jnp.clip(mpos, 0, L - 1), axis=1), L)
-        rev, rid, rpos, qpos, av, rep_len = _lookup_anchors(
-            di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p, interpret)
+            mc = jnp.clip(mpos, 0, L - 1)
+            end_orig = jnp.take_along_axis(hpos, mc, axis=1)
+            prev_orig = jnp.where(
+                mc >= p.k,
+                jnp.take_along_axis(hpos, jnp.clip(mc - p.k, 0, L - 1),
+                                    axis=1), -1)
+            mspan = jnp.clip(end_orig - prev_orig, 1, 255).astype(jnp.int32)
+            mspan = jnp.where(mvalid, mspan, p.k)
+            mpos = jnp.where(mvalid, end_orig, L)
+        rev, rid, rpos, qpos, span, av, rep_len = _lookup_anchors(
+            di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p, interpret,
+            mspan=mspan)
         B = codes.shape[0]
         if not interpret and B % 128 == 0 and p.A % 256 == 0:
             from ..ops.chain_pallas import chain_batch
             f, pred, qs_a, rs_a = chain_batch(
-                rev, rid, rpos, qpos, av, BL=128, WND=p.chain_window,
+                rev, rid, rpos, qpos, span, av, BL=128, WND=p.chain_window,
                 AC=256, k=p.k, max_dist_x=p.max_dist_x,
                 max_dist_y=p.max_dist_y, bw=p.bw,
                 chn_pen_gap=p.chn_pen_gap, chn_pen_skip=p.chn_pen_skip)
         else:
             _, (f, pred, vv, qs_a, rs_a) = _chain_scan(rev, rid, rpos,
-                                                       qpos, av, p)
+                                                       qpos, span, av, p)
         recs = topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K,
                            min_sc, with_sec=with_sec)
         Kout = recs[0].shape[0]

@@ -63,14 +63,14 @@ def st_compact(hhi, hlo, zst, is_mini):
 @jax.jit
 def st_lookup(di, mh_hi, mh_lo, mz, mpos, mvalid, lens):
     out = _lookup_anchors(di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p, False)
-    s = sum(jnp.sum(o, dtype=jnp.int32) for o in out[:5])
-    return s + jnp.sum(out[5], dtype=jnp.int32), out
+    s = sum(jnp.sum(o, dtype=jnp.int32) for o in out[:6])
+    return s + jnp.sum(out[6], dtype=jnp.int32), out
 
 @jax.jit
-def st_chain(rev, rid, rpos, qpos, av):
+def st_chain(rev, rid, rpos, qpos, span, av):
     from minimap2_tpu.ops.chain_pallas import chain_batch
     f, pred, qs_a, rs_a = chain_batch(
-        rev, rid, rpos, qpos, av, BL=128, WND=p.chain_window, AC=256,
+        rev, rid, rpos, qpos, span, av, BL=128, WND=p.chain_window, AC=256,
         k=p.k, max_dist_x=p.max_dist_x, max_dist_y=p.max_dist_y, bw=p.bw,
         chn_pen_gap=p.chn_pen_gap, chn_pen_skip=p.chn_pen_skip)
     s = (jnp.sum(f, dtype=jnp.int32) + jnp.sum(pred, dtype=jnp.int32)
@@ -113,8 +113,8 @@ hhi, hlo, zst, is_mini = out
 out = timeit("compact", st_compact, hhi, hlo, zst, is_mini)
 mh_hi, mh_lo, mz, mpos, mvalid = out
 out = timeit("lookup", st_lookup, di, mh_hi, mh_lo, mz, mpos, mvalid, lens_d)
-rev, rid, rpos, qpos, av, rep = out
-out = timeit("chain", st_chain, rev, rid, rpos, qpos, av)
+rev, rid, rpos, qpos, span, av, rep = out
+out = timeit("chain", st_chain, rev, rid, rpos, qpos, span, av)
 f, pred, qs_a, rs_a = out
 _ = timeit("topk", st_topk, f, qs_a, rs_a, rev, rid, rpos, qpos, av)
 print("anchors/read avg:", float(np.asarray(av).sum()) / B, flush=True)

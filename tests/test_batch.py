@@ -204,3 +204,30 @@ def test_compact_minimizers_pallas_matches_fallback():
         np.testing.assert_array_equal(a[valid], b[valid], err_msg=nm)
     np.testing.assert_array_equal(np.asarray(out_p[4]),
                                   np.asarray(out_f[4]))
+
+
+def test_compact_minimizers_chunked_matches_fallback():
+    # the VMEM-bounded two-level chunked sort path (L > 4096)
+    import jax.numpy as jnp
+    from minimap2_tpu.ops import sort_pallas
+    from minimap2_tpu.parallel.batch import _compact_minimizers
+    rng = np.random.default_rng(7)
+    B, L, M = 8, 8192, 1024
+    hhi = jnp.asarray(rng.integers(0, 2**31, (B, L)).astype(np.uint32))
+    hlo = jnp.asarray(rng.integers(0, 2**31, (B, L)).astype(np.uint32))
+    z = jnp.asarray(rng.integers(0, 2, (B, L)).astype(np.int32))
+    is_mini = jnp.asarray(rng.random((B, L)) < 0.18)
+    orig = sort_pallas.sort3_rows
+    sort_pallas.sort3_rows = lambda a, b, c, G=8, interpret=False: \
+        orig(a, b, c, G=G, interpret=True)
+    try:
+        out_p = _compact_minimizers(hhi, hlo, z, is_mini, M,
+                                    use_pallas=True)
+    finally:
+        sort_pallas.sort3_rows = orig
+    out_f = _compact_minimizers(hhi, hlo, z, is_mini, M, use_pallas=False)
+    valid = np.asarray(out_f[4])
+    for nm, a, b in zip(("mh_hi", "mh_lo", "mz", "mpos", "mvalid"),
+                        out_p, out_f):
+        np.testing.assert_array_equal(np.asarray(a)[valid],
+                                      np.asarray(b)[valid], err_msg=nm)
