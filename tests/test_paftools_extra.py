@@ -463,3 +463,111 @@ def test_liftover_insertion_and_truncation(tmp_path):
     # q2 rev: a-coords [600-110, 600-100-1]=[490,499]; y starts at
     # t[1]-t[3]=50, x at 8000: lift start=8000+(490-50)=8440, end=8450
     assert ("ctg", "8440", "8450", "q2_100_110", "0", "-") in got, got
+
+
+def test_misjoin_inversions_and_labels(tmp_path):
+    """misjoin inversion classification traced from paftools.js:
+    - a '-' segment bracketed by '+' segments is a CLOSED inversion (M,
+      consumes the bracket so no extra events are counted)
+    - a trailing strand flip is a HANGING inversion (counted, no M)
+    - with -e, inter-chr pairs print J (or j when both breakpoints'
+      ends are centromeric points)
+    """
+    row = ("{q}\t{ql}\t{qs}\t{qe}\t{st}\t{t}\t{tl}\t{ts}\t{te}\t{bm}\t{bl}"
+           "\t60")
+    lines = [
+        # ctgI: + / - / + closed inversion on chr1
+        row.format(q="ctgI", ql=9000000, qs=0, qe=3000000, st="+",
+                   t="chr1", tl=60000000, ts=0, te=3000000,
+                   bm=2900000, bl=3000000),
+        row.format(q="ctgI", ql=9000000, qs=3000000, qe=5000000, st="-",
+                   t="chr1", tl=60000000, ts=3000000, te=5000000,
+                   bm=1900000, bl=2000000),
+        row.format(q="ctgI", ql=9000000, qs=5000000, qe=8000000, st="+",
+                   t="chr1", tl=60000000, ts=5000000, te=8000000,
+                   bm=2900000, bl=3000000),
+        # ctgH: + then - (hanging inversion)
+        row.format(q="ctgH", ql=8000000, qs=0, qe=3000000, st="+",
+                   t="chr2", tl=60000000, ts=0, te=3000000,
+                   bm=2900000, bl=3000000),
+        row.format(q="ctgH", ql=8000000, qs=3000000, qe=6000000, st="-",
+                   t="chr2", tl=60000000, ts=3000000, te=6000000,
+                   bm=2900000, bl=3000000),
+        # ctgJ: inter-chromosomal pair
+        row.format(q="ctgJ", ql=8000000, qs=0, qe=3000000, st="+",
+                   t="chr3", tl=60000000, ts=0, te=3000000,
+                   bm=2900000, bl=3000000),
+        row.format(q="ctgJ", ql=8000000, qs=3000000, qe=6000000, st="+",
+                   t="chr4", tl=60000000, ts=0, te=3000000,
+                   bm=2900000, bl=3000000),
+    ]
+    paf = tmp_path / "inv.paf"
+    paf.write_text("\n".join(lines) + "\n")
+    out = io.StringIO()
+    pt.misjoin(["-e", str(paf)], out=out)
+    v = out.getvalue()
+    assert "# candidate inversions in the middle: 1,0" in v
+    assert "# candidate inversions at contig ends: 1,0" in v
+    assert "# inter-chromosomal misjoins: 1,0" in v
+    jlines = [l for l in v.splitlines() if l.startswith("J")]
+    assert len(jlines) == 2 and all("ctgJ" in l for l in jlines)
+    mlines = [l for l in v.splitlines() if l.startswith("M")]
+    assert len(mlines) == 3 and all("ctgI" in l for l in mlines)
+    # centromeric breakpoint points -> label j
+    cen = tmp_path / "cen.bed"
+    cen.write_text("chr3\t2500000\t3500000\nchr4\t0\t500000\n")
+    out = io.StringIO()
+    pt.misjoin(["-e", "-c", str(cen), "-r", "0.99", str(paf)], out=out)
+    v = out.getvalue()
+    jl = [l for l in v.splitlines() if l.split("\t")[0] in ("J", "j")]
+    assert jl and all(l.startswith("j") for l in jl), v
+
+
+def test_asmgene_classes(tmp_path):
+    """asmgene classification traced from paftools.js: full_dup (>1 full
+    copy, D), frag (fragmented but covered, F), part50+ (cov>=0.5),
+    part10- (missing, M), and the -a autosome filter on chr[XY]."""
+    def row(g, ql, qs, qe, chrom, ts, te, mlen, blen):
+        return (f"{g}\t{ql}\t{qs}\t{qe}\t+\t{chrom}\t100000000\t{ts}\t{te}"
+                f"\t{mlen}\t{blen}\t60")
+    genes = [("gOK", "chr1", 0), ("gDUP", "chr1", 20000),
+             ("gFRAG", "chr2", 0), ("gPART", "chr2", 20000),
+             ("gMISS", "chr3", 0), ("gX", "chrX", 0)]
+    ref_lines = [row(g, 10000, 0, 10000, c, off, off + 10000, 10000, 10000)
+                 for g, c, off in genes]
+    asm_lines = [
+        row("gOK", 10000, 0, 10000, "a1", 0, 10000, 10000, 10000),
+        row("gDUP", 10000, 0, 10000, "a1", 50000, 60000, 10000, 10000),
+        row("gDUP", 10000, 0, 10000, "a2", 0, 10000, 10000, 10000),
+        # fragmented: two non-overlapping halves, full combined coverage
+        row("gFRAG", 10000, 0, 5000, "a3", 0, 5000, 5000, 5000),
+        row("gFRAG", 10000, 5000, 10000, "a4", 0, 5000, 5000, 5000),
+        # partial: 60% of the gene
+        row("gPART", 10000, 0, 6000, "a5", 0, 6000, 6000, 6000),
+        # gMISS absent entirely; gX maps fine but sits on chrX in ref
+        row("gX", 10000, 0, 10000, "a6", 0, 10000, 10000, 10000),
+    ]
+    ref = tmp_path / "ref.paf"
+    asm = tmp_path / "asm.paf"
+    ref.write_text("\n".join(ref_lines) + "\n")
+    asm.write_text("\n".join(asm_lines) + "\n")
+    out = io.StringIO()
+    pt.asmgene(["-a", "-e", str(ref), str(asm)], out=out)
+    v = out.getvalue()
+    rows = {l.split("\t")[1]: l.split("\t") for l in v.splitlines()
+            if l.startswith("X\t")}
+    asm_col = 2 + 1    # [X, metric, ref, asm]
+    assert rows["full_sgl"][3] == "1", v        # gOK only
+    assert rows["full_dup"][3] == "1", v        # gDUP
+    assert rows["frag"][3] == "1", v            # gFRAG
+    assert rows["part50+"][3] == "1", v         # gPART
+    assert rows["part10-"][3] == "1", v         # gMISS
+    # the chrX gene must not be counted anywhere with -a
+    total = sum(int(rows[k][3]) for k in
+                ("full_sgl", "full_dup", "frag", "part50+", "part10+",
+                 "part10-"))
+    assert total == 5, v
+    # -e labels
+    assert any(l.startswith("D\t") and "gDUP" in l for l in v.splitlines())
+    assert any(l.startswith("F\t") and "gFRAG" in l for l in v.splitlines())
+    assert any(l.startswith("M\t") and "gMISS" in l for l in v.splitlines())
