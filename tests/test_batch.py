@@ -231,3 +231,38 @@ def test_compact_minimizers_chunked_matches_fallback():
                         out_p, out_f):
         np.testing.assert_array_equal(np.asarray(a)[valid],
                                       np.asarray(b)[valid], err_msg=nm)
+
+
+def test_hpc_paf_step_interpret():
+    # full HPC device step (hpc_compact -> sketch -> span plane -> chain)
+    # in interpret mode: a homopolymer-rich read must map to its source
+    from minimap2_tpu.config import MM_I_HPC
+    from minimap2_tpu.index.index import MiniIndex
+    from minimap2_tpu.parallel.batch import BatchParams, DeviceIndex
+    from minimap2_tpu.parallel import engine
+    rng = np.random.default_rng(6)
+    # genome with stretched homopolymers (HPC-friendly)
+    base = rng.integers(0, 4, 12000, dtype=np.uint8)
+    runs = rng.integers(1, 4, 12000)
+    ref = np.repeat(base, runs)[:30000]
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    mi = MiniIndex.build_codes(["chrH"], [ref], w=5, k=19, flag=MM_I_HPC)
+    p = BatchParams(L=1024, M=256, A=512, occ_cap=16, chain_window=32,
+                    k=19, w=5, hpc=True)
+    di = DeviceIndex.from_host(mi, 1)[0]
+    step = engine.make_paf_step(di, p, K=1, min_sc=20, interpret=True)
+    reads, starts = [], []
+    for i in range(8):
+        st = int(rng.integers(0, len(ref) - 900))
+        seq = ref[st:st + 800].copy()
+        mut = rng.random(800) < 0.03
+        seq[mut] = rng.integers(0, 4, int(mut.sum()))
+        reads.append(ACGT[seq].tobytes())
+        starts.append(st)
+    fut = engine.dispatch_batch(step, reads, p)
+    rec = np.asarray(fut)
+    sc, sub, qs, qe, rs, re_, rev, rid, cnt, rep = rec
+    for i in range(8):
+        assert sc[0, i] > 50, (i, sc[0, i])
+        assert rev[0, i] == 0
+        assert abs(int(rs[0, i]) - starts[i]) < 250, (i, rs[0, i], starts[i])
