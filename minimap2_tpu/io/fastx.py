@@ -33,12 +33,28 @@ def _open(path: str):
 
 
 class FastxReader:
-    """Record-at-a-time FASTA/FASTQ parser."""
+    """Record-at-a-time FASTA/FASTQ parser.
+
+    When the native library is present, parsing runs through the C++
+    buffer scanner (mm_fastx_scan, the kseq.h analogue) over streamed
+    chunks; the Python line parser remains as the fallback and the
+    behavioural oracle."""
+
+    _CHUNK = 8 << 20
 
     def __init__(self, path: str):
         self._fp = _open(path)
         self._pending: bytes | None = None
         self.eof = False
+        self._q: list[SeqRecord] = []
+        self._carry = b""
+        self._native = None
+        try:
+            from .. import native
+            if native.available():
+                self._native = native
+        except Exception:
+            pass
 
     def close(self):
         self._fp.close()
@@ -49,7 +65,40 @@ class FastxReader:
             return line
         return self._fp.readline()
 
+    def _fill_native(self) -> None:
+        nat = self._native
+        while not self._q and not self.eof:
+            chunk = self._fp.read(self._CHUNK)
+            if not chunk:
+                if not self._carry:
+                    self.eof = True
+                    return
+                buf, final = self._carry, True
+            else:
+                buf, final = self._carry + chunk, False
+            n, out_seq, meta, qmeta, consumed = nat.fastx_scan(buf, final)
+            sview = out_seq.tobytes()
+            for i in range(n):
+                no, nl, co, cl, so, sl = meta[i]
+                qo, qlq = qmeta[i]
+                self._q.append(SeqRecord(
+                    name=buf[no:no + nl].decode(),
+                    seq=sview[so:so + sl],
+                    qual=sview[qo:qo + qlq] if qlq else None,
+                    comment=buf[co:co + cl].decode() if cl else None))
+            self._carry = b"" if final else buf[consumed:]
+            if final:
+                self.eof = True
+                return
+
     def read1(self) -> SeqRecord | None:
+        if self._native is not None and self._pending is None:
+            if not self._q:
+                self._fill_native()
+            return self._q.pop(0) if self._q else None
+        return self._read1_py()
+
+    def _read1_py(self) -> SeqRecord | None:
         # find header
         while True:
             line = self._readline()
@@ -118,6 +167,9 @@ class FastxReader:
         return out
 
     def _push_back_record(self, rec: SeqRecord):
+        if self._native is not None:
+            self._q.insert(0, rec)
+            return
         # reconstruct minimal header + body and prepend (rare path, batch edge)
         hdr = (b"@" if rec.qual is not None else b">") + rec.name.encode()
         if rec.comment:

@@ -120,6 +120,10 @@ def _load():
     lib.build_hash2_table.argtypes = [
         C.c_void_p, C.c_void_p, C.c_int64, C.c_int64, C.c_int, C.c_int,
         C.c_void_p]
+    lib.mm_fastx_scan.restype = C.c_int64
+    lib.mm_fastx_scan.argtypes = [
+        C.c_void_p, C.c_int64, C.c_int, C.c_void_p, C.c_int64, C.c_void_p,
+        C.c_void_p, C.c_int64, C.c_void_p]
     lib.mm_cigar_kadane_trim.restype = None
     lib.mm_cigar_kadane_trim.argtypes = [
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_int64, C.c_void_p, C.c_int,
@@ -313,6 +317,35 @@ def ksw_ll(qlen, query, tlen, target, m, mat, gapo, gape):
     sc = lib.ksw_ll_cpp(qlen, _ptr(query), tlen, _ptr(target), m,
                         _ptr(mat), gapo, gape, _ptr(qe), _ptr(te))
     return int(sc), int(qe[0]), int(te[0])
+
+
+def fastx_scan(buf: bytes, is_final: bool):
+    """Parse a FASTA/FASTQ text buffer (native kseq.h analogue).
+
+    Returns (n_records, seq_bytes ndarray, meta (n,6) int64,
+    qmeta (n,2) int64, consumed).  meta columns: name_off, name_len,
+    comment_off, comment_len, seq_off, seq_len; offsets for names into
+    `buf`, for seq/qual into seq_bytes.  Raises ValueError on malformed
+    input."""
+    lib = _load()
+    bufa = np.frombuffer(buf, np.uint8)
+    rec_cap = max(64, len(buf) // 32)
+    seq_cap = len(buf) + 64
+    while True:
+        out_seq = np.empty(seq_cap, np.uint8)
+        meta = np.empty((rec_cap, 6), np.int64)
+        qmeta = np.empty((rec_cap, 2), np.int64)
+        consumed = np.zeros(1, np.int64)
+        n = lib.mm_fastx_scan(_ptr(bufa), len(bufa), int(is_final),
+                              _ptr(out_seq), seq_cap, _ptr(meta),
+                              _ptr(qmeta), rec_cap, _ptr(consumed))
+        if n == -1:
+            rec_cap *= 2
+            seq_cap *= 2
+            continue
+        if n == -2:
+            raise ValueError("malformed FASTA/FASTQ input")
+        return int(n), out_seq, meta[:n], qmeta[:n], int(consumed[0])
 
 
 def cigar_kadane_trim(qseq, tseq, cigar, mat, m, q, e, q2, e2,
