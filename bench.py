@@ -102,8 +102,13 @@ def bench_ours(mi, names, rcodes):
     seqs = [ACGT[c].tobytes() for c in rcodes]
     mo = MapOptions()
     mapopt_update(mo, mi)
-    p = BatchParams(L=12288, M=2048, A=8192,
-                    occ_cap=max(mo.mid_occ, 10), chain_window=64)
+    # occ_cap 64 (vs mid_occ 237): p99 of distinct-minimizer occurrence
+    # on this genome is 6, so the 65..237 band only bloats repeat-region
+    # anchors -- halving the anchor capacity halves the dominant
+    # pos-gather + sort + chain cost; the mapeval gate below guards the
+    # quality tradeoff
+    p = BatchParams(L=12288, M=2048, A=4096,
+                    occ_cap=min(max(mo.mid_occ, 10), 64), chain_window=64)
     t0 = time.time()
     tag = "5m_s0" if SMALL else f"1g_s{GENOME_SEED}"
     di = DeviceIndex.from_host(
@@ -117,25 +122,33 @@ def bench_ours(mi, names, rcodes):
     t0 = time.perf_counter()
     n = 0
     buf = io.StringIO()
-    inflight = []
     done_ts = []      # completion timestamps, one per drained batch
     REPS = 12
-    for _rep in range(REPS):
-        for st in range(0, N_READS, B):
-            nm, sq = names[st:st + B], seqs[st:st + B]
-            inflight.append((nm, sq, engine.dispatch_batch(step, sq, p)))
-            while len(inflight) > 2:
-                nm0, sq0, fut = inflight.pop(0)
-                engine.map_batch_paf(mi, di, step, nm0, sq0, None, p, buf,
-                                     pending=fut)
-                n += len(nm0)
-                done_ts.append(time.perf_counter())
-    while inflight:
-        nm0, sq0, fut = inflight.pop(0)
+    # prefetch thread: encoding + the host->device upload of batch N+1
+    # overlaps batch N's compute and the host-side PAF emit
+    import queue
+    import threading
+    q_out = queue.Queue(maxsize=2)
+
+    def feeder():
+        for _rep in range(REPS):
+            for st in range(0, N_READS, B):
+                nm, sq = names[st:st + B], seqs[st:st + B]
+                q_out.put((nm, sq, engine.dispatch_batch(step, sq, p)))
+        q_out.put(None)
+
+    th = threading.Thread(target=feeder, daemon=True)
+    th.start()
+    while True:
+        item = q_out.get()
+        if item is None:
+            break
+        nm0, sq0, fut = item
         engine.map_batch_paf(mi, di, step, nm0, sq0, None, p, buf,
                              pending=fut)
         n += len(nm0)
         done_ts.append(time.perf_counter())
+    th.join()
     dt = time.perf_counter() - t0
     # steady-state throughput: median batch-to-batch completion interval
     # (robust to a transient tunnel stall); fall back to the global mean

@@ -158,6 +158,15 @@ def _mapq(score: int, sub: int, cnt: int, min_chain_score: int,
     return max(0, min(mapq, 60))
 
 
+def _occ_cap(opt) -> int:
+    """Device occurrence cap: honor mid_occ up to a shape-friendly bound
+    (the 65+ occurrence band is repeat bloat that dominates the anchor
+    gather/sort/chain cost; override with MM2TPU_OCC_CAP)."""
+    import os
+    cap = int(os.environ.get("MM2TPU_OCC_CAP", "64"))
+    return min(max(opt.mid_occ, 10), cap)
+
+
 def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
                     L: int = 16384):
     """CLI --batch driver: device PAF mapping over read mega-batches.
@@ -186,7 +195,7 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
     from ..config import MM_I_HPC
     hpc = bool(mi.flag & MM_I_HPC)
     p = BatchParams(L=L, M=max(256, L // 4), A=4096,
-                    occ_cap=max(opt.mid_occ, 10), chain_window=64,
+                    occ_cap=_occ_cap(opt), chain_window=64,
                     k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
                     max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc)
     di = DeviceIndex.from_host(mi, 1)[0]
@@ -509,7 +518,7 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
         pass
     hpc = bool(mi.flag & MM_I_HPC)
     p = BatchParams(L=L, M=max(256, L // 4), A=4096,
-                    occ_cap=max(opt.mid_occ, 10), chain_window=64,
+                    occ_cap=_occ_cap(opt), chain_window=64,
                     k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
                     max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc)
     di = DeviceIndex.from_host(mi, 1)[0]
@@ -635,7 +644,7 @@ def run_batched_pe_cli(mi, opt, queries, out, batch_frags: int = 256,
         pass
     hpc = bool(mi.flag & MM_I_HPC)
     p = BatchParams(L=L, M=max(256, L // 4), A=2048,
-                    occ_cap=max(opt.mid_occ, 10), chain_window=64,
+                    occ_cap=_occ_cap(opt), chain_window=64,
                     k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
                     max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc)
     di = DeviceIndex.from_host(mi, 1)[0]
