@@ -206,24 +206,42 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
     n_reads = n_mapped = 0
     names, seqs = [], []
 
-    inflight = []    # [(names, seqs, device_future)] double buffering:
-                     # the next batch is dispatched before fetching the
-                     # previous one, overlapping upload/compute/host-emit
+    # dispatch thread: encode + host->device upload of the next batch
+    # overlaps the previous batch's compute and host-side PAF emit (the
+    # kt_pipeline read/map/write overlap, kthread.c:97-159, as a
+    # prefetch thread + device queue)
+    import queue as _queue
+    import threading as _threading
+    q_disp: _queue.Queue = _queue.Queue(maxsize=2)
+    q_done: _queue.Queue = _queue.Queue(maxsize=4)
+
+    def _feeder():
+        while True:
+            item = q_disp.get()
+            if item is None:
+                return
+            nm, sq = item
+            q_done.put((nm, sq,
+                        dispatch_batch(step, sq, p, pad_to=batch_reads)))
+
+    _th = _threading.Thread(target=_feeder, daemon=True)
+    _th.start()
+    outstanding = 0
 
     def drain(keep: int):
-        nonlocal n_mapped
-        while len(inflight) > keep:
-            nm, sq, fut = inflight.pop(0)
+        nonlocal n_mapped, outstanding
+        while outstanding > keep:
+            nm, sq, fut = q_done.get()
+            outstanding -= 1
             n_mapped += map_batch_paf(mi, di, step, nm, sq, None, p, out,
                                       pending=fut)
 
     def flush():
-        nonlocal names, seqs
+        nonlocal names, seqs, outstanding
         if not names:
             return
-        inflight.append((names, seqs,
-                         dispatch_batch(step, seqs, p,
-                                        pad_to=batch_reads)))
+        q_disp.put((names, seqs))
+        outstanding += 1
         names, seqs = [], []
         drain(2)
 
@@ -249,6 +267,8 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
         rd.close()
     flush()
     drain(0)
+    q_disp.put(None)
+    _th.join()
     dt = time.time() - t0
     print(f"[M::batch] mapped {n_reads} reads in {dt:.2f}s "
           f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
