@@ -119,7 +119,7 @@ def _load():
     lib.build_hash2_table.restype = C.c_int64
     lib.build_hash2_table.argtypes = [
         C.c_void_p, C.c_void_p, C.c_int64, C.c_int64, C.c_int, C.c_int,
-        C.c_void_p]
+        C.c_int, C.c_void_p]
     lib.mm_fastx_scan.restype = C.c_int64
     lib.mm_fastx_scan.argtypes = [
         C.c_void_p, C.c_int64, C.c_int, C.c_void_p, C.c_int64, C.c_void_p,
@@ -206,16 +206,19 @@ def collect_anchors(mx: np.ndarray, my: np.ndarray, keys: np.ndarray,
 
 
 def build_hash2_table(keys: np.ndarray, starts: np.ndarray, NB: int,
-                      S: int, key32: bool) -> tuple[np.ndarray, int]:
+                      S: int, key32: bool,
+                      mulhi: bool = False) -> tuple[np.ndarray, int]:
     """Build the (NB, S*stride) int32 2-choice bucketed device seed table
-    (stride 3 when key32 else 4).  Returns (table, n_overflow)."""
+    (stride 3 when key32 else 4).  Returns (table, n_overflow).
+    mulhi=True maps buckets via ((u64)h * NB) >> 32 (any NB, not just
+    pow2), matching _mulhi_u32 on the device side."""
     lib = _load()
     keys = np.ascontiguousarray(keys, dtype=np.uint64)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     stride = 3 if key32 else 4
     table = np.empty((NB, S * stride), np.int32)
     ov = lib.build_hash2_table(_ptr(keys), _ptr(starts), len(keys), NB, S,
-                               int(key32), _ptr(table))
+                               int(key32), int(mulhi), _ptr(table))
     return table, int(ov)
 
 

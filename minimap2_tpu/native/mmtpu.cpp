@@ -2083,7 +2083,7 @@ void mm_cigar_kadane_trim(const uint8_t* qseq, const uint8_t* tseq,
 // ---------------------------------------------------------------------
 int64_t build_hash2_table(const uint64_t* keys, const int64_t* starts,
                           int64_t n, int64_t NB, int S, int key32,
-                          int32_t* table)
+                          int mulhi, int32_t* table)
 {
     uint32_t mask = (uint32_t)(NB - 1);
     int st = key32 ? 3 : 4;
@@ -2096,9 +2096,18 @@ int64_t build_hash2_table(const uint64_t* keys, const int64_t* starts,
     for (int64_t i = 0; i < n; ++i) {
         uint64_t key = keys[i];
         uint32_t lo = (uint32_t)key, hi = (uint32_t)(key >> 32);
-        uint32_t b1 = lo & mask;
         uint32_t k11 = (uint32_t)((lo >> 11) | (hi << 21)) * 2654435761u;
-        uint32_t b2 = (k11 >> 7) & mask;
+        uint32_t b1, b2;
+        if (mulhi) {
+            // non-pow2 bucket count: mulhi range reduction (must match
+            // _mulhi_u32 in parallel/batch.py bit-for-bit)
+            uint32_t m1 = lo * 2654435769u;
+            b1 = (uint32_t)(((uint64_t)m1 * (uint64_t)NB) >> 32);
+            b2 = (uint32_t)(((uint64_t)k11 * (uint64_t)NB) >> 32);
+        } else {
+            b1 = lo & mask;
+            b2 = (k11 >> 7) & mask;
+        }
         uint32_t b = occ[b1] <= occ[b2] ? b1 : b2;
         if (occ[b] >= S) b = (b == b1) ? b2 : b1;
         if (occ[b] >= S) { ++overflow; continue; }

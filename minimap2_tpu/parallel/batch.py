@@ -124,6 +124,19 @@ def hash64_pair(khi, klo, mask_hi: int, mask_lo: int):
     return band(khi2, klo2)
 
 
+def _mulhi_u32(a, nb: int):
+    """High 32 bits of a (u32) * nb (static int): the non-pow2 bucket
+    range reduction, decomposed into 16-bit halves (TPU has no u64)."""
+    nb_l = jnp.uint32(nb & 0xFFFF)
+    nb_h = jnp.uint32(nb >> 16)
+    al = a & jnp.uint32(0xFFFF)
+    ah = a >> jnp.uint32(16)
+    cross = ah * nb_l + ((al * nb_l) >> jnp.uint32(16))
+    cross2 = al * nb_h + (cross & jnp.uint32(0xFFFF))
+    return (ah * nb_h + (cross >> jnp.uint32(16))
+            + (cross2 >> jnp.uint32(16)))
+
+
 def searchsorted_u64pair(khi, klo, qhi, qlo):
     """Left insertion point of (qhi, qlo) into the lexicographically sorted
     key pair arrays (vectorized binary search; index.c:93 analogue)."""
@@ -185,15 +198,34 @@ class BatchParams:
 # ---------------------------------------------------------------------------
 
 
+def _pack_s4(S: np.ndarray) -> np.ndarray:
+    """nt4 u8 codes -> two 4-bit codes per byte (code 4 = ambiguous fits)."""
+    T = len(S)
+    Sp = S if T % 2 == 0 else np.concatenate([S, np.zeros(1, np.uint8)])
+    h = Sp.reshape(-1, 2)
+    return (h[:, 0] | (h[:, 1] << np.uint8(4))).astype(np.uint8)
+
+
+def _gather_s(di, idx):
+    """Gather nt4 codes from di.S at int32/uint32 indices, any s_fmt."""
+    if di.s_fmt == 0:
+        return di.S[jnp.clip(idx, 0, di.S.shape[0] - 1)]
+    byte_i = (idx >> jnp.asarray(1, idx.dtype)).astype(jnp.int32)
+    b = di.S[jnp.clip(byte_i, 0, di.S.shape[0] - 1)]
+    odd = (idx & jnp.asarray(1, idx.dtype)).astype(jnp.uint8)
+    return (b >> (odd << jnp.uint8(2))) & jnp.uint8(0xF)
+
+
 @jax.tree_util.register_pytree_node_class
 class DeviceIndex:
     """Flat-tensor minimizer index resident in HBM (index.c:93-110 layout
     re-expressed as sorted keys + offset/count + int32 position planes)."""
 
     def __init__(self, keys2, sc2, pos2, S, seq_off, seq_len,
-                 bucket_start=None, h2=None, key_shift: int = 0,
-                 n_probe: int = 6, h2_bits: int = 0, h2_slots: int = 8,
-                 pos_fmt: int = 0):
+                 bucket_start=None, h2=None, pstrand=None,
+                 key_shift: int = 0, n_probe: int = 6, h2_bits: int = 0,
+                 h2_slots: int = 8, pos_fmt: int = 0, h2_nb: int = 0,
+                 s_fmt: int = 0):
         # pair-packed planes: one 2-wide gather fetches what used to take
         # two element gathers (gathers are the device bottleneck)
         self.keys2 = keys2          # (K, 2) u32 [hi, lo], sorted, UMAX pad
@@ -202,9 +234,16 @@ class DeviceIndex:
         # pos_fmt 1: (P,) u32 global (seq_off[rid]+rpos)<<1|strand -- HALF
         #            the gather bytes; rid recovered by comparing against
         #            seq_off (requires total<2^31 and small n_seq)
+        # pos_fmt 2: (P,) u32 global seq_off[rid]+rpos, strand riding in
+        #            the pstrand bitmap -- the 2^31..2^32 (GRCh38-scale)
+        #            regime; seq_off is then the i32 BITCAST of u32 offsets
         self.pos2 = pos2
-        self.S = S                  # (T,) u8 nt4 codes, concatenated refs
-        self.seq_off = seq_off      # (n_seq,) i32
+        # s_fmt 0: (T,) u8 nt4 codes, concatenated refs
+        # s_fmt 1: (ceil(T/2),) u8, two 4-bit nt4 codes per byte (halves
+        #          the resident bytes AND keeps gather indices < 2^31 for
+        #          genomes up to 4 Gb)
+        self.S = S
+        self.seq_off = seq_off      # (n_seq,) i32 (u32 bitcast if pos_fmt 2)
         self.seq_len = seq_len      # (n_seq,) i32
         # direct-address bucket table over the top key bits (the 2^b-bucket
         # structure of index.c:50, rebuilt for O(1)-ish device probes)
@@ -213,27 +252,35 @@ class DeviceIndex:
         # probe = TWO (h2_slots*stride)-wide row gathers; preferred over
         # the binary search when present
         self.h2 = h2                       # (NB, h2_slots*st) i32 or None
+        self.pstrand = pstrand             # (ceil(P/8),) u8 bitmap or None
         self.key_shift = key_shift         # static: key >> shift = bucket
         self.n_probe = n_probe             # static: ceil(log2(max bucket))
-        self.h2_bits = h2_bits             # static: log2(NB)
+        self.h2_bits = h2_bits             # static: log2(NB) (mask mode)
         self.h2_slots = h2_slots           # static: slots per bucket
         self.pos_fmt = pos_fmt             # static: pos2 layout
+        self.h2_nb = h2_nb                 # static: >0 = mulhi bucket map
+        self.s_fmt = s_fmt                 # static: S layout
+
+    _AUX_FIELDS = ("key_shift", "n_probe", "h2_bits", "h2_slots",
+                   "pos_fmt", "h2_nb", "s_fmt")
+
+    def aux_dict(self):
+        return {a: getattr(self, a) for a in self._AUX_FIELDS}
 
     def tree_flatten(self):
         return ((self.keys2, self.sc2, self.pos2, self.S,
-                 self.seq_off, self.seq_len, self.bucket_start, self.h2),
-                (self.key_shift, self.n_probe, self.h2_bits, self.h2_slots,
-                 self.pos_fmt))
+                 self.seq_off, self.seq_len, self.bucket_start, self.h2,
+                 self.pstrand),
+                tuple(getattr(self, a) for a in self._AUX_FIELDS))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        key_shift, n_probe, h2_bits, h2_slots, pos_fmt = aux
-        return cls(*children, key_shift=key_shift, n_probe=n_probe,
-                   h2_bits=h2_bits, h2_slots=h2_slots, pos_fmt=pos_fmt)
+        return cls(*children, **dict(zip(cls._AUX_FIELDS, aux)))
 
     @classmethod
     def from_host(cls, mi, n_shards: int = 1, pad_pos_to: int | None = None,
-                  cache: str | None = None):
+                  cache: str | None = None, force_pos_fmt: int | None = None,
+                  force_s_fmt: int | None = None):
         """Build 1..n_shards DeviceIndex pytrees from a host MiniIndex.
 
         Sharding is by contiguous key range (the capacity-sharding analogue of
@@ -259,7 +306,10 @@ class DeviceIndex:
         shards = []
         S = np.ascontiguousarray(mi.S if mi.S is not None
                                  else np.zeros(1, np.uint8))
-        seq_off = np.array([s.offset for s in mi.seq] or [0], np.int32)
+        # offsets can exceed 2^31 at GRCh38 scale: build u64 then bitcast
+        # the u32 view into the i32 plane (pos_fmt 2 reads it back as u32)
+        seq_off64 = np.array([s.offset for s in mi.seq] or [0], np.uint64)
+        seq_off = seq_off64.astype(np.uint32).view(np.int32)
         seq_len = np.array([s.length for s in mi.seq] or [0], np.int32)
         ppad = pad_pos_to
         if ppad is None:
@@ -274,11 +324,14 @@ class DeviceIndex:
         key32 = key_bits < 32
         h2_slots = 4 if key32 else 8
         h2_bits = 0
+        h2_nb = 0
         h2_tables = None
         if use_h2:
             kmax = max(bounds[i + 1] - bounds[i] for i in range(n_shards))
-            h2_bits = max(6, int(math.ceil(math.log2(
-                max(1.0, kmax / (h2_slots * 0.75))))))
+            # non-pow2 bucket count with the mulhi range reduction: a pow2
+            # table wastes up to 2x HBM from rounding, which is the margin
+            # between fitting and not fitting a 3 Gb genome on one chip
+            h2_nb = max(64, int(math.ceil(kmax / (h2_slots * 0.85))))
             while True:     # all shards share one size (stackable pytrees)
                 h2_tables = []
                 ov_tot = 0
@@ -287,12 +340,13 @@ class DeviceIndex:
                     p0 = int(mi.starts[lo])
                     rel = (mi.starts[lo:hi + 1] - p0).astype(np.int64)
                     t, ov = native.build_hash2_table(
-                        mi.keys[lo:hi], rel, 1 << h2_bits, h2_slots, key32)
+                        mi.keys[lo:hi], rel, h2_nb, h2_slots, key32,
+                        mulhi=True)
                     ov_tot += ov
                     h2_tables.append(t)
                 if ov_tot == 0:
                     break
-                h2_bits += 1        # overflow: double the table
+                h2_nb = int(h2_nb * 1.15) + 1    # overflow: grow 15%
         for i in range(n_shards):
             lo, hi = bounds[i], bounds[i + 1]
             p0 = int(mi.starts[lo]) if K else 0
@@ -321,28 +375,55 @@ class DeviceIndex:
                 bmax = int(np.diff(bstart).max()) if len(bstart) > 1 else 1
                 n_probe = max(1, int(math.ceil(math.log2(bmax + 1))))
             pos = mi.pos[p0:p1]
-            total_len = int(seq_off[-1]) + int(seq_len[-1]) if len(S) else 0
-            pos_fmt = 1 if (total_len < (1 << 31) and len(seq_off) <= 64) \
-                else 0
+            total_len = (int(seq_off64[-1]) + int(seq_len[-1])
+                         if len(S) else 0)
+            n_seq_ok = len(seq_off) <= 64
+            if total_len < (1 << 31) and n_seq_ok:
+                pos_fmt = 1
+            elif total_len < (1 << 32) - 1 and n_seq_ok:
+                pos_fmt = 2      # GRCh38-scale: strand in a side bitmap
+            else:
+                pos_fmt = 0
+            if force_pos_fmt is not None:
+                pos_fmt = force_pos_fmt
+            pstrand = None
+            seq_off_out = seq_off
             if pos_fmt:
                 rid_h = (pos >> np.uint64(32)).astype(np.int64)
                 rp_h = (pos & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-                goff = seq_off.astype(np.uint32)[
-                    np.clip(rid_h, 0, len(seq_off) - 1)]
+                goff = seq_off64.astype(np.uint32)[
+                    np.clip(rid_h, 0, len(seq_off64) - 1)]
                 pos2 = np.zeros(ppad, np.uint32)
-                pos2[:len(pos)] = rp_h + (goff << np.uint32(1))
+                if pos_fmt == 1:
+                    pos2[:len(pos)] = rp_h + (goff << np.uint32(1))
+                else:
+                    pos2[:len(pos)] = (rp_h >> np.uint32(1)) + goff
+                    sbits = np.zeros(((ppad + 7) // 8) * 8, np.uint8)
+                    sbits[:len(pos)] = (rp_h & np.uint32(1)).astype(np.uint8)
+                    pstrand = np.packbits(sbits.reshape(-1, 8), axis=-1,
+                                          bitorder="little")[:, 0]
+                    # u32 offsets ride bitcast in the i32 seq_off plane
+                    seq_off_out = seq_off64.astype(np.uint32).view(np.int32)
             else:
                 pos2 = np.zeros((ppad, 2), np.int32)
                 pos2[:len(pos), 0] = (pos >> np.uint64(32)).astype(np.int32)
                 # packed: rpos<<1 | strand (one gather serves both)
                 pos2[:len(pos), 1] = (pos
                                       & np.uint64(0xFFFFFFFF)).astype(np.int32)
+            s_fmt = 1 if (len(S) >= int(1.6e9) or pos_fmt == 2
+                          or os.environ.get("MM2TPU_PACK_S") == "1") else 0
+            if force_s_fmt is not None:
+                s_fmt = force_s_fmt
+            S_out = _pack_s4(S) if s_fmt else S
             shards.append(cls(jnp.asarray(keys2), jnp.asarray(sc2),
-                              jnp.asarray(pos2), jnp.asarray(S),
-                              jnp.asarray(seq_off), jnp.asarray(seq_len),
-                              jnp.asarray(bstart), h2, key_shift=shift,
+                              jnp.asarray(pos2), jnp.asarray(S_out),
+                              jnp.asarray(seq_off_out), jnp.asarray(seq_len),
+                              jnp.asarray(bstart), h2,
+                              None if pstrand is None else jnp.asarray(pstrand),
+                              key_shift=shift,
                               n_probe=n_probe, h2_bits=h2_bits,
-                              h2_slots=h2_slots, pos_fmt=pos_fmt))
+                              h2_slots=h2_slots, pos_fmt=pos_fmt,
+                              h2_nb=h2_nb, s_fmt=s_fmt))
         if cache:
             try:
                 cls._save_cache(cache, shards)
@@ -351,8 +432,9 @@ class DeviceIndex:
         return shards
 
     _CACHE_LEAVES = ("keys2", "sc2", "pos2", "S", "seq_off", "seq_len",
-                     "bucket_start", "h2")
-    _CACHE_AUX = ("key_shift", "n_probe", "h2_bits", "h2_slots", "pos_fmt")
+                     "bucket_start", "h2", "pstrand")
+    _CACHE_AUX = ("key_shift", "n_probe", "h2_bits", "h2_slots", "pos_fmt",
+                  "h2_nb", "s_fmt")
 
     @classmethod
     def _save_cache(cls, path, shards):
@@ -374,6 +456,8 @@ class DeviceIndex:
         meta = z["meta"]
         if int(meta[0]) != n_shards:
             raise ValueError("shard count mismatch")
+        if len(meta) != 1 + len(cls._CACHE_AUX):
+            raise ValueError("cache from an older layout")
         aux = {a: int(v) for a, v in zip(cls._CACHE_AUX, meta[1:])}
         shards = []
         for i in range(n_shards):
@@ -602,11 +686,16 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
         S_ = di.h2_slots
         key32 = di.h2.shape[1] == S_ * 3
         stride = 3 if key32 else 4
-        mask = jnp.uint32((1 << di.h2_bits) - 1)
-        b1 = (mh_lo & mask).astype(jnp.int32)
         k11 = (((mh_lo >> jnp.uint32(11)) | (mh_hi << jnp.uint32(21)))
                * jnp.uint32(2654435761))
-        b2 = ((k11 >> jnp.uint32(7)) & mask).astype(jnp.int32)
+        if di.h2_nb:        # non-pow2 table: mulhi range reduction
+            m1 = mh_lo * jnp.uint32(2654435769)
+            b1 = _mulhi_u32(m1, di.h2_nb).astype(jnp.int32)
+            b2 = _mulhi_u32(k11, di.h2_nb).astype(jnp.int32)
+        else:               # legacy pow2 table: low-bits mask
+            mask = jnp.uint32((1 << di.h2_bits) - 1)
+            b1 = (mh_lo & mask).astype(jnp.int32)
+            b2 = ((k11 >> jnp.uint32(7)) & mask).astype(jnp.int32)
         t = jnp.concatenate([di.h2[b1], di.h2[b2]], axis=-1) \
             .reshape(B, M, 2 * S_, stride)                 # (B, M, 2S, st)
         if key32:
@@ -695,20 +784,32 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, mspan, qlen,
     within = slot - g[..., 0]
     pidx = g[..., 1] + within
     pidx = jnp.clip(pidx, 0, di.pos2.shape[0] - 1)
-    if di.pos_fmt == 1:
-        # single u32 plane: global (off+rpos)<<1|strand; rid recovered by
-        # unrolled compares against the (small) seq_off table -- no gather
+    if di.pos_fmt in (1, 2):
+        # single u32 plane: global position; rid recovered by unrolled
+        # compares against the (small) seq_off table -- no gather.
+        # fmt 1 packs strand in the LSB (total < 2^31); fmt 2 keeps the
+        # full u32 for position (GRCh38 scale) with strand in a bitmap.
         pv1 = di.pos2[pidx]                                   # (B, A) u32
-        gpos = (pv1 >> jnp.uint32(1)).astype(jnp.int32)
-        rstrand = (pv1 & jnp.uint32(1)).astype(jnp.int32)
+        if di.pos_fmt == 1:
+            gpos = (pv1 >> jnp.uint32(1)).astype(jnp.int32)
+            rstrand = (pv1 & jnp.uint32(1)).astype(jnp.int32)
+            so_u = di.seq_off.astype(jnp.uint32)
+            gpos_u = gpos.astype(jnp.uint32)
+        else:
+            gpos_u = pv1
+            sb = di.pstrand[jnp.clip((pidx >> 3), 0,
+                                     di.pstrand.shape[0] - 1)]
+            rstrand = ((sb >> (pidx & 7).astype(jnp.uint8))
+                       & jnp.uint8(1)).astype(jnp.int32)
+            so_u = lax.bitcast_convert_type(di.seq_off, jnp.uint32)
         n_seq = di.seq_off.shape[0]
-        rid = jnp.zeros_like(gpos)
-        off_sel = jnp.zeros_like(gpos)
+        rid = jnp.zeros(gpos_u.shape, jnp.int32)
+        off_sel = jnp.zeros(gpos_u.shape, jnp.uint32)
         for j in range(1, n_seq):
-            in_j = gpos >= di.seq_off[j]
+            in_j = gpos_u >= so_u[j]
             rid = rid + in_j.astype(jnp.int32)
-            off_sel = jnp.where(in_j, di.seq_off[j], off_sel)
-        rpos = gpos - off_sel
+            off_sel = jnp.where(in_j, so_u[j], off_sel)
+        rpos = (gpos_u - off_sel).astype(jnp.int32)
     else:
         pv = di.pos2[pidx]                                    # (B, A, 2)
         rid = pv[..., 0]
@@ -917,8 +1018,13 @@ def _extend_best(di: DeviceIndex, codes, lens, best, p: BatchParams,
     qr = jnp.take_along_axis(qcode, ridx, axis=1)
     art = jnp.arange(p.TP, dtype=jnp.int32)[None, :]
     soff = di.seq_off[jnp.clip(rid, 0, di.seq_off.shape[0] - 1)]
-    tidx = soff[:, None] + rs[:, None] + art
-    tcode = di.S[jnp.clip(tidx, 0, di.S.shape[0] - 1)]
+    if di.pos_fmt == 2:      # u32 offsets ride bitcast in the i32 plane
+        soff_u = lax.bitcast_convert_type(soff, jnp.uint32)
+        tidx = (soff_u[:, None] + rs.astype(jnp.uint32)[:, None]
+                + art.astype(jnp.uint32))
+    else:
+        tidx = soff[:, None] + rs[:, None] + art
+    tcode = _gather_s(di, tidx)
     tcode = jnp.where(art < tlen[:, None], tcode, jnp.uint8(4)).astype(jnp.uint8)
     lens2 = jnp.stack([jnp.maximum(qlen, 1), jnp.maximum(tlen, 1)],
                       axis=1).astype(jnp.int32)
@@ -960,9 +1066,7 @@ def map_batch(di: DeviceIndex, codes, lens, p: BatchParams,
 
 
 def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
-                      key_shift: int = 0, n_probe: int = 6,
-                      h2_bits: int = 0, h2_slots: int = 8,
-                      pos_fmt: int = 0):
+                      **aux):
     """Build a pjit-ed mapping step over a ('data', 'idx') mesh.
 
     Reads shard over 'data'.  The index shards over 'idx' by key range; each
@@ -1015,9 +1119,7 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
                "rev": rv, "qs": qs, "qe": qe, "rs": rs, "re": re_}
         return out, n_mapped, n_anc_local
 
-    di_spec = jax.tree_util.tree_map(lambda _: P("idx"),
-                                     _di_proto(key_shift, n_probe,
-                                               h2_bits, h2_slots, pos_fmt))
+    di_spec = jax.tree_util.tree_map(lambda _: P("idx"), _di_proto(**aux))
     fn = shard_map(local_step, mesh=mesh,
                    in_specs=(di_spec, P("data", None), P("data")),
                    out_specs=(jax.tree_util.tree_map(
@@ -1029,10 +1131,11 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
     return jax.jit(fn)
 
 
-def _di_proto(key_shift: int = 0, n_probe: int = 6, h2_bits: int = 0,
-              h2_slots: int = 8, pos_fmt: int = 0):
-    return DeviceIndex(*([0] * 8), key_shift=key_shift, n_probe=n_probe,
-                       h2_bits=h2_bits, h2_slots=h2_slots, pos_fmt=pos_fmt)
+def _di_proto(**aux):
+    # pstrand exists iff pos_fmt 2; None keeps the pytree structures of
+    # the spec proto and the real stacked DeviceIndex aligned
+    ps = 0 if aux.get("pos_fmt", 0) == 2 else None
+    return DeviceIndex(*([0] * 8), ps, **aux)
 
 
 def stack_shards(shards: list[DeviceIndex]) -> DeviceIndex:

@@ -22,7 +22,9 @@ from minimap2_tpu.parallel.batch import (BatchParams, DeviceIndex,
 B = 512
 mi = MiniIndex.load(".bench_cache/index_1g_s7.npz")
 mo = MapOptions(); mapopt_update(mo, mi)
-p = BatchParams(L=12288, M=2048, A=8192, occ_cap=max(mo.mid_occ, 10),
+p = BatchParams(L=12288, M=2048, A=int(os.environ.get("MM2TPU_A", "4096")),
+                occ_cap=min(max(mo.mid_occ, 10),
+                            int(os.environ.get("MM2TPU_OCC_CAP", "64"))),
                 chain_window=64)
 t0 = time.time()
 di = DeviceIndex.from_host(mi, 1,

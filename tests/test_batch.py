@@ -123,9 +123,7 @@ def test_sharded_step_matches_single(tiny_world):
     mesh = Mesh(devs, ("data", "idx"))
     di = stack_shards(DeviceIndex.from_host(mi, 2))
     step = make_sharded_step(mesh, p, interpret=True,
-                             key_shift=di.key_shift, n_probe=di.n_probe,
-                             h2_bits=di.h2_bits, h2_slots=di.h2_slots,
-                             pos_fmt=di.pos_fmt)
+                             **di.aux_dict())
     with mesh:
         out, n_mapped, n_anc = step(di, jnp.asarray(codes),
                                     jnp.asarray(lens))
@@ -266,3 +264,23 @@ def test_hpc_paf_step_interpret():
         assert sc[0, i] > 50, (i, sc[0, i])
         assert rev[0, i] == 0
         assert abs(int(rs[0, i]) - starts[i]) < 250, (i, rs[0, i], starts[i])
+
+
+def test_pos_fmt2_packed_s_matches_fmt1(tiny_world):
+    """pos_fmt 2 (u32 global pos + strand bitmap, the GRCh38->4Gb regime)
+    and s_fmt 1 (4-bit packed reference) must reproduce the pos_fmt 1 /
+    u8 results exactly, as must the pos_fmt 0 two-plane layout."""
+    mi, p, codes, lens, truth = tiny_world
+    outs = {}
+    for fmt, sf in [(1, 0), (2, 1), (0, 0)]:
+        di = DeviceIndex.from_host(mi, 1, force_pos_fmt=fmt,
+                                   force_s_fmt=sf)[0]
+        if fmt == 2:
+            assert di.pstrand is not None
+        o = map_batch(di, jnp.asarray(codes), jnp.asarray(lens), p,
+                      interpret=True)
+        outs[(fmt, sf)] = {k: np.asarray(v) for k, v in o.items()}
+    base = outs[(1, 0)]
+    for key, o in outs.items():
+        for k in base:
+            assert np.array_equal(o[k], base[k]), (key, k)
