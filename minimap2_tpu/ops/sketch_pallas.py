@@ -173,7 +173,8 @@ def _sketch_kernel(lens_ref, prev_ref, cur_ref, nxt_ref,
     hhi_ref[0, 0] = hhi[:, sl]
     hlo_ref[0, 0] = hlo[:, sl]
     flag_i = (is_mini[:, sl].astype(jnp.int32)
-              | (z[:, sl].astype(jnp.int32) << 1))
+              | (z[:, sl].astype(jnp.int32) << 1)
+              | (valid[:, sl].astype(jnp.int32) << 2))
     flag_ref[0, 0] = flag_i.astype(jnp.uint8)
 
 
@@ -223,4 +224,5 @@ def sketch_batch(codes, lens, *, G, T, k, w, interpret=False):
     def back(x):
         return x.transpose(0, 2, 1, 3).reshape(B, L)
     flag = back(flag)
-    return (back(hhi), back(hlo), (flag >> 1) != 0, (flag & 1) != 0)
+    return (back(hhi), back(hlo), ((flag >> 1) & 1) != 0, (flag & 1) != 0,
+            (flag >> 2) != 0)

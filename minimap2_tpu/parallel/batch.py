@@ -486,7 +486,7 @@ def mg_log2_dev(x):
                     * zf - jnp.float32(0.67487759))
 
 
-def device_sketch(codes, lens, k: int, w: int):
+def device_sketch(codes, lens, k: int, w: int, with_valid: bool = False):
     """Batched (w,k)-minimizer selection (sketch.c:77-143, non-HPC).
 
     codes: (B, L) uint8 nt4 (4 = ambiguous / padding); lens: (B,) int32.
@@ -566,6 +566,8 @@ def device_sketch(codes, lens, k: int, w: int):
         anyw = anyw | swk
     not_max = ~((xhi == big) & (xlo == big))
     is_mini = valid & anyw & (cv_hi == xhi) & (cv_lo == xlo) & not_max
+    if with_valid:
+        return hhi, hlo, z, is_mini, valid
     return hhi, hlo, z, is_mini
 
 

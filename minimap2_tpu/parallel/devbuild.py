@@ -1,0 +1,378 @@
+"""TPU-side minimizer index construction.
+
+The reference builds its index on the host with a 3-thread pipeline
+(read -> sketch -> bucket-scatter, index.c:315-399) plus a parallel
+bucket finalize (kt_for over 2^14 buckets, index.c:280-283).  On a TPU
+host with few cores that design is the cold-start bottleneck (minutes
+for a 1 Gb genome), while the device is idle.  This module is the
+TPU-native equivalent: the WHOLE build -- sketch, sort, distinct-key
+compaction, bucket table -- runs on the device, and the finished
+DeviceIndex never leaves HBM (the host->device link here uploads at
+~350 MB/s but downloads ~1 MB/s, so nothing big may come back).
+
+Layout produced (the binary-search probe layout of DeviceIndex):
+  keys2 (K, 2) u32   sorted distinct minimizer hashes as (hi, lo)
+  sc2   (K, 2) i32   (start, count) into pos2
+  pos2  (P,)   u32   (global_end_pos << 1 | strand), sorted by (key, pos)
+  bucket_start (2^bb + 1,) i32  searchsorted(keys >> shift) table
+  S     (T,)   u8    nt4 codes with OV-wide code-4 separators between
+                     sequences (see below)
+
+Chunking correctness: a position p's minimizer flag depends only on
+windows [p-w+1, p] -> codes [p-k-w+2, p+w-1] (sketch_pallas emission
+rule, itself parity-tested against mm_sketch).  Sequences are
+concatenated with OV = k + 2w - 3 code-4 separator bytes (code 4 =
+ambiguous) before/between/after; rows of length LC tile the flat array
+at stride STEP = LC - OV, and each row owns local positions
+[LCTX, LCTX + STEP) with LCTX = k + w - 2.  The separators invalidate
+any k-mer or window crossing a sequence boundary, which reproduces the
+reference's sequence-start/end semantics exactly (mm_sketch's l-counter
+resets, sketch.c:89-140) -- no per-row masks needed.
+
+Coordinates: positions are stored in the SEPARATED global space, and
+seq_off records each sequence's separated offset, so rid recovery and
+reference-sequence gathers (_gather_s) work unchanged.
+
+Scope: 2k <= 56 (all presets); genomes up to 2^31 total separated bp
+(pos_fmt 1).  Larger genomes use the host build (DeviceIndex.from_host
+pos_fmt 2 path).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+UMAX = np.uint32(0xFFFFFFFF)
+
+
+@dataclass
+class DevBuildMeta:
+    """Host-side metadata of a device-built index."""
+    names: list
+    seq_off: np.ndarray        # separated-space offsets (i64)
+    seq_len: np.ndarray        # true lengths (i64)
+    w: int
+    k: int
+    n_mini: int                # total minimizer occurrences
+    n_distinct: int            # distinct minimizer hashes
+    mid_occ: int               # cal_max_occ(2e-4) analogue
+
+    def seq_table(self):
+        """A MiniIndex-shaped shim carrying only the per-sequence
+        metadata (what the PAF/SAM emitters need)."""
+        from ..index.index import MiniIndex, SeqMeta
+        mi = MiniIndex(self.w, self.k, 14, 0)
+        for nm, off, ln in zip(self.names, self.seq_off, self.seq_len):
+            mi.seq.append(SeqMeta(str(nm), int(off), int(ln)))
+        return mi
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _shr_cols(x, d, fill):
+    """x shifted right by d columns (x[:, p-d] lands at column p)."""
+    return jnp.concatenate(
+        [jnp.full((x.shape[0], d), fill, x.dtype), x[:, :-d]], axis=1)
+
+
+def _shl_cols(x, d, fill):
+    """x shifted left by d columns (x[:, p+d] lands at column p)."""
+    return jnp.concatenate(
+        [x[:, d:], jnp.full((x.shape[0], d), fill, x.dtype)], axis=1)
+
+
+def _edge_fix(hhi, hlo, valid, is_mini, rows, k: int, w: int):
+    """Reproduce mm_sketch's lazy-emission edge behaviour exactly
+    (sketch.c:89-143): at an ambiguous-base reset the scan silently
+    DROPS its current window minimum (l resets before the min can be
+    emitted), while at a true sequence end the final flush EMITS the
+    current minimum even when no complete window exists.  The current
+    minimum is always the latest-position argmin of the trailing w
+    slots, so both events reduce to a windowed latest-argmin:
+
+      * reset  = first base of a real-N run (code 4): drop the latest
+        argmin of slots [p-w, p).
+      * flush  = first byte of the inter-sequence separator (code 5):
+        add it.
+
+    Known residual divergences, both vanishingly rare and additive-only
+    in repeat regions: symmetric k-mers count as window slots here (the
+    reference skips their buffer slot entirely), and two ambiguity
+    resets within w positions interact through the reference's buffer
+    in a way this per-event rule does not model."""
+    big = jnp.uint32(0xFFFFFFFF)
+    xhi = jnp.where(valid, hhi, big)
+    xlo = jnp.where(valid, hlo, big)
+    c = rows
+    prev = _shr_cols(c, 1, 5)
+    reset = (c == 4) & (prev != 4)
+    flush = (c == 5) & (prev != 5)
+    event = reset | flush
+    wm_hi = jnp.full_like(xhi, big)
+    wm_lo = jnp.full_like(xlo, big)
+    for d in range(1, w + 1):           # min over slots [p-w, p)
+        shh = _shr_cols(xhi, d, big)
+        shl = _shr_cols(xlo, d, big)
+        lt = (shh < wm_hi) | ((shh == wm_hi) & (shl < wm_lo))
+        wm_hi = jnp.where(lt, shh, wm_hi)
+        wm_lo = jnp.where(lt, shl, wm_lo)
+    have = event & ~((wm_hi == big) & (wm_lo == big))
+    seen = jnp.zeros(c.shape, bool)
+    dropm = jnp.zeros(c.shape, bool)
+    addm = jnp.zeros(c.shape, bool)
+    for d in range(1, w + 1):           # smallest d = latest position
+        eq = (_shr_cols(xhi, d, big) == wm_hi) \
+            & (_shr_cols(xlo, d, big) == wm_lo) & have
+        hit = eq & ~seen
+        seen = seen | eq
+        dropm = dropm | _shl_cols(hit & reset, d, False)
+        addm = addm | _shl_cols(hit & flush, d, False)
+    return (is_mini & ~dropm) | (addm & valid)
+
+
+@functools.partial(jax.jit, static_argnames=("NR", "LC", "STEP", "OV",
+                                             "LCTX", "k", "w", "CAPC",
+                                             "wide", "interpret"),
+                   donate_argnums=(1, 2, 3))
+def _sketch_chunk(S, keys_buf, khi_buf, pos_buf, n_off, base_row, base_off,
+                  *, NR, LC, STEP, OV, LCTX, k, w, CAPC, wide, interpret):
+    """Sketch NR rows starting at flat offset base_off, compact the
+    owned minimizers to the front, and append them to the global
+    (key, pos) buffers at n_off."""
+    X = lax.dynamic_slice(S, (base_off,), (NR * STEP + OV,))
+    main = X[:NR * STEP].reshape(NR, STEP)
+    tail = lax.dynamic_slice(S, (base_off + STEP,),
+                             (NR * STEP,)).reshape(NR, STEP)[:, :OV]
+    rows = jnp.concatenate([main, tail], axis=1)              # (NR, LC)
+    lens = jnp.full((NR,), LC, jnp.int32)
+    if interpret:
+        from .batch import device_sketch
+        hhi, hlo, z, is_mini, valid = device_sketch(rows, lens, k, w,
+                                                    with_valid=True)
+    else:
+        from ..ops.sketch_pallas import sketch_batch
+        hhi, hlo, z, is_mini, valid = sketch_batch(rows, lens, G=8, T=512,
+                                                   k=k, w=w)
+    is_mini = _edge_fix(hhi, hlo, valid, is_mini, rows, k, w)
+    posl = lax.broadcasted_iota(jnp.int32, (NR, LC), 1)
+    owned = (posl >= LCTX) & (posl < LCTX + STEP)
+    valid = is_mini & owned
+    # global separated position of the k-mer END
+    gpos = (posl + (base_row * STEP)[None, None]
+            + lax.broadcasted_iota(jnp.int32, (NR, LC), 0) * STEP)
+    pval = ((gpos.astype(jnp.uint32) << jnp.uint32(1))
+            | z.astype(jnp.uint32))
+    # compaction via nonzero+gather, NOT a sort: a 67M-lane lax.sort
+    # costs ~30 s of XLA compile; order does not matter here (the
+    # global (key, pos) sort downstream fixes it)
+    vflat = valid.reshape(-1)
+    cnt = jnp.sum(vflat, dtype=jnp.int32)
+    idx = jnp.nonzero(vflat, size=CAPC, fill_value=vflat.shape[0] - 1)[0]
+    sel = jnp.arange(CAPC, dtype=jnp.int32) < cnt
+    skey = jnp.where(sel, hlo.reshape(-1)[idx], UMAX)
+    pval = jnp.where(sel, pval.reshape(-1)[idx], jnp.uint32(0))
+    if wide:
+        skhi = jnp.where(sel, hhi.reshape(-1)[idx], UMAX)
+        khi_buf = lax.dynamic_update_slice(khi_buf, skhi, (n_off,))
+    keys_buf = lax.dynamic_update_slice(keys_buf, skey, (n_off,))
+    pos_buf = lax.dynamic_update_slice(pos_buf, pval, (n_off,))
+    return keys_buf, khi_buf, pos_buf, n_off + cnt, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("NPAD", "wide"),
+                   donate_argnums=(0, 1, 2))
+def _global_sort(keys_buf, khi_buf, pos_buf, n, *, NPAD, wide):
+    """Sort all collected (key, pos) pairs by (key, pos) and count the
+    distinct keys among the first n entries."""
+    keys_buf = keys_buf[:NPAD]
+    pos_buf = pos_buf[:NPAD]
+    if wide:
+        khi_buf = khi_buf[:NPAD]
+        khi_buf, keys_buf, pos_buf = lax.sort(
+            (khi_buf, keys_buf, pos_buf), num_keys=3)
+    else:
+        keys_buf, pos_buf = lax.sort((keys_buf, pos_buf), num_keys=2)
+    i = jnp.arange(keys_buf.shape[0])
+    neq = (keys_buf != jnp.roll(keys_buf, 1)) | (
+        (khi_buf != jnp.roll(khi_buf, 1)) if wide else False)
+    neq = neq.at[0].set(True) & (i < n)
+    K = jnp.sum(neq, dtype=jnp.int32)
+    return keys_buf, khi_buf, pos_buf, neq, K
+
+
+@functools.partial(jax.jit, static_argnames=("KPAD", "NPAD", "bb", "shift",
+                                             "wide"))
+def _finalize(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, bb, shift, wide):
+    """Distinct-key compaction + bucket table (the worker_post analogue,
+    index.c:226-278, as scatters and scans)."""
+    starts = jnp.nonzero(neq, size=KPAD, fill_value=n)[0].astype(jnp.int32)
+    counts = jnp.diff(jnp.append(starts, jnp.int32(n)))
+    gi = jnp.clip(starts, 0, keys_s.shape[0] - 1)
+    klo_c = keys_s[gi]
+    pad = starts >= n
+    klo_c = jnp.where(pad, UMAX, klo_c)
+    if wide:
+        khi_c = jnp.where(pad, UMAX, khi_s[gi])
+    else:
+        khi_c = jnp.where(pad, UMAX, jnp.uint32(0))
+    keys2 = jnp.stack([khi_c, klo_c], axis=1)
+    sc2 = jnp.stack([starts, counts.astype(jnp.int32)], axis=1)
+    # bucket_start[b] = first distinct-key row whose (key >> shift) >= b
+    if shift >= 32:
+        b_of = (khi_c >> jnp.uint32(shift - 32))
+    elif shift > 0:
+        b_of = (khi_c << jnp.uint32(32 - shift)) | (klo_c >> jnp.uint32(shift))
+    else:
+        b_of = klo_c
+    NBK = 1 << bb
+    b_of = jnp.where(pad, jnp.uint32(NBK), b_of.astype(jnp.uint32))
+    b_of = jnp.minimum(b_of, jnp.uint32(NBK)).astype(jnp.int32)
+    K = jnp.sum(~pad, dtype=jnp.int32)
+    bs = jnp.full((NBK + 1,), K, jnp.int32)
+    bs = bs.at[b_of].min(jnp.arange(KPAD, dtype=jnp.int32))
+    bs = lax.cummin(bs[::-1])[::-1]
+    bmax = jnp.max(jnp.diff(bs))
+    # occurrence-count histogram (clipped at 2^16): the exact k-smallest
+    # of mm_idx_cal_max_occ (index.c:198-220) reads off its cumsum -- a
+    # full sort of the counts would cost ~30 s of XLA compile alone
+    CLIP = 1 << 16
+    hist = jnp.zeros((CLIP,), jnp.int32).at[
+        jnp.where(pad, 0, jnp.minimum(counts, CLIP - 1))].add(1)
+    chist = jnp.cumsum(hist)
+    return keys2, sc2, pos_s[:NPAD], bs, bmax, chist
+
+
+def build_device_index(names, codes_list, w: int, k: int,
+                       cap_frac: float = 0.26, chunk_pos: int = 64 << 20,
+                       occ_frac: float = 2e-4, interpret: bool = False,
+                       verbose: bool = False):
+    """Build a DeviceIndex on the TPU from host nt4 code arrays.
+
+    Returns (DeviceIndex, DevBuildMeta).  The index stays in HBM; only
+    scalars (counts, bucket max, mid_occ) come back to the host.
+    """
+    from .batch import DeviceIndex
+    import sys
+    import time
+    assert 2 * k <= 56, "device build supports k <= 28"
+    # pos_fmt 1 recovers rid by comparing global positions against
+    # seq_off on device (batch._expand_anchors) -- bounded contig count
+    assert len(codes_list) <= 64, "device build: use the host path for >64 contigs"
+    wide = 2 * k >= 32          # keys need the hi u32 plane
+    LC = 8192
+    OV = _round_up(k + 2 * w - 3, 32)
+    assert OV <= LC // 2
+    STEP = LC - OV
+    LCTX = k + w - 2
+    t0 = time.time()
+    # --- separated flat genome, assembled on device ---
+    lens = np.array([len(c) for c in codes_list], np.int64)
+    total_sep = OV + int(np.sum(lens + OV))
+    NR = max(1, math.ceil((total_sep - OV) / STEP))
+    NRC = max(8, min(_round_up(NR, 8), _round_up(chunk_pos // LC, 8)))
+    n_calls = math.ceil(NR / NRC)
+    # pad the row grid to whole chunks (surplus rows see only code-4
+    # padding -> zero minimizers, so no position is owned twice), plus
+    # one STEP of slack so the tail slice never hits the clamp
+    NR = n_calls * NRC
+    pad_to = NR * STEP + OV + STEP
+    seq_off = OV + np.concatenate([[0], np.cumsum(lens + OV)[:-1]])
+    if total_sep >= (1 << 31):
+        raise ValueError("genome too large for device build (pos_fmt 1)")
+    # separators use code 5 (ambiguous like 4, but distinguishable from
+    # a real N: _edge_fix flushes at 5-boundaries and drops at 4-resets)
+    sep = jnp.full((OV,), 5, jnp.uint8)
+    parts = [sep]
+    for c in codes_list:
+        parts.append(jax.device_put(np.ascontiguousarray(c, np.uint8)))
+        parts.append(sep)
+    if pad_to > total_sep:
+        parts.append(jnp.full((pad_to - total_sep,), 5, jnp.uint8))
+    S = jnp.concatenate(parts)
+    del parts
+    if verbose:
+        print(f"[devbuild] upload+assemble {time.time()-t0:.1f}s "
+              f"total_sep={total_sep}", file=sys.stderr)
+    # --- chunked sketch + compaction ---
+    CAPC = _round_up(int(NRC * STEP * cap_frac), 1 << 20)
+    CAP_TOT = _round_up(int(NR * STEP * cap_frac), 1 << 20) + CAPC
+    keys_buf = jnp.full((CAP_TOT,), UMAX, jnp.uint32)
+    khi_buf = jnp.full((CAP_TOT if wide else 1,), UMAX, jnp.uint32)
+    pos_buf = jnp.zeros((CAP_TOT,), jnp.uint32)
+    n_off = jnp.int32(0)
+    cnts = []
+    for ci in range(n_calls):
+        tci = time.time()
+        base_row = ci * NRC
+        keys_buf, khi_buf, pos_buf, n_off, cnt = _sketch_chunk(
+            S, keys_buf, khi_buf, pos_buf, n_off,
+            jnp.int32(base_row), jnp.int32(base_row * STEP),
+            NR=NRC, LC=LC, STEP=STEP, OV=OV, LCTX=LCTX, k=k, w=w,
+            CAPC=CAPC, wide=wide, interpret=interpret)
+        cnts.append(cnt)
+        if verbose:
+            int(cnt)    # sync
+            print(f"[devbuild]   chunk {ci}: {time.time()-tci:.1f}s",
+                  file=sys.stderr)
+    jax.block_until_ready(n_off)
+    cnts_h = [int(c) for c in cnts]
+    if max(cnts_h) > CAPC:
+        raise OverflowError(
+            f"minimizer density exceeded cap_frac={cap_frac}: "
+            f"chunk count {max(cnts_h)} > {CAPC}; rebuild with a larger "
+            "cap_frac")
+    N = int(sum(cnts_h))
+    if verbose:
+        print(f"[devbuild] sketch {n_calls} chunks {time.time()-t0:.1f}s "
+              f"n_mini={N}", file=sys.stderr)
+    NPAD = _round_up(max(N, 1), 8 << 20)
+    keys_s, khi_s, pos_s, neq, K = _global_sort(keys_buf, khi_buf, pos_buf,
+                                                jnp.int32(N), NPAD=min(NPAD, CAP_TOT), wide=wide)
+    K = int(K)
+    if verbose:
+        print(f"[devbuild] sort {time.time()-t0:.1f}s distinct={K}",
+              file=sys.stderr)
+    KPAD = _round_up(max(K, 1), 1 << 20)
+    NPAD = min(NPAD, CAP_TOT)
+    key_bits = 2 * k
+    bb = min(26, max(4, int(math.ceil(math.log2(max(K, 2)))) + 2),
+             key_bits)
+    shift = max(0, key_bits - bb)
+    keys2, sc2, pos2, bs, bmax, chist = _finalize(
+        keys_s, khi_s, pos_s, neq, jnp.int32(N),
+        KPAD=KPAD, NPAD=NPAD, bb=bb, shift=shift, wide=wide)
+    del keys_s, khi_s, pos_s, neq
+    n_probe = max(1, int(math.ceil(math.log2(int(bmax) + 1))))
+    # mid_occ = (kth-smallest count) + 1 read off the histogram cumsum
+    if K:
+        kk = min(int((1.0 - occ_frac) * K), K - 1)
+        cum_real = np.asarray(chist) - (KPAD - K)   # drop pad bin-0 mass
+        mid_occ = int(np.searchsorted(cum_real, kk + 1, side="left")) + 1
+    else:
+        mid_occ = (1 << 31) - 1
+    del chist
+    # the retained reference plane must be plain nt4: separator code 5
+    # exists only for the sketch's flush/reset distinction -- the -a
+    # path's _gather_s expects codes 0..4
+    S = jnp.minimum(S, jnp.uint8(4))
+    di = DeviceIndex(keys2, sc2, pos2, S,
+                     jnp.asarray(seq_off.astype(np.uint32).view(np.int32)),
+                     jnp.asarray(lens.astype(np.int32)),
+                     bucket_start=bs, h2=None, pstrand=None,
+                     key_shift=shift, n_probe=n_probe, h2_bits=0,
+                     h2_slots=8, pos_fmt=1, h2_nb=0, s_fmt=0)
+    jax.block_until_ready(di.pos2)
+    if verbose:
+        print(f"[devbuild] done {time.time()-t0:.1f}s n_probe={n_probe} "
+              f"mid_occ={mid_occ}", file=sys.stderr)
+    meta = DevBuildMeta(names=list(names), seq_off=seq_off, seq_len=lens,
+                        w=w, k=k, n_mini=N, n_distinct=K, mid_occ=mid_occ)
+    return di, meta

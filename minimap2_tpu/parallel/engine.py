@@ -47,7 +47,7 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
             codes_s, hpos, lens_s = codes, None, lens
         if use_pallas_sketch:
             from ..ops.sketch_pallas import sketch_batch
-            hhi, hlo, z, is_mini = sketch_batch(codes_s, lens_s, G=8, T=512,
+            hhi, hlo, z, is_mini, _ = sketch_batch(codes_s, lens_s, G=8, T=512,
                                                 k=p.k, w=p.w)
         else:
             hhi, hlo, z, is_mini = device_sketch(codes_s, lens_s, p.k, p.w)

@@ -51,7 +51,7 @@ def st_upload_only(packed, nbits, lens):
 def st_sketch(packed, nbits, lens):
     from minimap2_tpu.ops.sketch_pallas import sketch_batch
     codes = engine.unpack_codes(packed, nbits, p.L)
-    hhi, hlo, zst, is_mini = sketch_batch(codes, lens, G=8, T=512, k=p.k, w=p.w)
+    hhi, hlo, zst, is_mini, _ = sketch_batch(codes, lens, G=8, T=512, k=p.k, w=p.w)
     return (jnp.sum(hhi, dtype=jnp.int32) + jnp.sum(hlo, dtype=jnp.int32)
             + jnp.sum(zst, dtype=jnp.int32)
             + jnp.sum(is_mini, dtype=jnp.int32)), (hhi, hlo, zst, is_mini)

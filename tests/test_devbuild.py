@@ -1,0 +1,91 @@
+"""Device-side index build (parallel/devbuild.py) vs the host MiniIndex
+build (the parity oracle, itself golden-tested against mm_sketch /
+index.c semantics)."""
+import numpy as np
+import pytest
+
+from minimap2_tpu.index.index import MiniIndex
+from minimap2_tpu.parallel.devbuild import build_device_index
+
+
+def _rand_genome(rng, lens, n_frac=0.0):
+    names, seqs = [], []
+    for i, ln in enumerate(lens):
+        c = rng.integers(0, 4, ln).astype(np.uint8)
+        if n_frac:
+            m = rng.random(ln) < n_frac
+            c[m] = 4
+        names.append(f"c{i + 1}")
+        seqs.append(c)
+    return names, seqs
+
+
+def _host_ref(names, seqs, w, k):
+    mi = MiniIndex.build_codes(names, seqs, w=w, k=k)
+    return mi
+
+
+def _dev_as_host(di, meta):
+    """Download the (small, test-sized) device tables and re-express them
+    in host MiniIndex coordinates."""
+    keys2 = np.asarray(di.keys2)
+    sc2 = np.asarray(di.sc2)
+    pos2 = np.asarray(di.pos2)
+    K = meta.n_distinct
+    keys = (keys2[:K, 0].astype(np.uint64) << np.uint64(32)) \
+        | keys2[:K, 1].astype(np.uint64)
+    starts = np.concatenate([sc2[:K, 0], [sc2[K - 1, 0] + sc2[K - 1, 1]]])
+    # sep-space -> (rid, rpos, strand)
+    gp = pos2[:meta.n_mini]
+    gpos = (gp >> np.uint32(1)).astype(np.int64)
+    strand = (gp & np.uint32(1)).astype(np.uint64)
+    rid = np.searchsorted(meta.seq_off, gpos, side="right") - 1
+    rpos = gpos - meta.seq_off[rid]
+    y = (rid.astype(np.uint64) << np.uint64(32)) \
+        | (rpos.astype(np.uint64) << np.uint64(1)) | strand
+    return keys, starts.astype(np.int64), y
+
+
+@pytest.mark.parametrize("w,k,n_frac", [(10, 15, 0.0), (10, 15, 0.002),
+                                        (5, 19, 0.0), (11, 21, 0.001),
+                                        (1, 7, 0.0)])
+def test_devbuild_matches_host(w, k, n_frac):
+    rng = np.random.default_rng(hash((w, k)) % 2**32)
+    # 9 bp < k (skipped), 20 bp exercises the short-sequence final
+    # flush (reference emits one minimizer with no complete window)
+    names, seqs = _rand_genome(rng, [50_000, 3_000, 120_000, 9, 20],
+                               n_frac)
+    mi = _host_ref(names, seqs, w, k)
+    di, meta = build_device_index(names, seqs, w, k, interpret=True)
+    keys, starts, y = _dev_as_host(di, meta)
+    assert meta.n_mini == len(mi.pos)
+    assert meta.n_distinct == len(mi.keys)
+    np.testing.assert_array_equal(keys, mi.keys)
+    np.testing.assert_array_equal(starts, mi.starts)
+    np.testing.assert_array_equal(y, mi.pos)
+
+
+def test_devbuild_bucket_table():
+    rng = np.random.default_rng(3)
+    names, seqs = _rand_genome(rng, [80_000])
+    di, meta = build_device_index(names, seqs, 10, 15, interpret=True)
+    keys2 = np.asarray(di.keys2)
+    bs = np.asarray(di.bucket_start)
+    K = meta.n_distinct
+    keys = keys2[:K, 1]
+    ref = np.searchsorted(keys, np.arange(len(bs), dtype=np.uint32)
+                          << np.uint32(di.key_shift)).astype(np.int32)
+    np.testing.assert_array_equal(bs, ref)
+    # n_probe covers the max bucket
+    bmax = int(np.max(np.diff(bs)))
+    assert (1 << di.n_probe) >= bmax + 1
+
+
+def test_devbuild_mid_occ_matches_host():
+    rng = np.random.default_rng(4)
+    names, seqs = _rand_genome(rng, [60_000, 40_000])
+    # force repeats so occurrences vary
+    seqs[0][30_000:32_000] = seqs[0][:2_000]
+    mi = _host_ref(names, seqs, 10, 15)
+    di, meta = build_device_index(names, seqs, 10, 15, interpret=True)
+    assert meta.mid_occ == mi.cal_max_occ(2e-4)
