@@ -38,17 +38,44 @@ def _paste_matrix(genome: np.ndarray, starts: np.ndarray,
     genome[idx.reshape(-1)] = copies.reshape(-1)
 
 
+def _sim_chrom(args):
+    """One chromosome, deterministically keyed on (seed, c) — the unit of
+    the process-parallel build (the genome is the bench's biggest
+    cold-start artifact; 8 chromosomes build in ~wall/8)."""
+    per, seed, c, line_master, alu_master, sat_master = args
+    rng = np.random.default_rng(np.random.SeedSequence([seed, c + 1]))
+    g = rng.integers(0, 4, per, dtype=np.uint8)
+    _sim_chrom_body(g, per, rng, line_master, alu_master, sat_master)
+    return c, g
+
+
 def simulate_genome(total_len: int = 1_000_000_000, n_chrom: int = 8,
-                    seed: int = 7):
-    """Returns (names, [nt4 code arrays]) of n_chrom chromosomes."""
+                    seed: int = 7, processes: int | None = None):
+    """Returns (names, [nt4 code arrays]) of n_chrom chromosomes.
+
+    Chromosomes are generated from independent child seeds so they can
+    build in parallel processes (deterministic either way)."""
     rng = np.random.default_rng(seed)
     line_master = rng.integers(0, 4, 6000, dtype=np.uint8)
     alu_master = rng.integers(0, 4, 300, dtype=np.uint8)
     sat_master = rng.integers(0, 4, 171, dtype=np.uint8)
     per = total_len // n_chrom
-    names, seqs = [], []
-    for c in range(n_chrom):
-        g = rng.integers(0, 4, per, dtype=np.uint8)
+    jobs = [(per, seed, c, line_master, alu_master, sat_master)
+            for c in range(n_chrom)]
+    if processes is None:
+        import os
+        processes = min(n_chrom, os.cpu_count() or 1)
+    if processes > 1 and n_chrom > 1:
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(processes) as pool:
+            parts = dict(pool.map(_sim_chrom, jobs))
+    else:
+        parts = dict(map(_sim_chrom, jobs))
+    names = [f"chr{c + 1}" for c in range(n_chrom)]
+    return names, [parts[c] for c in range(n_chrom)]
+
+
+def _sim_chrom_body(g, per, rng, line_master, alu_master, sat_master):
         # --- LINE-like: ~18% of the chromosome, 5'-truncated copies ---
         n_line = int(per * 0.18 / 3200)
         lens = rng.integers(500, 6001, n_line)
@@ -96,9 +123,6 @@ def simulate_genome(total_len: int = 1_000_000_000, n_chrom: int = 8,
             m = rng.random(Lb) < 0.05
             blk[m] = rng.integers(0, 4, int(m.sum()), dtype=np.uint8)
             g[dst:dst + Lb] = blk
-        names.append(f"chr{c + 1}")
-        seqs.append(g)
-    return names, seqs
 
 
 def simulate_reads(seqs, n_reads: int, rng, min_len: int = 8000,
