@@ -225,7 +225,7 @@ class DeviceIndex:
                  bucket_start=None, h2=None, pstrand=None,
                  key_shift: int = 0, n_probe: int = 6, h2_bits: int = 0,
                  h2_slots: int = 8, pos_fmt: int = 0, h2_nb: int = 0,
-                 s_fmt: int = 0):
+                 s_fmt: int = 0, probe_win: int = 0):
         # pair-packed planes: one 2-wide gather fetches what used to take
         # two element gathers (gathers are the device bottleneck)
         self.keys2 = keys2          # (K, 2) u32 [hi, lo], sorted, UMAX pad
@@ -260,9 +260,15 @@ class DeviceIndex:
         self.pos_fmt = pos_fmt             # static: pos2 layout
         self.h2_nb = h2_nb                 # static: >0 = mulhi bucket map
         self.s_fmt = s_fmt                 # static: S layout
+        # windowed probe: bucket contents are CONTIGUOUS in the sorted key
+        # array, so when every bucket holds <= 17 keys (verified at build)
+        # a 3-row (24-key) window gather starting at bucket_start[b]
+        # replaces the whole binary search -- 3 contiguous 64 B row
+        # gathers instead of n_probe+1 random pair gathers
+        self.probe_win = probe_win         # static: 1 = windowed probe ok
 
     _AUX_FIELDS = ("key_shift", "n_probe", "h2_bits", "h2_slots",
-                   "pos_fmt", "h2_nb", "s_fmt")
+                   "pos_fmt", "h2_nb", "s_fmt", "probe_win")
 
     def aux_dict(self):
         return {a: getattr(self, a) for a in self._AUX_FIELDS}
@@ -303,6 +309,7 @@ class DeviceIndex:
         bounds = [(i * K) // n_shards for i in range(n_shards + 1)]
         kpad = max(1, max((bounds[i + 1] - bounds[i] for i in range(n_shards)),
                           default=1))
+        kpad = (kpad + 7) // 8 * 8      # windowed probe reshapes to 8-pair rows
         shards = []
         S = np.ascontiguousarray(mi.S if mi.S is not None
                                  else np.zeros(1, np.uint8))
@@ -359,6 +366,7 @@ class DeviceIndex:
                 sc2 = np.zeros((1, 2), np.int32)
                 bstart = np.zeros(2, np.int32)
                 n_probe = 1
+                probe_win = 0
             else:
                 keys = np.full(kpad, UMAX64_NP, np.uint64)
                 keys[:hi - lo] = mi.keys[lo:hi]
@@ -374,6 +382,7 @@ class DeviceIndex:
                 sc2[:hi - lo, 1] = cnts_all[lo:hi]
                 bmax = int(np.diff(bstart).max()) if len(bstart) > 1 else 1
                 n_probe = max(1, int(math.ceil(math.log2(bmax + 1))))
+                probe_win = 1 if (bmax <= 17 and kpad >= 24) else 0
             pos = mi.pos[p0:p1]
             total_len = (int(seq_off64[-1]) + int(seq_len[-1])
                          if len(S) else 0)
@@ -423,7 +432,8 @@ class DeviceIndex:
                               key_shift=shift,
                               n_probe=n_probe, h2_bits=h2_bits,
                               h2_slots=h2_slots, pos_fmt=pos_fmt,
-                              h2_nb=h2_nb, s_fmt=s_fmt))
+                              h2_nb=h2_nb, s_fmt=s_fmt,
+                              probe_win=probe_win))
         if cache:
             try:
                 cls._save_cache(cache, shards)
@@ -434,7 +444,7 @@ class DeviceIndex:
     _CACHE_LEAVES = ("keys2", "sc2", "pos2", "S", "seq_off", "seq_len",
                      "bucket_start", "h2", "pstrand")
     _CACHE_AUX = ("key_shift", "n_probe", "h2_bits", "h2_slots", "pos_fmt",
-                  "h2_nb", "s_fmt")
+                  "h2_nb", "s_fmt", "probe_win")
 
     @classmethod
     def _save_cache(cls, path, shards):
@@ -711,6 +721,38 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
         start = jnp.max(jnp.where(hit, s_pl, 0), axis=-1)
         cnt_raw = jnp.max(jnp.where(hit, c_pl, 0), axis=-1)
         start = jnp.where(found, start, 0)
+        cnt = jnp.where(found & (cnt_raw <= p.occ_cap), cnt_raw, 0)
+        flt = found & (cnt_raw > p.occ_cap)
+        return _expand_anchors(di, start, cnt, flt, mz, mpos, mspan, qlen,
+                               p, interpret)
+    if di.bucket_start is not None and di.probe_win:
+        # windowed probe: bucket b's keys live at sorted positions
+        # [bucket_start[b], bucket_start[b+1]) with <= 17 keys per bucket
+        # (verified at build; devbuild grows bb otherwise).  Three
+        # consecutive 8-pair rows starting at floor(lo/8) cover at least
+        # lo..lo+17, so ONE bucket_start gather + 3 contiguous 64 B row
+        # gathers + 1 sc2 gather replace the whole binary search.
+        KP = di.keys2.shape[0]
+        R = KP // 8
+        krows = di.keys2.reshape(R, 16)          # 8 (hi, lo) pairs per row
+        nb1 = di.bucket_start.shape[0]
+        bhi, blo = _shr64(mh_hi, mh_lo, di.key_shift) \
+            if di.key_shift else (mh_hi, mh_lo)
+        bkt = jnp.clip(blo, 0, nb1 - 2).astype(jnp.int32)
+        lo = di.bucket_start[bkt]                               # (B, M)
+        row = jnp.clip(lo >> 3, 0, R - 3)
+        cat = jnp.concatenate([krows[row], krows[row + 1],
+                               krows[row + 2]], axis=-1)        # (B, M, 48)
+        B_, M_ = lo.shape
+        pairs = cat.reshape(B_, M_, 24, 2)
+        eq = ((pairs[..., 0] == mh_hi[..., None])
+              & (pairs[..., 1] == mh_lo[..., None]))
+        found = jnp.any(eq, axis=-1) & mvalid
+        lane = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+        pos = row * 8 + lane
+        sv = di.sc2[jnp.minimum(pos, KP - 1)]
+        start = jnp.where(found, sv[..., 0], 0)
+        cnt_raw = sv[..., 1]
         cnt = jnp.where(found & (cnt_raw <= p.occ_cap), cnt_raw, 0)
         flt = found & (cnt_raw > p.occ_cap)
         return _expand_anchors(di, start, cnt, flt, mz, mpos, mspan, qlen,

@@ -292,7 +292,10 @@ def build_device_index(names, codes_list, w: int, k: int,
     sep = jnp.full((OV,), 5, jnp.uint8)
     parts = [sep]
     for c in codes_list:
-        parts.append(jax.device_put(np.ascontiguousarray(c, np.uint8)))
+        if isinstance(c, jax.Array):        # already in HBM (device gen)
+            parts.append(c.astype(jnp.uint8))
+        else:
+            parts.append(jax.device_put(np.ascontiguousarray(c, np.uint8)))
         parts.append(sep)
     if pad_to > total_sep:
         parts.append(jnp.full((pad_to - total_sep,), 5, jnp.uint8))
@@ -345,11 +348,20 @@ def build_device_index(names, codes_list, w: int, k: int,
     key_bits = 2 * k
     bb = min(26, max(4, int(math.ceil(math.log2(max(K, 2)))) + 2),
              key_bits)
-    shift = max(0, key_bits - bb)
-    keys2, sc2, pos2, bs, bmax, chist = _finalize(
-        keys_s, khi_s, pos_s, neq, jnp.int32(N),
-        KPAD=KPAD, NPAD=NPAD, bb=bb, shift=shift, wide=wide)
+    while True:
+        shift = max(0, key_bits - bb)
+        keys2, sc2, pos2, bs, bmax, chist = _finalize(
+            keys_s, khi_s, pos_s, neq, jnp.int32(N),
+            KPAD=KPAD, NPAD=NPAD, bb=bb, shift=shift, wide=wide)
+        bmax = int(bmax)
+        # the windowed probe's 24-key window needs <= 17 keys per bucket
+        # (batch._lookup_anchors probe_win branch); hash-uniform keys make
+        # this overwhelmingly likely at avg load <= 1.5 -- grow bb if not
+        if bmax <= 17 or bb >= min(28, key_bits):
+            break
+        bb += 1
     del keys_s, khi_s, pos_s, neq
+    probe_win = 1 if (bmax <= 17 and KPAD >= 24) else 0
     n_probe = max(1, int(math.ceil(math.log2(int(bmax) + 1))))
     # mid_occ = (kth-smallest count) + 1 read off the histogram cumsum
     if K:
@@ -368,7 +380,8 @@ def build_device_index(names, codes_list, w: int, k: int,
                      jnp.asarray(lens.astype(np.int32)),
                      bucket_start=bs, h2=None, pstrand=None,
                      key_shift=shift, n_probe=n_probe, h2_bits=0,
-                     h2_slots=8, pos_fmt=1, h2_nb=0, s_fmt=0)
+                     h2_slots=8, pos_fmt=1, h2_nb=0, s_fmt=0,
+                     probe_win=probe_win)
     jax.block_until_ready(di.pos2)
     if verbose:
         print(f"[devbuild] done {time.time()-t0:.1f}s n_probe={n_probe} "

@@ -1,0 +1,171 @@
+"""Device-side (TPU) synthetic-genome + read-slice generation.
+
+The bench workload (utils/simgenome.py) is a 1 Gb repeat-bearing genome.
+Generating it on the host and uploading it costs 30-40 s of single-core
+NumPy plus a 1 GB host->device transfer over a link whose bandwidth has
+been observed anywhere between 2 and 350 MB/s -- the dominant and least
+predictable part of the benchmark's cold start.  This module builds the
+same *class* of genome (LINE/Alu/satellite/segdup repeat structure, see
+simgenome.py's docstring) entirely in HBM with jax.random, so the only
+genome bytes that ever cross the link are the ~5 MB of sampled reads.
+
+Determinism: everything is keyed on a single PRNGKey(seed) with fold_in
+per chromosome/phase, so the same seed regenerates the same genome on
+any run.  Overlapping repeat pastes are resolved by copy priority (later
+copy index wins) via a max-combining scatter -- the device analogue of
+the host generator's sequential pastes.
+
+This is bench tooling, not part of the aligner itself.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _paste_max(g, starts, copies, valid):
+    """Paste copies[i] at starts[i] with later-i-wins priority.
+
+    g: (P,) u8 backbone.  starts: (n,) i32.  copies: (n, L) u8 (code 0-3).
+    valid: (n, L) bool -- which columns of each copy are real.
+    """
+    n, L = copies.shape
+    idx = starts[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    pri = ((jnp.arange(n, dtype=jnp.int32)[:, None] + 1) << 2) \
+        | copies.astype(jnp.int32)
+    pri = jnp.where(valid, pri, 0)
+    buf = jnp.zeros(g.shape, jnp.int32)
+    buf = buf.at[idx.reshape(-1)].max(pri.reshape(-1),
+                                      mode="drop", unique_indices=False)
+    return jnp.where(buf > 0, (buf & 3).astype(jnp.uint8), g)
+
+
+def _mutate(key, copies, div):
+    """Substitute a per-copy fraction div of positions with random bases."""
+    k1, k2 = jax.random.split(key)
+    m = jax.random.uniform(k1, copies.shape) < div[:, None]
+    repl = jax.random.randint(k2, copies.shape, 0, 4, jnp.uint8)
+    return jnp.where(m, repl, copies)
+
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def _sim_chrom_dev(key, line_master, alu_master, sat_master, *, P):
+    ks = jax.random.split(key, 12)
+    g = jax.random.randint(ks[0], (P,), 0, 4, jnp.uint8)
+    # --- LINE-like: ~18%, 5'-truncated copies at 80-95% identity ---
+    n_line = int(P * 0.18 / 3200)
+    LB = 6000
+    lens = jax.random.randint(ks[1], (n_line,), 500, LB + 1, jnp.int32)
+    col = jnp.arange(LB, dtype=jnp.int32)[None, :]
+    keepm = col >= (LB - lens)[:, None]
+    cp = jnp.broadcast_to(line_master, (n_line, LB))
+    cp = _mutate(ks[2], cp, jax.random.uniform(ks[3], (n_line,),
+                                               minval=0.05, maxval=0.20))
+    st = jax.random.randint(ks[4], (n_line,), 0, P - LB, jnp.int32)
+    g = _paste_max(g, st, cp, keepm)
+    # --- Alu-like: ~10% at 85-95% identity ---
+    n_alu = int(P * 0.10 / 300)
+    cp = jnp.broadcast_to(alu_master, (n_alu, 300))
+    cp = _mutate(ks[5], cp, jax.random.uniform(ks[6], (n_alu,),
+                                               minval=0.05, maxval=0.15))
+    st = jax.random.randint(ks[7], (n_alu,), 0, P - 300, jnp.int32)
+    g = _paste_max(g, st, cp, jnp.ones((n_alu, 300), bool))
+    # --- centromeric satellite arrays (171 bp monomer tandems) ---
+    n_arr, max_rep = 25, 600
+    SL = max_rep * 171
+    reps = jax.random.randint(ks[8], (n_arr,), 60, max_rep + 1, jnp.int32)
+    arr = jnp.tile(sat_master, (n_arr, max_rep))
+    arr = _mutate(ks[9], arr, jnp.full((n_arr,), 0.03))
+    cen = P // 2 + jax.random.randint(ks[10], (n_arr,),
+                                      -P // 20, P // 20, jnp.int32)
+    cen = jnp.clip(cen, 0, P - SL)
+    vm = jnp.arange(SL, dtype=jnp.int32)[None, :] < (reps * 171)[:, None]
+    g = _paste_max(g, cen, arr, vm)
+    # --- segmental duplications: 10 blocks of 20-100 kb at ~95% id ---
+    DL = 100_000
+    kk = jax.random.split(ks[11], 10)
+
+    def seg(i, g):
+        k1, k2, k3, k4 = jax.random.split(kk[i], 4)
+        Lb = jax.random.randint(k1, (), 20_000, DL, jnp.int32)
+        src = jax.random.randint(k2, (), 0, P - DL, jnp.int32)
+        dst = jax.random.randint(k3, (), 0, P - DL, jnp.int32)
+        blk = lax.dynamic_slice(g, (src,), (DL,))
+        m = jax.random.uniform(k4, (DL,)) < 0.05
+        blk = jnp.where(m, jax.random.randint(k4, (DL,), 0, 4, jnp.uint8),
+                        blk)
+        keep = jnp.arange(DL, dtype=jnp.int32) < Lb
+        cur = lax.dynamic_slice(g, (dst,), (DL,))
+        return lax.dynamic_update_slice(g, jnp.where(keep, blk, cur), (dst,))
+
+    g = lax.fori_loop(0, 10, seg, g, unroll=False)
+    return g
+
+
+def simulate_genome_device(total_len: int = 1_000_000_000, n_chrom: int = 8,
+                           seed: int = 7):
+    """Returns (names, [device u8 nt4 arrays]) -- nothing leaves HBM."""
+    root = jax.random.PRNGKey(seed)
+    km = jax.random.split(jax.random.fold_in(root, 0xA11), 3)
+    line_master = jax.random.randint(km[0], (6000,), 0, 4, jnp.uint8)
+    alu_master = jax.random.randint(km[1], (300,), 0, 4, jnp.uint8)
+    sat_master = jax.random.randint(km[2], (171,), 0, 4, jnp.uint8)
+    per = total_len // n_chrom
+    names, parts = [], []
+    for c in range(n_chrom):
+        kc = jax.random.fold_in(root, c + 1)
+        parts.append(_sim_chrom_dev(kc, line_master, alu_master, sat_master,
+                                    P=per))
+        names.append(f"chr{c + 1}")
+    return names, parts
+
+
+@functools.partial(jax.jit, static_argnames=("RL",))
+def _slice_reads(flat, starts, RL):
+    idx = starts[:, None] + jnp.arange(RL, dtype=jnp.int32)[None, :]
+    return flat[idx]
+
+
+def simulate_reads_device(parts, n_reads: int, seed: int = 1,
+                          min_len: int = 8000, max_len: int = 11000,
+                          sub: float = 0.05, dele: float = 0.025,
+                          ins: float = 0.025, names=None):
+    """Slice reads from the device genome; only ~n_reads*max_len bytes are
+    downloaded.  The error model (sub/del/ins, alternating strand) and the
+    mapeval truth-name format match utils/simgenome.simulate_reads."""
+    n_chrom = len(parts)
+    per = int(parts[0].shape[0])
+    rng = np.random.default_rng(seed)
+    ci = rng.integers(0, n_chrom, n_reads)
+    ln = rng.integers(min_len, max_len, n_reads)
+    st = (rng.random(n_reads) * (per - ln)).astype(np.int64)
+    gstart = (ci * per + st).astype(np.int32)
+    flat = jnp.concatenate(parts)
+    raw = np.asarray(_slice_reads(flat, jnp.asarray(gstart), max_len))
+    names_out, out = [], []
+    for i in range(n_reads):
+        src = raw[i, :ln[i]].astype(np.uint8)
+        r = rng.random(int(ln[i]))
+        s = src.copy()
+        msub = r < sub
+        s[msub] = (s[msub] + rng.integers(1, 4, int(msub.sum()),
+                                          dtype=np.uint8)) % 4
+        mdel = (r >= sub) & (r < sub + dele)
+        s = s[~mdel]
+        r2 = rng.random(len(s))
+        mins = r2 < ins
+        extra = rng.integers(0, 4, int(mins.sum())).astype(np.uint8)
+        pos = np.flatnonzero(mins)
+        s = np.insert(s, pos, extra)
+        strand = "+"
+        if i % 2:
+            s = (3 - s)[::-1].astype(np.uint8)
+            strand = "-"
+        cname = names[ci[i]] if names else f"chr{ci[i] + 1}"
+        names_out.append(f"S1_{i}!{cname}!{st[i]}!{st[i] + ln[i]}!{strand}")
+        out.append(s)
+    return names_out, out
