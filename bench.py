@@ -202,19 +202,32 @@ def bench_dp_cells():
 def bench_ref(parts, ref_names, names, rcodes):
     """Reference binary single-core reads/s on the same workload.
 
-    Only runs when REF_BIN exists (downloads the genome from HBM once,
-    cached as FASTA under .bench_cache/)."""
+    Only runs when REF_BIN exists.  The FASTA is produced WITHOUT a
+    device->host genome download (the tunnel has been observed at
+    ~1-2 MB/s): jax.random is backend-deterministic, so a JAX_PLATFORMS=cpu
+    subprocess regenerates the identical genome and writes it directly
+    (utils/simgenome_dev.write_genome_fasta_host).  Cached under
+    .bench_cache/."""
     if not os.path.exists(REF_BIN):
         return None
     from minimap2_tpu.utils.simgenome import write_fasta
     ACGT = np.frombuffer(b"ACGT", np.uint8)
     os.makedirs(CACHE, exist_ok=True)
-    tag = "5m_s0" if SMALL else f"1g_s{GENOME_SEED}dev"
+    tag = "5m_s0" if SMALL else f"1g_s{GENOME_SEED}dev2"
     fa_path = os.path.join(CACHE, f"ref_{tag}.fa")
     if not os.path.exists(fa_path):
         t0 = time.time()
-        write_fasta(fa_path, ref_names, [np.asarray(p0) for p0 in parts])
-        print(f"[bench] genome downloaded+written in {time.time()-t0:.0f}s",
+        if SMALL:
+            write_fasta(fa_path, ref_names, [np.asarray(p0) for p0 in parts])
+        else:
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            subprocess.run(
+                [sys.executable, "-m", "minimap2_tpu.utils.simgenome_dev",
+                 str(GENOME_LEN), "8", str(GENOME_SEED), fa_path + ".tmp"],
+                check=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            os.replace(fa_path + ".tmp", fa_path)
+        print(f"[bench] genome FASTA written in {time.time()-t0:.0f}s",
               file=sys.stderr)
     mmi = fa_path + ".mmi"
     if not os.path.exists(mmi):
@@ -266,18 +279,26 @@ def main():
     except Exception as e:
         print(f"[bench] ref binary failed: {e}", file=sys.stderr)
     del parts
+    ref_src = "measured"
     if refr is None:
-        refr = FALLBACK_REF_READS_PER_S
+        # the recorded fallback was measured on the FULL 1 Gb workload;
+        # never use it to normalize a SMALL (5 Mb) run -- the workloads
+        # are not comparable (r03 verdict weak #4)
+        if SMALL:
+            ref_src = "none"
+        else:
+            refr = FALLBACK_REF_READS_PER_S
+            ref_src = "fallback_recorded_1g"
     cells = None
     try:
         cells = bench_dp_cells()
     except Exception as e:
         print(f"[bench] dp-cells bench failed: {e}", file=sys.stderr)
-    baseline = refr * XEON_CORES
+    vs = None if refr is None else round(ours / (refr * XEON_CORES), 5)
     q60 = next((l for l in ev if l and l[1] == "60"), None)
     qlast = ev[-1] if ev else None
     print(f"[bench] backend={jax.default_backend()} ours={ours:.1f} reads/s "
-          f"ref_1core={refr:.1f} reads/s mapeval_q60={q60} "
+          f"ref_1core={refr} reads/s ({ref_src}) mapeval_q60={q60} "
           f"mapeval_all={qlast} total_wall={time.time()-t_all:.0f}s",
           file=sys.stderr)
     gsize = "5Mb" if SMALL else "1Gb repeat-bearing"
@@ -286,9 +307,10 @@ def main():
                   "batched PAF)",
         "value": round(ours, 1),
         "unit": "reads/s",
-        "vs_baseline": round(ours / baseline, 5),
+        "vs_baseline": vs,
         "extra": {
-            "ref_1core_reads_per_s": round(refr, 1),
+            "ref_1core_reads_per_s": None if refr is None else round(refr, 1),
+            "ref_baseline_src": ref_src,
             "dp_cells_per_s": None if cells is None else round(cells),
             "mapeval_q60": q60,
             "mapeval_cum": qlast,

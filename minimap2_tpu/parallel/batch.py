@@ -382,7 +382,12 @@ class DeviceIndex:
                 sc2[:hi - lo, 1] = cnts_all[lo:hi]
                 bmax = int(np.diff(bstart).max()) if len(bstart) > 1 else 1
                 n_probe = max(1, int(math.ceil(math.log2(bmax + 1))))
-                probe_win = 1 if (bmax <= 17 and kpad >= 24) else 0
+                if bmax <= 17 and kpad >= 24:
+                    probe_win = 3
+                elif bmax <= 25 and kpad >= 32:
+                    probe_win = 4
+                else:
+                    probe_win = 0
             pos = mi.pos[p0:p1]
             total_len = (int(seq_off64[-1]) + int(seq_len[-1])
                          if len(S) else 0)
@@ -727,11 +732,13 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
                                p, interpret)
     if di.bucket_start is not None and di.probe_win:
         # windowed probe: bucket b's keys live at sorted positions
-        # [bucket_start[b], bucket_start[b+1]) with <= 17 keys per bucket
-        # (verified at build; devbuild grows bb otherwise).  Three
-        # consecutive 8-pair rows starting at floor(lo/8) cover at least
-        # lo..lo+17, so ONE bucket_start gather + 3 contiguous 64 B row
-        # gathers + 1 sc2 gather replace the whole binary search.
+        # [bucket_start[b], bucket_start[b+1]) with <= 17 (3-row window)
+        # or <= 25 (4-row) keys per bucket (verified at build; devbuild
+        # grows bb otherwise).  nrows consecutive 8-pair rows starting at
+        # floor(lo/8) cover at least lo..lo+8*nrows-8, so ONE bucket_start
+        # gather + nrows contiguous 64 B row gathers + 1 sc2 gather
+        # replace the whole binary search.
+        nrows = 4 if di.probe_win == 4 else 3    # legacy caches store 1
         KP = di.keys2.shape[0]
         R = KP // 8
         krows = di.keys2.reshape(R, 16)          # 8 (hi, lo) pairs per row
@@ -740,11 +747,11 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
             if di.key_shift else (mh_hi, mh_lo)
         bkt = jnp.clip(blo, 0, nb1 - 2).astype(jnp.int32)
         lo = di.bucket_start[bkt]                               # (B, M)
-        row = jnp.clip(lo >> 3, 0, R - 3)
-        cat = jnp.concatenate([krows[row], krows[row + 1],
-                               krows[row + 2]], axis=-1)        # (B, M, 48)
+        row = jnp.clip(lo >> 3, 0, R - nrows)
+        cat = jnp.concatenate([krows[row + r] for r in range(nrows)],
+                              axis=-1)                     # (B, M, 16*nrows)
         B_, M_ = lo.shape
-        pairs = cat.reshape(B_, M_, 24, 2)
+        pairs = cat.reshape(B_, M_, 8 * nrows, 2)
         eq = ((pairs[..., 0] == mh_hi[..., None])
               & (pairs[..., 1] == mh_lo[..., None]))
         found = jnp.any(eq, axis=-1) & mvalid

@@ -208,38 +208,32 @@ def _global_sort(keys_buf, khi_buf, pos_buf, n, *, NPAD, wide):
     return keys_buf, khi_buf, pos_buf, neq, K
 
 
-@functools.partial(jax.jit, static_argnames=("KPAD", "NPAD", "bb", "shift",
-                                             "wide"))
-def _finalize(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, bb, shift, wide):
-    """Distinct-key compaction + bucket table (the worker_post analogue,
-    index.c:226-278, as scatters and scans)."""
-    starts = jnp.nonzero(neq, size=KPAD, fill_value=n)[0].astype(jnp.int32)
+@functools.partial(jax.jit, static_argnames=("KPAD", "NPAD", "wide"),
+                   donate_argnums=(0, 1, 2, 3))
+def _compact(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, wide):
+    """Distinct-key compaction (the worker_post analogue, index.c:226-278,
+    as a rank-scatter).  All NPAD-sized inputs are DONATED: the sorted
+    key/pos planes are the single largest live buffers at this point and
+    r03's bench died on a compile-time HBM OOM when they were held across
+    the (then-fused) bucket-table retry loop.  The bucket table is built
+    separately (_bucket_table) from the KPAD-sized output so retrying a
+    different bucket width never re-touches NPAD-sized arrays."""
+    i = jnp.arange(NPAD, dtype=jnp.int32)
+    # rank of each run-start among distinct keys; i32 throughout (a
+    # size=KPAD jnp.nonzero would build int64 NPAD-scale intermediates)
+    rank = jnp.cumsum(neq.astype(jnp.int32)) - 1
+    tgt = jnp.where(neq, rank, jnp.int32(KPAD))      # OOB rows -> dropped
+    starts = jnp.full((KPAD,), n, jnp.int32).at[tgt].set(i, mode="drop")
     counts = jnp.diff(jnp.append(starts, jnp.int32(n)))
-    gi = jnp.clip(starts, 0, keys_s.shape[0] - 1)
-    klo_c = keys_s[gi]
+    gi = jnp.minimum(starts, jnp.int32(NPAD - 1))
     pad = starts >= n
-    klo_c = jnp.where(pad, UMAX, klo_c)
+    klo_c = jnp.where(pad, UMAX, keys_s[gi])
     if wide:
         khi_c = jnp.where(pad, UMAX, khi_s[gi])
     else:
         khi_c = jnp.where(pad, UMAX, jnp.uint32(0))
     keys2 = jnp.stack([khi_c, klo_c], axis=1)
     sc2 = jnp.stack([starts, counts.astype(jnp.int32)], axis=1)
-    # bucket_start[b] = first distinct-key row whose (key >> shift) >= b
-    if shift >= 32:
-        b_of = (khi_c >> jnp.uint32(shift - 32))
-    elif shift > 0:
-        b_of = (khi_c << jnp.uint32(32 - shift)) | (klo_c >> jnp.uint32(shift))
-    else:
-        b_of = klo_c
-    NBK = 1 << bb
-    b_of = jnp.where(pad, jnp.uint32(NBK), b_of.astype(jnp.uint32))
-    b_of = jnp.minimum(b_of, jnp.uint32(NBK)).astype(jnp.int32)
-    K = jnp.sum(~pad, dtype=jnp.int32)
-    bs = jnp.full((NBK + 1,), K, jnp.int32)
-    bs = bs.at[b_of].min(jnp.arange(KPAD, dtype=jnp.int32))
-    bs = lax.cummin(bs[::-1])[::-1]
-    bmax = jnp.max(jnp.diff(bs))
     # occurrence-count histogram (clipped at 2^16): the exact k-smallest
     # of mm_idx_cal_max_occ (index.c:198-220) reads off its cumsum -- a
     # full sort of the counts would cost ~30 s of XLA compile alone
@@ -247,7 +241,30 @@ def _finalize(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, bb, shift, wide):
     hist = jnp.zeros((CLIP,), jnp.int32).at[
         jnp.where(pad, 0, jnp.minimum(counts, CLIP - 1))].add(1)
     chist = jnp.cumsum(hist)
-    return keys2, sc2, pos_s[:NPAD], bs, bmax, chist
+    return keys2, sc2, pos_s, chist
+
+
+@functools.partial(jax.jit, static_argnames=("bb", "shift"))
+def _bucket_table(keys2, K, *, bb, shift):
+    """bucket_start[b] = first distinct-key row whose (key >> shift) >= b.
+    KPAD-sized only, so the grow-bb retry loop recompiles cheaply."""
+    khi_c, klo_c = keys2[:, 0], keys2[:, 1]
+    KPAD = keys2.shape[0]
+    if shift >= 32:
+        b_of = (khi_c >> jnp.uint32(shift - 32))
+    elif shift > 0:
+        b_of = (khi_c << jnp.uint32(32 - shift)) | (klo_c >> jnp.uint32(shift))
+    else:
+        b_of = klo_c
+    NBK = 1 << bb
+    pad = jnp.arange(KPAD, dtype=jnp.int32) >= K
+    b_of = jnp.where(pad, jnp.uint32(NBK), b_of.astype(jnp.uint32))
+    b_of = jnp.minimum(b_of, jnp.uint32(NBK)).astype(jnp.int32)
+    bs = jnp.full((NBK + 1,), K, jnp.int32)
+    bs = bs.at[b_of].min(jnp.arange(KPAD, dtype=jnp.int32))
+    bs = lax.cummin(bs[::-1])[::-1]
+    bmax = jnp.max(jnp.diff(bs))
+    return bs, bmax
 
 
 def build_device_index(names, codes_list, w: int, k: int,
@@ -346,22 +363,29 @@ def build_device_index(names, codes_list, w: int, k: int,
     KPAD = _round_up(max(K, 1), 1 << 20)
     NPAD = min(NPAD, CAP_TOT)
     key_bits = 2 * k
+    keys2, sc2, pos2, chist = _compact(
+        keys_s, khi_s, pos_s, neq, jnp.int32(N),
+        KPAD=KPAD, NPAD=NPAD, wide=wide)
+    del keys_s, khi_s, pos_s, neq      # donated -- already invalid
     bb = min(26, max(4, int(math.ceil(math.log2(max(K, 2)))) + 2),
              key_bits)
     while True:
         shift = max(0, key_bits - bb)
-        keys2, sc2, pos2, bs, bmax, chist = _finalize(
-            keys_s, khi_s, pos_s, neq, jnp.int32(N),
-            KPAD=KPAD, NPAD=NPAD, bb=bb, shift=shift, wide=wide)
+        bs, bmax = _bucket_table(keys2, jnp.int32(K), bb=bb, shift=shift)
         bmax = int(bmax)
-        # the windowed probe's 24-key window needs <= 17 keys per bucket
-        # (batch._lookup_anchors probe_win branch); hash-uniform keys make
-        # this overwhelmingly likely at avg load <= 1.5 -- grow bb if not
-        if bmax <= 17 or bb >= min(28, key_bits):
+        # the windowed probe covers 25 keys past bucket_start at 4 rows
+        # (17 at 3 rows; batch._lookup_anchors probe_win branch);
+        # hash-uniform keys make bmax <= 25 overwhelmingly likely at avg
+        # load <= 1.5 -- grow bb if not (cheap: KPAD-sized recompile only)
+        if bmax <= 25 or bb >= min(28, key_bits):
             break
         bb += 1
-    del keys_s, khi_s, pos_s, neq
-    probe_win = 1 if (bmax <= 17 and KPAD >= 24) else 0
+    if bmax <= 17 and KPAD >= 24:
+        probe_win = 3
+    elif bmax <= 25 and KPAD >= 32:
+        probe_win = 4
+    else:
+        probe_win = 0
     n_probe = max(1, int(math.ceil(math.log2(int(bmax) + 1))))
     # mid_occ = (kth-smallest count) + 1 read off the histogram cumsum
     if K:

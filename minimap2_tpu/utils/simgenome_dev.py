@@ -90,13 +90,13 @@ def _sim_chrom_dev(key, line_master, alu_master, sat_master, *, P):
     kk = jax.random.split(ks[11], 10)
 
     def seg(i, g):
-        k1, k2, k3, k4 = jax.random.split(kk[i], 4)
+        k1, k2, k3, k4, k5 = jax.random.split(kk[i], 5)
         Lb = jax.random.randint(k1, (), 20_000, DL, jnp.int32)
         src = jax.random.randint(k2, (), 0, P - DL, jnp.int32)
         dst = jax.random.randint(k3, (), 0, P - DL, jnp.int32)
         blk = lax.dynamic_slice(g, (src,), (DL,))
         m = jax.random.uniform(k4, (DL,)) < 0.05
-        blk = jnp.where(m, jax.random.randint(k4, (DL,), 0, 4, jnp.uint8),
+        blk = jnp.where(m, jax.random.randint(k5, (DL,), 0, 4, jnp.uint8),
                         blk)
         keep = jnp.arange(DL, dtype=jnp.int32) < Lb
         cur = lax.dynamic_slice(g, (dst,), (DL,))
@@ -128,6 +128,20 @@ def simulate_genome_device(total_len: int = 1_000_000_000, n_chrom: int = 8,
 def _slice_reads(flat, starts, RL):
     idx = starts[:, None] + jnp.arange(RL, dtype=jnp.int32)[None, :]
     return flat[idx]
+
+
+def write_genome_fasta_host(path, total_len: int, n_chrom: int, seed: int):
+    """Regenerate the device genome on the CPU backend and write FASTA.
+
+    jax.random (threefry) is backend-deterministic, so running the same
+    generator under JAX_PLATFORMS=cpu reproduces the HBM genome byte for
+    byte -- this replaces a ~1 GB device->host download over a link that
+    has been observed as slow as 1-2 MB/s.  Must run in a fresh process
+    with JAX_PLATFORMS=cpu (see bench.py bench_ref)."""
+    from .simgenome import write_fasta
+    names, parts = simulate_genome_device(total_len, n_chrom, seed)
+    write_fasta(path, names, [np.asarray(p) for p in parts])
+    return names
 
 
 def simulate_reads_device(parts, n_reads: int, seed: int = 1,
@@ -169,3 +183,14 @@ def simulate_reads_device(parts, n_reads: int, seed: int = 1,
         names_out.append(f"S1_{i}!{cname}!{st[i]}!{st[i] + ln[i]}!{strand}")
         out.append(s)
     return names_out, out
+
+
+if __name__ == "__main__":      # CPU-side FASTA regeneration entry
+    import sys as _sys
+    _tl, _nc, _sd, _out = (int(_sys.argv[1]), int(_sys.argv[2]),
+                           int(_sys.argv[3]), _sys.argv[4])
+    # backend determinism is the point: force cpu (the axon sitecustomize
+    # imports jax early, so the JAX_PLATFORMS env var may be consumed)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu"
+    write_genome_fasta_host(_out, _tl, _nc, _sd)
