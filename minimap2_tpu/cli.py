@@ -58,6 +58,7 @@ class Args:
         self.spsc_scale = 0.7
         self.jump_bed = None
         self.pass1 = None
+        self.out_file = None
 
 
 LONG_FLAG_OPTS = {
@@ -83,8 +84,8 @@ LONG_FLAG_OPTS = {
 }
 
 
-_OPTS_WITH_ARG = set("kwIdtfUgGFNpMnmABOErzsKuRTqxv")
-_OPTS_FLAG = set("acHXPD2LQySY")
+_OPTS_WITH_ARG = set("kwIdtfUgGFNpMnmABOErzsKuRTqxvoJCe")
+_OPTS_FLAG = set("acHXPD2LQySYh")
 
 
 def _expand_short(argv):
@@ -153,6 +154,22 @@ def main(argv=None) -> int:
             i += 1
             return argv[i]
 
+        def oval():
+            # long option value: --opt=val or --opt val (main.c ketopt)
+            return a.split("=", 1)[1] if "=" in a else val()
+
+        def yes_no(flag, yes_sets=True):
+            # yes_or_no helper (main.c:119-131)
+            v = oval()
+            if v in ("yes", "y"):
+                mo.flag = (mo.flag | flag) if yes_sets else (mo.flag & ~flag)
+            elif v in ("no", "n"):
+                mo.flag = (mo.flag & ~flag) if yes_sets else (mo.flag | flag)
+            else:
+                print(f"[WARNING] option '{a.split('=')[0]}' only accepts "
+                      "'yes' or 'no'.", file=sys.stderr)
+
+        abase = a.split("=", 1)[0] if a.startswith("--") else a
         if a == "-x":
             i += 1  # already applied
         elif a == "-a":
@@ -321,6 +338,108 @@ def main(argv=None) -> int:
             mo.flag |= C.MM_F_OUT_CS | C.MM_F_CIGAR
             if a.split("=", 1)[1] == "long":
                 mo.flag |= C.MM_F_OUT_CS_LONG
+        elif a == "-o":                     # main.c:208-215
+            args.out_file = val()
+        elif a == "-J":                     # main.c:203-208 splice model
+            t = int(val())
+            if t == 0:
+                mo.flag |= C.MM_F_SPLICE_OLD
+            elif t == 1:
+                mo.flag &= ~C.MM_F_SPLICE_OLD
+        elif a == "-C":                     # main.c:195 noncan penalty
+            mo.noncan = int(val())
+        elif a == "-e":                     # main.c:198 occ distance
+            mo.occ_dist = parse_num(val())
+        elif a == "-S":                     # deprecated --cs=long alias
+            mo.flag |= C.MM_F_OUT_CS | C.MM_F_CIGAR | C.MM_F_OUT_CS_LONG
+            print("[WARNING] option -S is deprecated and may be removed in "
+                  "future. Please use --cs=long instead.", file=sys.stderr)
+        elif abase == "--seed":             # main.c:217
+            mo.seed = int(oval())
+        elif abase == "--max-chain-skip":   # main.c:221
+            mo.max_chain_skip = int(oval())
+        elif abase == "--max-chain-iter":   # main.c:222
+            mo.max_chain_iter = int(oval())
+        elif abase == "--chain-gap-scale":  # main.c:247
+            mo.chain_gap_scale = float(oval())
+        elif abase == "--chain-skip-scale":  # main.c:248
+            mo.chain_skip_scale = float(oval())
+        elif abase == "--mask-len":         # main.c:251
+            mo.mask_len = parse_num(oval())
+        elif abase == "--min-dp-len":       # main.c:223
+            mo.min_ksw_len = int(oval())
+        elif abase == "--end-bonus":        # main.c:227
+            mo.end_bonus = int(oval())
+        elif abase == "--end-seed-pen":     # main.c:230
+            mo.anchor_ext_shift = int(oval())
+        elif abase == "--max-clip-ratio":   # main.c:233
+            mo.max_clip_ratio = float(oval())
+        elif abase == "--min-occ-floor":    # main.c:234
+            mo.min_mid_occ = int(oval())
+        elif abase == "--score-N":          # main.c:236
+            mo.sc_ambi = int(oval())
+        elif abase == "--max-qlen":         # main.c:243
+            mo.max_qlen = parse_num(oval())
+        elif abase == "--cap-sw-mem":       # main.c:242 (--cap-sw-mat)
+            mo.max_sw_mat = parse_num(oval())
+        elif abase == "--cap-kalloc":       # main.c:253 (budget guard)
+            mo.cap_kalloc = parse_num(oval())
+        elif abase == "--rmq-inner":        # main.c:260
+            mo.rmq_inner_dist = parse_num(oval())
+        elif abase == "--bucket-bits":      # main.c:216
+            io.bucket_bits = int(oval())
+        elif abase == "--q-occ-frac":       # main.c:255 (-q alias)
+            mo.q_occ_frac = float(oval())
+        elif a == "--no-long-join":         # main.c:226
+            mo.flag |= C.MM_F_NO_LJOIN
+        elif a == "--splice":               # main.c:225
+            mo.flag |= C.MM_F_SPLICE
+        elif a == "--idx-no-seq":           # main.c:229
+            io.flag |= C.MM_I_NO_SEQ
+        elif a == "--no-pairing":           # main.c:228 (deprecated)
+            mo.flag |= C.MM_F_INDEPEND_SEG
+        elif abase == "--frag":             # main.c:281
+            yes_no(C.MM_F_FRAG_MODE, yes_sets=True)
+        elif abase == "--heap-sort":        # main.c:297
+            yes_no(C.MM_F_HEAP_SORT, yes_sets=True)
+        elif abase == "--dual":             # main.c:299
+            yes_no(C.MM_F_NO_DUAL, yes_sets=False)
+        elif abase == "--splice-flank":     # main.c:296
+            yes_no(C.MM_F_SPLICE_FLANK, yes_sets=True)
+        elif a.startswith("--rmq="):        # main.c:301 (bare --rmq below)
+            yes_no(C.MM_F_RMQ, yes_sets=True)
+        elif abase == "--sr":               # main.c:270-280
+            v = a.split("=", 1)[1] if "=" in a else "dna"
+            if v == "dna":
+                mo.flag |= C.MM_F_SR
+            elif v == "rna":
+                mo.flag |= C.MM_F_SR_RNA
+            elif v == "no":
+                mo.flag &= ~(C.MM_F_SR | C.MM_F_SR_RNA)
+            else:
+                mo.flag |= C.MM_F_SR
+                print("[WARNING] --sr only takes 'dna' or 'rna'. Invalid "
+                      "values are assumed to be 'dna'.", file=sys.stderr)
+        elif abase == "--pairing":          # main.c:303-310
+            v = oval()
+            if v == "no":
+                mo.flag |= C.MM_F_INDEPEND_SEG
+            elif v == "weak":
+                mo.flag |= C.MM_F_WEAK_PAIRING
+                mo.flag &= ~C.MM_F_INDEPEND_SEG
+            else:
+                if v != "strong":
+                    print("[WARNING] unrecognized argument for --pairing; "
+                          "assuming 'strong'.", file=sys.stderr)
+                mo.flag &= ~(C.MM_F_INDEPEND_SEG | C.MM_F_WEAK_PAIRING)
+        elif abase == "--lj-min-ratio":     # main.c:268 (deprecated)
+            oval()
+            print("[WARNING]  --lj-min-ratio has been deprecated.",
+                  file=sys.stderr)
+        elif a == "-h" or a == "--help":
+            print("Usage: minimap2_tpu [options] target.fa query.fq [...]")
+            print("See docs/OPTIONS.md for the full option reference.")
+            return 0
         elif a in LONG_FLAG_OPTS:
             LONG_FLAG_OPTS[a](io, mo, None)
             if a == "--MD" or a == "--ds":
@@ -354,6 +473,19 @@ def main(argv=None) -> int:
         if not os.path.exists(f_):
             print(f"ERROR: failed to open file '{f_}'", file=sys.stderr)
             return 1
+    out_fh = sys.stdout
+    if args.out_file and args.out_file != "-":    # -o (main.c:208-215)
+        try:
+            out_fh = open(args.out_file, "w")
+        except OSError as e:
+            print(f"[ERROR] failed to write the output to file "
+                  f"'{args.out_file}': {e.strerror}", file=sys.stderr)
+            return 1
+
+    def finish(rc: int) -> int:
+        if out_fh is not sys.stdout:
+            out_fh.close()
+        return rc
     multipart = None
     with open(tgt, "rb") as _f:
         magic = _f.read(4)
@@ -378,7 +510,7 @@ def main(argv=None) -> int:
             dump_mmi(mi, args.idx_out)
     if multipart is not None:
         from .map.driver import run_multipart
-        out = sys.stdout
+        out = out_fh
 
         def write_hdr(meta):
             if args.sam:
@@ -433,7 +565,7 @@ def main(argv=None) -> int:
             print(f"[M::mm_idx_alt_read] found {n_alt} ALT contigs",
                   file=sys.stderr)
 
-    out = sys.stdout
+    out = out_fh
     if args.sam:
         rg_id = None  # threaded to SAM records via mo.rg_id
         if args.rg:

@@ -47,3 +47,10 @@ run x3s-chains      -t1 -x splice --print-chains "$D/x3s-ref.fa" "$D/x3s-qry.fa"
 echo "goldens written to $G"
 run mt-alnseq       -a --print-aln-seq "$D/MT-human.fa" "$D/MT-orang.fa"
 run mt-seedocc      --dbg-seed-occ "$D/MT-human.fa" "$D/MT-orang.fa"
+
+# Option-wiring goldens (round 4: -o and chain-tuning long options)
+run mt-gapscale     --chain-gap-scale 3.0 --chain-skip-scale 1.0 "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-seed         --seed 42 -c "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-dplen        --min-dp-len 1000 -c "$D/MT-human.fa" "$D/MT-orang.fa"
+run mt-optmisc      --max-chain-skip 1 --max-chain-iter 20 --mask-len 500 --heap-sort=yes --rmq=no "$D/MT-human.fa" "$D/MT-orang.fa"
+run inv-endbonus    --end-bonus 50 -a "$D/t-inv.fa" "$D/q-inv.fa"

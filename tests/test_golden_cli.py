@@ -240,3 +240,44 @@ def test_long_cigar_cg_tag():
     assert int(ops[1]) == p.cigar[0]
     line2 = write_sam(mi, rec, 0, 0, 1, [1], [[r]], 0, 0)
     assert "CG:B:I" not in line2            # without -L: plain giant CIGAR
+
+
+# --- round 4: option-wiring goldens (main.c:166-351 long options + -o) ---
+
+def test_opt_chain_gap_scale():
+    check(["--chain-gap-scale", "3.0", "--chain-skip-scale", "1.0",
+           f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"], "mt-gapscale.out")
+
+
+def test_opt_seed():
+    check(["--seed", "42", "-c", f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"],
+          "mt-seed.out")
+
+
+@pytest.mark.slow
+def test_opt_min_dp_len():
+    check(["--min-dp-len", "1000", "-c", f"{DATA}/MT-human.fa",
+           f"{DATA}/MT-orang.fa"], "mt-dplen.out")
+
+
+def test_opt_misc_chain_tuning():
+    # --max-chain-skip/--max-chain-iter/--mask-len/--heap-sort/--rmq=no
+    # happen to leave MT output unchanged vs defaults; the golden proves
+    # they parse and do not corrupt the pipeline (main.c:221-222,251,297,301)
+    check(["--max-chain-skip", "1", "--max-chain-iter", "20",
+           "--mask-len", "500", "--heap-sort=yes", "--rmq=no",
+           f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"], "mt-optmisc.out")
+
+
+def test_opt_end_bonus():
+    check(["--end-bonus", "50", "-a", f"{DATA}/t-inv.fa", f"{DATA}/q-inv.fa"],
+          "inv-endbonus.out")
+
+
+def test_opt_output_file(tmp_path):
+    # -o FILE == stdout redirection (main.c:208-215)
+    out = run_cli(["-c", f"{DATA}/t-inv.fa", f"{DATA}/q-inv.fa"])
+    p = tmp_path / "o.paf"
+    rc = cli_main(["-c", "-o", str(p), f"{DATA}/t-inv.fa", f"{DATA}/q-inv.fa"])
+    assert rc == 0
+    assert p.read_text() == out
