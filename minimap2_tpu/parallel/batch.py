@@ -222,7 +222,7 @@ class DeviceIndex:
     re-expressed as sorted keys + offset/count + int32 position planes)."""
 
     def __init__(self, keys2, sc2, pos2, S, seq_off, seq_len,
-                 bucket_start=None, h2=None, pstrand=None,
+                 bucket_start=None, h2=None, pstrand=None, krows=None,
                  key_shift: int = 0, n_probe: int = 6, h2_bits: int = 0,
                  h2_slots: int = 8, pos_fmt: int = 0, h2_nb: int = 0,
                  s_fmt: int = 0, probe_win: int = 0):
@@ -261,10 +261,15 @@ class DeviceIndex:
         self.h2_nb = h2_nb                 # static: >0 = mulhi bucket map
         self.s_fmt = s_fmt                 # static: S layout
         # windowed probe: bucket contents are CONTIGUOUS in the sorted key
-        # array, so when every bucket holds <= 17 keys (verified at build)
-        # a 3-row (24-key) window gather starting at bucket_start[b]
-        # replaces the whole binary search -- 3 contiguous 64 B row
-        # gathers instead of n_probe+1 random pair gathers
+        # array, so when every bucket holds <= 25 keys (verified at build)
+        # a 2-row window gather over krows starting at bucket_start[b]
+        # replaces the whole binary search.  krows is (ceil(K/64), 128)
+        # u32 with 64 interleaved (hi, lo) pairs per row: minor dim 128
+        # means EVERY possible XLA tiled layout is compact.  A (K, 2)
+        # view reshaped to rows inside the step forced layout assignment
+        # into {1,0:T(8,128)} -- a 64x pad (2 -> 128 lanes) that at
+        # GRCh38 scale is a 49 GB relayout copy (the r03/r04 bench OOM).
+        self.krows = krows                 # (ceil(K/64), 128) u32 or None
         self.probe_win = probe_win         # static: 1 = windowed probe ok
 
     _AUX_FIELDS = ("key_shift", "n_probe", "h2_bits", "h2_slots",
@@ -276,7 +281,7 @@ class DeviceIndex:
     def tree_flatten(self):
         return ((self.keys2, self.sc2, self.pos2, self.S,
                  self.seq_off, self.seq_len, self.bucket_start, self.h2,
-                 self.pstrand),
+                 self.pstrand, self.krows),
                 tuple(getattr(self, a) for a in self._AUX_FIELDS))
 
     @classmethod
@@ -309,7 +314,7 @@ class DeviceIndex:
         bounds = [(i * K) // n_shards for i in range(n_shards + 1)]
         kpad = max(1, max((bounds[i + 1] - bounds[i] for i in range(n_shards)),
                           default=1))
-        kpad = (kpad + 7) // 8 * 8      # windowed probe reshapes to 8-pair rows
+        kpad = (kpad + 63) // 64 * 64   # windowed probe: 64-pair krows rows
         shards = []
         S = np.ascontiguousarray(mi.S if mi.S is not None
                                  else np.zeros(1, np.uint8))
@@ -382,12 +387,7 @@ class DeviceIndex:
                 sc2[:hi - lo, 1] = cnts_all[lo:hi]
                 bmax = int(np.diff(bstart).max()) if len(bstart) > 1 else 1
                 n_probe = max(1, int(math.ceil(math.log2(bmax + 1))))
-                if bmax <= 17 and kpad >= 24:
-                    probe_win = 3
-                elif bmax <= 25 and kpad >= 32:
-                    probe_win = 4
-                else:
-                    probe_win = 0
+                probe_win = 2 if (bmax <= 25 and kpad >= 128) else 0
             pos = mi.pos[p0:p1]
             total_len = (int(seq_off64[-1]) + int(seq_len[-1])
                          if len(S) else 0)
@@ -429,11 +429,17 @@ class DeviceIndex:
             if force_s_fmt is not None:
                 s_fmt = force_s_fmt
             S_out = _pack_s4(S) if s_fmt else S
+            krows = None
+            if probe_win:
+                # (kpad, 2) row-major flat == interleaved [hi0, lo0, ...]
+                krows = jnp.asarray(
+                    np.ascontiguousarray(keys2).reshape(-1, 128))
             shards.append(cls(jnp.asarray(keys2), jnp.asarray(sc2),
                               jnp.asarray(pos2), jnp.asarray(S_out),
                               jnp.asarray(seq_off_out), jnp.asarray(seq_len),
                               jnp.asarray(bstart), h2,
                               None if pstrand is None else jnp.asarray(pstrand),
+                              krows,
                               key_shift=shift,
                               n_probe=n_probe, h2_bits=h2_bits,
                               h2_slots=h2_slots, pos_fmt=pos_fmt,
@@ -447,7 +453,7 @@ class DeviceIndex:
         return shards
 
     _CACHE_LEAVES = ("keys2", "sc2", "pos2", "S", "seq_off", "seq_len",
-                     "bucket_start", "h2", "pstrand")
+                     "bucket_start", "h2", "pstrand", "krows")
     _CACHE_AUX = ("key_shift", "n_probe", "h2_bits", "h2_slots", "pos_fmt",
                   "h2_nb", "s_fmt", "probe_win")
 
@@ -480,6 +486,8 @@ class DeviceIndex:
             for name in cls._CACHE_LEAVES:
                 k = f"s{i}_{name}"
                 leaves.append(jnp.asarray(z[k]) if k in z.files else None)
+            if aux.get("probe_win") and leaves[-1] is None:
+                raise ValueError("cache predates the krows layout")
             shards.append(cls(*leaves, **aux))
         return shards
 
@@ -730,33 +738,32 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
         flt = found & (cnt_raw > p.occ_cap)
         return _expand_anchors(di, start, cnt, flt, mz, mpos, mspan, qlen,
                                p, interpret)
-    if di.bucket_start is not None and di.probe_win:
+    if di.bucket_start is not None and di.probe_win and di.krows is not None:
         # windowed probe: bucket b's keys live at sorted positions
-        # [bucket_start[b], bucket_start[b+1]) with <= 17 (3-row window)
-        # or <= 25 (4-row) keys per bucket (verified at build; devbuild
-        # grows bb otherwise).  nrows consecutive 8-pair rows starting at
-        # floor(lo/8) cover at least lo..lo+8*nrows-8, so ONE bucket_start
-        # gather + nrows contiguous 64 B row gathers + 1 sc2 gather
-        # replace the whole binary search.
-        nrows = 4 if di.probe_win == 4 else 3    # legacy caches store 1
-        KP = di.keys2.shape[0]
-        R = KP // 8
-        krows = di.keys2.reshape(R, 16)          # 8 (hi, lo) pairs per row
+        # [bucket_start[b], bucket_start[b+1]) with <= 25 keys per bucket
+        # (verified at build; devbuild grows bb otherwise).  krows packs
+        # 64 interleaved (hi, lo) pairs per 128-lane row, so TWO
+        # consecutive 512 B row gathers starting at floor(lo/64) cover
+        # pairs lo..lo+64 >= the whole bucket, and one bucket_start
+        # gather + 1 sc2 pair gather complete the probe -- no binary
+        # search, and no (K, 2) relayout (see DeviceIndex.krows).
+        RK = di.krows.shape[0]
+        KP = di.sc2.shape[0]
         nb1 = di.bucket_start.shape[0]
         bhi, blo = _shr64(mh_hi, mh_lo, di.key_shift) \
             if di.key_shift else (mh_hi, mh_lo)
         bkt = jnp.clip(blo, 0, nb1 - 2).astype(jnp.int32)
         lo = di.bucket_start[bkt]                               # (B, M)
-        row = jnp.clip(lo >> 3, 0, R - nrows)
-        cat = jnp.concatenate([krows[row + r] for r in range(nrows)],
-                              axis=-1)                     # (B, M, 16*nrows)
-        B_, M_ = lo.shape
-        pairs = cat.reshape(B_, M_, 8 * nrows, 2)
-        eq = ((pairs[..., 0] == mh_hi[..., None])
-              & (pairs[..., 1] == mh_lo[..., None]))
+        row = jnp.clip(lo >> 6, 0, RK - 2)
+        cat = jnp.concatenate([di.krows[row], di.krows[row + 1]],
+                              axis=-1)                          # (B, M, 256)
+        # interleaved [hi0, lo0, hi1, lo1, ...]: stride-2 slices keep the
+        # minor dim >= 128 (a reshape to (.., 128, 2) would re-pad)
+        eq = ((cat[..., 0::2] == mh_hi[..., None])
+              & (cat[..., 1::2] == mh_lo[..., None]))           # (B, M, 128)
         found = jnp.any(eq, axis=-1) & mvalid
         lane = jnp.argmax(eq, axis=-1).astype(jnp.int32)
-        pos = row * 8 + lane
+        pos = row * 64 + lane
         sv = di.sc2[jnp.minimum(pos, KP - 1)]
         start = jnp.where(found, sv[..., 0], 0)
         cnt_raw = sv[..., 1]

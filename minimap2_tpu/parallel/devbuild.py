@@ -233,6 +233,16 @@ def _compact(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, wide):
     else:
         khi_c = jnp.where(pad, UMAX, jnp.uint32(0))
     keys2 = jnp.stack([khi_c, klo_c], axis=1)
+    # windowed-probe row plane: 64 interleaved (hi, lo) pairs per
+    # 128-lane row -- minor dim 128 keeps every XLA layout compact (a
+    # (K, 2) operand of a row gather gets relaid out to {1,0:T(8,128)},
+    # a 64x pad = 49 GB at 1 Gb scale; see DeviceIndex.krows).  Built by
+    # strided lane scatters: every intermediate keeps minor dim >= 64 so
+    # layout assignment can never pick a padded tiling for it.
+    r64 = KPAD // 64
+    krows = jnp.zeros((r64, 128), jnp.uint32)
+    krows = krows.at[:, 0::2].set(khi_c.reshape(r64, 64))
+    krows = krows.at[:, 1::2].set(klo_c.reshape(r64, 64))
     sc2 = jnp.stack([starts, counts.astype(jnp.int32)], axis=1)
     # occurrence-count histogram (clipped at 2^16): the exact k-smallest
     # of mm_idx_cal_max_occ (index.c:198-220) reads off its cumsum -- a
@@ -241,7 +251,7 @@ def _compact(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, wide):
     hist = jnp.zeros((CLIP,), jnp.int32).at[
         jnp.where(pad, 0, jnp.minimum(counts, CLIP - 1))].add(1)
     chist = jnp.cumsum(hist)
-    return keys2, sc2, pos_s, chist
+    return keys2, krows, sc2, pos_s, chist
 
 
 @functools.partial(jax.jit, static_argnames=("bb", "shift"))
@@ -363,7 +373,7 @@ def build_device_index(names, codes_list, w: int, k: int,
     KPAD = _round_up(max(K, 1), 1 << 20)
     NPAD = min(NPAD, CAP_TOT)
     key_bits = 2 * k
-    keys2, sc2, pos2, chist = _compact(
+    keys2, krows, sc2, pos2, chist = _compact(
         keys_s, khi_s, pos_s, neq, jnp.int32(N),
         KPAD=KPAD, NPAD=NPAD, wide=wide)
     del keys_s, khi_s, pos_s, neq      # donated -- already invalid
@@ -373,19 +383,14 @@ def build_device_index(names, codes_list, w: int, k: int,
         shift = max(0, key_bits - bb)
         bs, bmax = _bucket_table(keys2, jnp.int32(K), bb=bb, shift=shift)
         bmax = int(bmax)
-        # the windowed probe covers 25 keys past bucket_start at 4 rows
-        # (17 at 3 rows; batch._lookup_anchors probe_win branch);
+        # the windowed probe's 2-row krows gather covers >= 64 keys past
+        # bucket_start but the guarantee is verified at <= 25 per bucket;
         # hash-uniform keys make bmax <= 25 overwhelmingly likely at avg
         # load <= 1.5 -- grow bb if not (cheap: KPAD-sized recompile only)
         if bmax <= 25 or bb >= min(28, key_bits):
             break
         bb += 1
-    if bmax <= 17 and KPAD >= 24:
-        probe_win = 3
-    elif bmax <= 25 and KPAD >= 32:
-        probe_win = 4
-    else:
-        probe_win = 0
+    probe_win = 2 if (bmax <= 25 and KPAD >= 128) else 0
     n_probe = max(1, int(math.ceil(math.log2(int(bmax) + 1))))
     # mid_occ = (kth-smallest count) + 1 read off the histogram cumsum
     if K:
@@ -399,10 +404,18 @@ def build_device_index(names, codes_list, w: int, k: int,
     # exists only for the sketch's flush/reset distinction -- the -a
     # path's _gather_s expects codes 0..4
     S = jnp.minimum(S, jnp.uint8(4))
+    if probe_win:
+        # the windowed probe reads krows/sc2 only; drop the (K, 2) key
+        # plane so it does not hold 770 MB of HBM at 1 Gb scale (the
+        # binary-search fallback that needs it is only taken at
+        # probe_win=0)
+        keys2 = jnp.full((1, 2), UMAX, jnp.uint32)
+    else:
+        krows = None
     di = DeviceIndex(keys2, sc2, pos2, S,
                      jnp.asarray(seq_off.astype(np.uint32).view(np.int32)),
                      jnp.asarray(lens.astype(np.int32)),
-                     bucket_start=bs, h2=None, pstrand=None,
+                     bucket_start=bs, h2=None, pstrand=None, krows=krows,
                      key_shift=shift, n_probe=n_probe, h2_bits=0,
                      h2_slots=8, pos_fmt=1, h2_nb=0, s_fmt=0,
                      probe_win=probe_win)

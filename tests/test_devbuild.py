@@ -28,7 +28,11 @@ def _host_ref(names, seqs, w, k):
 def _dev_as_host(di, meta):
     """Download the (small, test-sized) device tables and re-express them
     in host MiniIndex coordinates."""
-    keys2 = np.asarray(di.keys2)
+    if di.krows is not None:
+        # windowed-probe layout: 64 interleaved (hi, lo) pairs per row
+        keys2 = np.asarray(di.krows).reshape(-1, 2)
+    else:
+        keys2 = np.asarray(di.keys2)
     sc2 = np.asarray(di.sc2)
     pos2 = np.asarray(di.pos2)
     K = meta.n_distinct
@@ -69,7 +73,7 @@ def test_devbuild_bucket_table():
     rng = np.random.default_rng(3)
     names, seqs = _rand_genome(rng, [80_000])
     di, meta = build_device_index(names, seqs, 10, 15, interpret=True)
-    keys2 = np.asarray(di.keys2)
+    keys2 = np.asarray(di.krows).reshape(-1, 2)
     bs = np.asarray(di.bucket_start)
     K = meta.n_distinct
     keys = keys2[:K, 1]
