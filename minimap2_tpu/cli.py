@@ -33,6 +33,18 @@ def parse_num(s: str) -> int:
     return int(float(s) * mult)
 
 
+def _perf_line() -> str:
+    """Real/CPU/PeakRSS epilogue (misc.c:96-121, main.c:523)."""
+    import resource
+    el = time.time() - REALTIME0
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    rc = resource.getrusage(resource.RUSAGE_CHILDREN)   # fork-pool workers
+    cpu = ru.ru_utime + ru.ru_stime + rc.ru_utime + rc.ru_stime
+    rss = max(ru.ru_maxrss, rc.ru_maxrss) * 1024        # KB on linux
+    return (f"[M::main] Real time: {el:.3f} sec; CPU: {cpu:.3f} sec; "
+            f"Peak RSS: {rss / 1024.0 / 1024.0 / 1024.0:.3f} GB")
+
+
 def log(msg: str, verbose=3, level=3):
     if verbose >= level:
         el = time.time() - REALTIME0
@@ -528,7 +540,7 @@ def main(argv=None) -> int:
             print(f"[M::main] Version: {C.MM_VERSION}", file=sys.stderr)
             print(f"[M::main] CMD: minimap2 {' '.join(orig_argv)}",
                   file=sys.stderr)
-            print(f"[M::main] Real time: {el:.3f} sec", file=sys.stderr)
+            print(_perf_line(), file=sys.stderr)
         return 0
 
     if args.verbose >= 3:
@@ -592,7 +604,7 @@ def main(argv=None) -> int:
             print(f"[M::main] Version: {C.MM_VERSION}", file=sys.stderr)
             print(f"[M::main] CMD: minimap2 {' '.join(orig_argv)}",
                   file=sys.stderr)
-            print(f"[M::main] Real time: {el:.3f} sec", file=sys.stderr)
+            print(_perf_line(), file=sys.stderr)
         return 0
 
     from .map.driver import iter_fragments, map_fragment, write_fragment
@@ -623,7 +635,7 @@ def main(argv=None) -> int:
               file=sys.stderr)
         print(f"[M::main] Version: {C.MM_VERSION}", file=sys.stderr)
         print(f"[M::main] CMD: minimap2 {' '.join(orig_argv)}", file=sys.stderr)
-        print(f"[M::main] Real time: {el:.3f} sec", file=sys.stderr)
+        print(_perf_line(), file=sys.stderr)
     return 0
 
 

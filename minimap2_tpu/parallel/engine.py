@@ -203,7 +203,7 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
     step = make_paf_step(di, p, K=opt.best_n if opt.best_n < 8 else 5,
                          min_sc=opt.min_chain_score, interpret=interp)
     t0 = time.time()
-    n_reads = n_mapped = 0
+    n_reads = n_mapped = n_fallback = 0
     names, seqs = [], []
 
     # dispatch thread: encode + host->device upload of the next batch
@@ -253,6 +253,7 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
                 break
             n_reads += 1
             if len(rec.seq) > L:     # host fallback for oversize reads
+                n_fallback += 1
                 flush()
                 drain(0)
                 res = map_frag_core(mi, [rec.seq], opt, rec.name)[0]
@@ -271,7 +272,8 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
     _th.join()
     dt = time.time() - t0
     print(f"[M::batch] mapped {n_reads} reads in {dt:.2f}s "
-          f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
+          f"({n_reads / dt:.1f} reads/s); host fallbacks: {n_fallback} "
+          f"({100.0 * n_fallback / max(n_reads, 1):.1f}%)", file=sys.stderr)
     return n_reads
 
 
@@ -565,8 +567,10 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
     t0 = time.time()
     n_reads = 0
 
+    n_fallback = 0
+
     def emit_batch(recs, map_fut):
-        nonlocal n_reads
+        nonlocal n_reads, n_fallback
         n_reads += len(recs)
         by_read, fallback, unmapped, fb_ids = batch_build_regs(
             recs, map_fut, ab, mi, opt, mat, sec_mode, splice_mode)
@@ -590,6 +594,7 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
                                             r, opt.flag, 0, qseq=rec.seq,
                                             comment=rec.comment))
                     out.write("\n")
+        n_fallback += len(fallback)
         for rec in fallback:    # exact host path
             results = map_fragment(mi, opt, [rec])
             write_fragment(out, mi, opt, [rec],
@@ -630,8 +635,11 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
         r0, f0 = pending.pop(0)
         emit_batch(r0, f0)
     dt = time.time() - t0
+    # fallback rate is a quality signal: a regression that silently
+    # pushes reads to the exact host path would otherwise be invisible
     print(f"[M::batch] aligned {n_reads} reads in {dt:.2f}s "
-          f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
+          f"({n_reads / dt:.1f} reads/s); host fallbacks: {n_fallback} "
+          f"({100.0 * n_fallback / max(n_reads, 1):.1f}%)", file=sys.stderr)
     return n_reads
 
 
@@ -679,10 +687,11 @@ def run_batched_pe_cli(mi, opt, queries, out, batch_frags: int = 256,
                                   **(align_kw or {})})
     t0 = time.time()
     n_reads = 0
+    n_fallback = 0
     pe_ori = opt.pe_ori
 
     def process(frags):
-        nonlocal n_reads
+        nonlocal n_reads, n_fallback
         from ..io.fastx import revcomp_record
         # flatten: seg1 revcomp'ed per pe_ori (worker_for map.c:437-442)
         recs, flips = [], []
@@ -716,6 +725,7 @@ def run_batched_pe_cli(mi, opt, queries, out, batch_frags: int = 256,
                 regss.append(regs)
             if host_fb:
                 idx += n_seg
+                n_fallback += n_seg
                 results = map_fragment(mi, opt, frag)
                 write_fragment(out, mi, opt, frag,
                                [res.regs for res in results],
@@ -754,5 +764,6 @@ def run_batched_pe_cli(mi, opt, queries, out, batch_frags: int = 256,
         process(buf)
     dt = time.time() - t0
     print(f"[M::batch] aligned {n_reads} paired reads in {dt:.2f}s "
-          f"({n_reads / dt:.1f} reads/s)", file=sys.stderr)
+          f"({n_reads / dt:.1f} reads/s); host fallbacks: {n_fallback} "
+          f"({100.0 * n_fallback / max(n_reads, 1):.1f}%)", file=sys.stderr)
     return n_reads
