@@ -391,10 +391,11 @@ class DeviceIndex:
             pos = mi.pos[p0:p1]
             total_len = (int(seq_off64[-1]) + int(seq_len[-1])
                          if len(S) else 0)
-            n_seq_ok = len(seq_off) <= 64
-            if total_len < (1 << 31) and n_seq_ok:
+            # rid recovery handles any contig count (binary search over
+            # seq_off for > 16 contigs, _expand_anchors)
+            if total_len < (1 << 31):
                 pos_fmt = 1
-            elif total_len < (1 << 32) - 1 and n_seq_ok:
+            elif total_len < (1 << 32) - 1:
                 pos_fmt = 2      # GRCh38-scale: strand in a side bitmap
             else:
                 pos_fmt = 0
@@ -861,12 +862,29 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, mspan, qlen,
                        & jnp.uint8(1)).astype(jnp.int32)
             so_u = lax.bitcast_convert_type(di.seq_off, jnp.uint32)
         n_seq = di.seq_off.shape[0]
-        rid = jnp.zeros(gpos_u.shape, jnp.int32)
-        off_sel = jnp.zeros(gpos_u.shape, jnp.uint32)
-        for j in range(1, n_seq):
-            in_j = gpos_u >= so_u[j]
-            rid = rid + in_j.astype(jnp.int32)
-            off_sel = jnp.where(in_j, so_u[j], off_sel)
+        if n_seq <= 16:
+            # tiny contig tables: unrolled compares, no gathers at all
+            rid = jnp.zeros(gpos_u.shape, jnp.int32)
+            off_sel = jnp.zeros(gpos_u.shape, jnp.uint32)
+            for j in range(1, n_seq):
+                in_j = gpos_u >= so_u[j]
+                rid = rid + in_j.astype(jnp.int32)
+                off_sel = jnp.where(in_j, so_u[j], off_sel)
+        else:
+            # GRCh38-class contig counts (195+): branchless binary search
+            # over the sorted separated offsets, ceil(log2(n_seq)) tiny-
+            # table gathers instead of n_seq-1 unrolled compares
+            import math as _math
+            lo_ = jnp.zeros(gpos_u.shape, jnp.int32)
+            hi_ = jnp.full(gpos_u.shape, n_seq, jnp.int32)
+            for _ in range(int(_math.ceil(_math.log2(n_seq))) + 1):
+                mid_ = (lo_ + hi_) >> 1
+                go_ = so_u[jnp.clip(mid_, 0, n_seq - 1)]
+                take = (mid_ < n_seq) & (go_ <= gpos_u)
+                lo_ = jnp.where(take, mid_ + 1, lo_)
+                hi_ = jnp.where(take, hi_, mid_)
+            rid = jnp.maximum(lo_ - 1, 0)
+            off_sel = so_u[rid]
         rpos = (gpos_u - off_sel).astype(jnp.int32)
     else:
         pv = di.pos2[pidx]                                    # (B, A, 2)

@@ -33,9 +33,11 @@ Coordinates: positions are stored in the SEPARATED global space, and
 seq_off records each sequence's separated offset, so rid recovery and
 reference-sequence gathers (_gather_s) work unchanged.
 
-Scope: 2k <= 56 (all presets); genomes up to 2^31 total separated bp
-(pos_fmt 1).  Larger genomes use the host build (DeviceIndex.from_host
-pos_fmt 2 path).
+Scope: 2k <= 56 (all presets); genomes up to 4 Gb total separated bp
+and any contig count (GRCh38's 195 included).  < 2^31 bp uses pos_fmt 1
+(strand in the position LSB); 2^31..2^32 uses pos_fmt 2 (full u32
+positions, strand bitmap, 4-bit packed reference plane) -- the same
+regimes as DeviceIndex.from_host.
 """
 from __future__ import annotations
 
@@ -140,13 +142,18 @@ def _edge_fix(hhi, hlo, valid, is_mini, rows, k: int, w: int):
 
 @functools.partial(jax.jit, static_argnames=("NR", "LC", "STEP", "OV",
                                              "LCTX", "k", "w", "CAPC",
-                                             "wide", "interpret"),
-                   donate_argnums=(1, 2, 3))
-def _sketch_chunk(S, keys_buf, khi_buf, pos_buf, n_off, base_row, base_off,
-                  *, NR, LC, STEP, OV, LCTX, k, w, CAPC, wide, interpret):
+                                             "wide", "fmt2", "interpret"),
+                   donate_argnums=(1, 2, 3, 4))
+def _sketch_chunk(S, keys_buf, khi_buf, pos_buf, str_buf, n_off, base_row,
+                  base_off, *, NR, LC, STEP, OV, LCTX, k, w, CAPC, wide,
+                  fmt2, interpret):
     """Sketch NR rows starting at flat offset base_off, compact the
     owned minimizers to the front, and append them to the global
-    (key, pos) buffers at n_off."""
+    (key, pos) buffers at n_off.
+
+    fmt2 (>= 2^31 bp genomes): positions are the full u32 separated
+    offset (no strand bit), the strand rides in its own u8 plane, and
+    all offset arithmetic is uint32 (base_off itself may exceed 2^31)."""
     X = lax.dynamic_slice(S, (base_off,), (NR * STEP + OV,))
     main = X[:NR * STEP].reshape(NR, STEP)
     tail = lax.dynamic_slice(S, (base_off + STEP,),
@@ -166,10 +173,18 @@ def _sketch_chunk(S, keys_buf, khi_buf, pos_buf, n_off, base_row, base_off,
     owned = (posl >= LCTX) & (posl < LCTX + STEP)
     valid = is_mini & owned
     # global separated position of the k-mer END
-    gpos = (posl + (base_row * STEP)[None, None]
-            + lax.broadcasted_iota(jnp.int32, (NR, LC), 0) * STEP)
-    pval = ((gpos.astype(jnp.uint32) << jnp.uint32(1))
-            | z.astype(jnp.uint32))
+    if fmt2:
+        gpos_u = (posl.astype(jnp.uint32)
+                  + (base_row.astype(jnp.uint32)
+                     * jnp.uint32(STEP))[None, None]
+                  + lax.broadcasted_iota(jnp.uint32, (NR, LC), 0)
+                  * jnp.uint32(STEP))
+        pval = gpos_u
+    else:
+        gpos = (posl + (base_row * STEP)[None, None]
+                + lax.broadcasted_iota(jnp.int32, (NR, LC), 0) * STEP)
+        pval = ((gpos.astype(jnp.uint32) << jnp.uint32(1))
+                | z.astype(jnp.uint32))
     # compaction via nonzero+gather, NOT a sort: a 67M-lane lax.sort
     # costs ~30 s of XLA compile; order does not matter here (the
     # global (key, pos) sort downstream fixes it)
@@ -182,30 +197,40 @@ def _sketch_chunk(S, keys_buf, khi_buf, pos_buf, n_off, base_row, base_off,
     if wide:
         skhi = jnp.where(sel, hhi.reshape(-1)[idx], UMAX)
         khi_buf = lax.dynamic_update_slice(khi_buf, skhi, (n_off,))
+    if fmt2:
+        sstr = jnp.where(sel, z.reshape(-1)[idx].astype(jnp.uint8),
+                         jnp.uint8(0))
+        str_buf = lax.dynamic_update_slice(str_buf, sstr, (n_off,))
     keys_buf = lax.dynamic_update_slice(keys_buf, skey, (n_off,))
     pos_buf = lax.dynamic_update_slice(pos_buf, pval, (n_off,))
-    return keys_buf, khi_buf, pos_buf, n_off + cnt, cnt
+    return keys_buf, khi_buf, pos_buf, str_buf, n_off + cnt, cnt
 
 
-@functools.partial(jax.jit, static_argnames=("NPAD", "wide"),
-                   donate_argnums=(0, 1, 2))
-def _global_sort(keys_buf, khi_buf, pos_buf, n, *, NPAD, wide):
+@functools.partial(jax.jit, static_argnames=("NPAD", "wide", "fmt2"),
+                   donate_argnums=(0, 1, 2, 3))
+def _global_sort(keys_buf, khi_buf, pos_buf, str_buf, n, *, NPAD, wide,
+                 fmt2):
     """Sort all collected (key, pos) pairs by (key, pos) and count the
-    distinct keys among the first n entries."""
+    distinct keys among the first n entries.  fmt2 carries the strand
+    plane through the same permutation (positions are unique per entry,
+    so (key, pos) remains a total order)."""
     keys_buf = keys_buf[:NPAD]
     pos_buf = pos_buf[:NPAD]
+    extra = (str_buf[:NPAD],) if fmt2 else ()
     if wide:
         khi_buf = khi_buf[:NPAD]
-        khi_buf, keys_buf, pos_buf = lax.sort(
-            (khi_buf, keys_buf, pos_buf), num_keys=3)
+        khi_buf, keys_buf, pos_buf, *extra = lax.sort(
+            (khi_buf, keys_buf, pos_buf) + extra, num_keys=3)
     else:
-        keys_buf, pos_buf = lax.sort((keys_buf, pos_buf), num_keys=2)
+        keys_buf, pos_buf, *extra = lax.sort(
+            (keys_buf, pos_buf) + extra, num_keys=2)
+    str_out = extra[0] if fmt2 else str_buf
     i = jnp.arange(keys_buf.shape[0])
     neq = (keys_buf != jnp.roll(keys_buf, 1)) | (
         (khi_buf != jnp.roll(khi_buf, 1)) if wide else False)
     neq = neq.at[0].set(True) & (i < n)
     K = jnp.sum(neq, dtype=jnp.int32)
-    return keys_buf, khi_buf, pos_buf, neq, K
+    return keys_buf, khi_buf, pos_buf, str_out, neq, K
 
 
 @functools.partial(jax.jit, static_argnames=("KPAD", "NPAD", "wide"),
@@ -254,6 +279,24 @@ def _compact(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, wide):
     return keys2, krows, sc2, pos_s, chist
 
 
+@functools.partial(jax.jit, static_argnames=("NPAD",), donate_argnums=(0,))
+def _pack_strand(str_s, *, NPAD):
+    """Sorted strand u8 plane -> little-bit-order bitmap (the pstrand
+    side plane of pos_fmt 2; bit j of byte b = strand[8b+j]).  Strided
+    1D slices only -- no small-minor-dim intermediates."""
+    out = jnp.zeros((NPAD // 8,), jnp.uint8)
+    for i in range(8):
+        out = out | (str_s[i::8] << jnp.uint8(i))
+    return out
+
+
+@jax.jit
+def _pack_s4_dev(S):
+    """nt4 u8 -> two 4-bit codes per byte, on device (s_fmt 1; the
+    device twin of batch._pack_s4)."""
+    return S[0::2] | (S[1::2] << jnp.uint8(4))
+
+
 @functools.partial(jax.jit, static_argnames=("bb", "shift"))
 def _bucket_table(keys2, K, *, bb, shift):
     """bucket_start[b] = first distinct-key row whose (key >> shift) >= b.
@@ -280,7 +323,8 @@ def _bucket_table(keys2, K, *, bb, shift):
 def build_device_index(names, codes_list, w: int, k: int,
                        cap_frac: float = 0.26, chunk_pos: int = 64 << 20,
                        occ_frac: float = 2e-4, interpret: bool = False,
-                       verbose: bool = False):
+                       verbose: bool = False,
+                       force_pos_fmt: int | None = None):
     """Build a DeviceIndex on the TPU from host nt4 code arrays.
 
     Returns (DeviceIndex, DevBuildMeta).  The index stays in HBM; only
@@ -290,9 +334,6 @@ def build_device_index(names, codes_list, w: int, k: int,
     import sys
     import time
     assert 2 * k <= 56, "device build supports k <= 28"
-    # pos_fmt 1 recovers rid by comparing global positions against
-    # seq_off on device (batch._expand_anchors) -- bounded contig count
-    assert len(codes_list) <= 64, "device build: use the host path for >64 contigs"
     wide = 2 * k >= 32          # keys need the hi u32 plane
     LC = 8192
     OV = _round_up(k + 2 * w - 3, 32)
@@ -312,8 +353,14 @@ def build_device_index(names, codes_list, w: int, k: int,
     NR = n_calls * NRC
     pad_to = NR * STEP + OV + STEP
     seq_off = OV + np.concatenate([[0], np.cumsum(lens + OV)[:-1]])
-    if total_sep >= (1 << 31):
-        raise ValueError("genome too large for device build (pos_fmt 1)")
+    # < 2^31 bp separated: pos_fmt 1 (strand in the position LSB);
+    # 2^31..2^32: pos_fmt 2 (full u32 positions, strand bitmap) -- the
+    # GRCh38-scale regime (index.c:50-110 has the same 2^32 total bound)
+    if pad_to >= (1 << 32) - 1:
+        raise ValueError("genome too large for device build (> 4 Gb)")
+    fmt2 = total_sep >= (1 << 31) - 1
+    if force_pos_fmt is not None:       # test hook: exercise the fmt2
+        fmt2 = force_pos_fmt == 2       # path on small genomes
     # separators use code 5 (ambiguous like 4, but distinguishable from
     # a real N: _edge_fix flushes at 5-boundaries and drops at 4-resets)
     sep = jnp.full((OV,), 5, jnp.uint8)
@@ -337,16 +384,19 @@ def build_device_index(names, codes_list, w: int, k: int,
     keys_buf = jnp.full((CAP_TOT,), UMAX, jnp.uint32)
     khi_buf = jnp.full((CAP_TOT if wide else 1,), UMAX, jnp.uint32)
     pos_buf = jnp.zeros((CAP_TOT,), jnp.uint32)
+    str_buf = jnp.zeros((CAP_TOT if fmt2 else 1,), jnp.uint8)
     n_off = jnp.int32(0)
     cnts = []
     for ci in range(n_calls):
         tci = time.time()
         base_row = ci * NRC
-        keys_buf, khi_buf, pos_buf, n_off, cnt = _sketch_chunk(
-            S, keys_buf, khi_buf, pos_buf, n_off,
-            jnp.int32(base_row), jnp.int32(base_row * STEP),
+        keys_buf, khi_buf, pos_buf, str_buf, n_off, cnt = _sketch_chunk(
+            S, keys_buf, khi_buf, pos_buf, str_buf, n_off,
+            jnp.uint32(base_row) if fmt2 else jnp.int32(base_row),
+            jnp.uint32(base_row * STEP) if fmt2
+            else jnp.int32(base_row * STEP),
             NR=NRC, LC=LC, STEP=STEP, OV=OV, LCTX=LCTX, k=k, w=w,
-            CAPC=CAPC, wide=wide, interpret=interpret)
+            CAPC=CAPC, wide=wide, fmt2=fmt2, interpret=interpret)
         cnts.append(cnt)
         if verbose:
             int(cnt)    # sync
@@ -364,8 +414,10 @@ def build_device_index(names, codes_list, w: int, k: int,
         print(f"[devbuild] sketch {n_calls} chunks {time.time()-t0:.1f}s "
               f"n_mini={N}", file=sys.stderr)
     NPAD = _round_up(max(N, 1), 8 << 20)
-    keys_s, khi_s, pos_s, neq, K = _global_sort(keys_buf, khi_buf, pos_buf,
-                                                jnp.int32(N), NPAD=min(NPAD, CAP_TOT), wide=wide)
+    keys_s, khi_s, pos_s, str_s, neq, K = _global_sort(
+        keys_buf, khi_buf, pos_buf, str_buf, jnp.int32(N),
+        NPAD=min(NPAD, CAP_TOT), wide=wide, fmt2=fmt2)
+    del keys_buf, khi_buf, pos_buf, str_buf
     K = int(K)
     if verbose:
         print(f"[devbuild] sort {time.time()-t0:.1f}s distinct={K}",
@@ -404,6 +456,17 @@ def build_device_index(names, codes_list, w: int, k: int,
     # exists only for the sketch's flush/reset distinction -- the -a
     # path's _gather_s expects codes 0..4
     S = jnp.minimum(S, jnp.uint8(4))
+    pstrand = None
+    s_fmt = 0
+    if fmt2:
+        pstrand = _pack_strand(str_s, NPAD=NPAD)
+        # 4-bit-pack the reference plane: at > 2 Gb the u8 plane alone
+        # is a fifth of HBM (and _gather_s reads s_fmt 1 natively)
+        if S.shape[0] % 2:
+            S = jnp.concatenate([S, jnp.zeros((1,), jnp.uint8)])
+        S = _pack_s4_dev(S)
+        s_fmt = 1
+    del str_s
     if probe_win:
         # the windowed probe reads krows/sc2 only; drop the (K, 2) key
         # plane so it does not hold 770 MB of HBM at 1 Gb scale (the
@@ -415,10 +478,10 @@ def build_device_index(names, codes_list, w: int, k: int,
     di = DeviceIndex(keys2, sc2, pos2, S,
                      jnp.asarray(seq_off.astype(np.uint32).view(np.int32)),
                      jnp.asarray(lens.astype(np.int32)),
-                     bucket_start=bs, h2=None, pstrand=None, krows=krows,
+                     bucket_start=bs, h2=None, pstrand=pstrand, krows=krows,
                      key_shift=shift, n_probe=n_probe, h2_bits=0,
-                     h2_slots=8, pos_fmt=1, h2_nb=0, s_fmt=0,
-                     probe_win=probe_win)
+                     h2_slots=8, pos_fmt=2 if fmt2 else 1, h2_nb=0,
+                     s_fmt=s_fmt, probe_win=probe_win)
     jax.block_until_ready(di.pos2)
     if verbose:
         print(f"[devbuild] done {time.time()-t0:.1f}s n_probe={n_probe} "

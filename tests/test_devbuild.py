@@ -93,3 +93,93 @@ def test_devbuild_mid_occ_matches_host():
     mi = _host_ref(names, seqs, 10, 15)
     di, meta = build_device_index(names, seqs, 10, 15, interpret=True)
     assert meta.mid_occ == mi.cal_max_occ(2e-4)
+
+
+def _dev_as_host_fmt2(di, meta):
+    """fmt2 layout -> host coordinates (u32 positions + strand bitmap +
+    4-bit packed S)."""
+    keys2 = np.asarray(di.krows).reshape(-1, 2)
+    sc2 = np.asarray(di.sc2)
+    pos2 = np.asarray(di.pos2)
+    ps = np.asarray(di.pstrand)
+    K = meta.n_distinct
+    keys = (keys2[:K, 0].astype(np.uint64) << np.uint64(32)) \
+        | keys2[:K, 1].astype(np.uint64)
+    starts = np.concatenate([sc2[:K, 0], [sc2[K - 1, 0] + sc2[K - 1, 1]]])
+    n = meta.n_mini
+    gpos = pos2[:n].astype(np.int64)
+    idx = np.arange(n)
+    strand = ((ps[idx >> 3] >> (idx & 7)) & 1).astype(np.uint64)
+    rid = np.searchsorted(meta.seq_off, gpos, side="right") - 1
+    rpos = gpos - meta.seq_off[rid]
+    y = (rid.astype(np.uint64) << np.uint64(32)) \
+        | (rpos.astype(np.uint64) << np.uint64(1)) | strand
+    return keys, starts.astype(np.int64), y
+
+
+def test_devbuild_fmt2_matches_host():
+    """pos_fmt 2 (u32 positions + strand bitmap + 4-bit S): exact parity
+    with the host build on a small genome (the >= 2^31 bp layout,
+    exercised via force_pos_fmt)."""
+    rng = np.random.default_rng(11)
+    names, seqs = _rand_genome(rng, [70_000, 2_000, 50_000], 0.001)
+    mi = _host_ref(names, seqs, 10, 15)
+    di, meta = build_device_index(names, seqs, 10, 15, interpret=True,
+                                  force_pos_fmt=2)
+    assert di.pos_fmt == 2 and di.s_fmt == 1 and di.pstrand is not None
+    keys, starts, y = _dev_as_host_fmt2(di, meta)
+    assert meta.n_mini == len(mi.pos)
+    assert meta.n_distinct == len(mi.keys)
+    np.testing.assert_array_equal(keys, mi.keys)
+    np.testing.assert_array_equal(starts, mi.starts)
+    np.testing.assert_array_equal(y, mi.pos)
+    # 4-bit packed S decodes back to the host codes
+    S4 = np.asarray(di.S)
+    dec = np.stack([S4 & 0xF, S4 >> 4], axis=1).reshape(-1)
+    flat = np.concatenate(
+        [np.concatenate([np.full(32, 4, np.uint8), s]) for s in seqs]
+        + [np.full(32, 4, np.uint8)])
+    np.testing.assert_array_equal(dec[:len(flat)], np.minimum(flat, 4))
+
+
+def test_devbuild_many_contigs():
+    """> 64 contigs (GRCh38 has 195): build + rid recovery parity."""
+    rng = np.random.default_rng(12)
+    names, seqs = _rand_genome(rng, [3_000] * 80)
+    mi = _host_ref(names, seqs, 10, 15)
+    di, meta = build_device_index(names, seqs, 10, 15, interpret=True)
+    keys, starts, y = _dev_as_host(di, meta)
+    np.testing.assert_array_equal(keys, mi.keys)
+    np.testing.assert_array_equal(starts, mi.starts)
+    np.testing.assert_array_equal(y, mi.pos)
+
+
+def test_many_contigs_map_batch():
+    """Binary-search rid recovery (> 16 contigs) on the mapping path."""
+    import jax.numpy as jnp
+
+    from minimap2_tpu.parallel.batch import (BatchParams, DeviceIndex,
+                                             map_batch)
+    rng = np.random.default_rng(13)
+    names, seqs = _rand_genome(rng, [4_000] * 24)
+    mi = _host_ref(names, seqs, 10, 15)
+    di = DeviceIndex.from_host(mi, 1)[0]
+    assert di.seq_off.shape[0] > 16
+    p = BatchParams(L=512, M=128, A=256, QP=512, TP=512, W=256, ext_w=200,
+                    chain_window=32)
+    B, RL = 8, 400
+    codes = np.zeros((B, p.L), np.uint8) + 4
+    lens = np.full(B, RL, np.int32)
+    truth = []
+    for i in range(B):
+        rid = int(rng.integers(0, len(seqs)))
+        st = int(rng.integers(0, len(seqs[rid]) - RL))
+        codes[i, :RL] = seqs[rid][st:st + RL]
+        truth.append((rid, st))
+    out = map_batch(di, jnp.asarray(codes), jnp.asarray(lens), p,
+                    interpret=True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for i, (rid, st) in enumerate(truth):
+        assert out["chain_score"][i] > 50
+        assert out["rid"][i] == rid, (i, out["rid"][i], rid)
+        assert abs(int(out["rs"][i]) - st) < 150
