@@ -185,6 +185,65 @@ def simulate_reads_device(parts, n_reads: int, seed: int = 1,
     return names_out, out
 
 
+def simulate_reads_device_clr(parts, n_reads: int, seed: int = 97,
+                              mean_len: int = 20000, sd_len: int = 4000,
+                              min_len: int = 12000, max_len: int = 30000,
+                              err: float = 0.05, sv_frac: float = 0.1,
+                              names=None):
+    """OFF-DISTRIBUTION read set: pbsim-CLR-shaped reads for gating the
+    device engine's accuracy shortcuts against reads its caps were NOT
+    tuned on (tex/hs38-simu.sh recipe shape: ~2x20 kb, 95% accuracy).
+
+    Independent of simulate_reads_device in every axis: normal (not
+    uniform) lengths around 20 kb, pbsim's CLR error mix (sub:ins:del =
+    10:60:30 -- insertion-dominated, vs the ONT model's sub-dominated
+    50:25:25), random (not alternating) strand, and sv_frac of reads
+    carry one 1-10 kb internal deletion (a long-join/SV stressor).
+    Truth names use the same mapeval format; the truth interval is the
+    full source span including the deleted part."""
+    n_chrom = len(parts)
+    per = int(parts[0].shape[0])
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 0xC1B]))
+    ln = np.clip(rng.normal(mean_len, sd_len, n_reads), min_len,
+                 max_len).astype(np.int64)
+    sv_del = np.where(rng.random(n_reads) < sv_frac,
+                      rng.integers(1000, 10000, n_reads), 0)
+    span = ln + sv_del
+    ci = rng.integers(0, n_chrom, n_reads)
+    st = (rng.random(n_reads) * (per - span)).astype(np.int64)
+    gstart = (ci * per + st).astype(np.int64)
+    flat = jnp.concatenate(parts)
+    raw = np.asarray(_slice_reads(flat, jnp.asarray(gstart.astype(np.int32)),
+                                  int(span.max())))
+    sub, ins, dele = err * 0.1, err * 0.6, err * 0.3
+    names_out, out = [], []
+    for i in range(n_reads):
+        src = raw[i, :span[i]].astype(np.uint8)
+        if sv_del[i]:
+            mid = int(span[i]) // 2
+            src = np.concatenate([src[:mid], src[mid + int(sv_del[i]):]])
+        r = rng.random(len(src))
+        s = src.copy()
+        msub = r < sub
+        s[msub] = (s[msub] + rng.integers(1, 4, int(msub.sum()),
+                                          dtype=np.uint8)) % 4
+        mdel = (r >= sub) & (r < sub + dele)
+        s = s[~mdel]
+        r2 = rng.random(len(s))
+        mins = r2 < ins
+        extra = rng.integers(0, 4, int(mins.sum())).astype(np.uint8)
+        s = np.insert(s, np.flatnonzero(mins), extra)
+        strand = "+"
+        if rng.random() < 0.5:
+            s = (3 - s)[::-1].astype(np.uint8)
+            strand = "-"
+        cname = names[ci[i]] if names else f"chr{ci[i] + 1}"
+        names_out.append(
+            f"C1_{i}!{cname}!{st[i]}!{st[i] + span[i]}!{strand}")
+        out.append(s)
+    return names_out, out
+
+
 if __name__ == "__main__":      # CPU-side FASTA regeneration entry
     import sys as _sys
     _tl, _nc, _sd, _out = (int(_sys.argv[1]), int(_sys.argv[2]),
