@@ -20,20 +20,23 @@ from minimap2_tpu.parallel.batch import (BatchParams, DeviceIndex,
                                          _lookup_anchors, topk_chains)
 
 B = 512
-mi = MiniIndex.load(".bench_cache/index_1g_s7.npz")
-mo = MapOptions(); mapopt_update(mo, mi)
+# device-generated workload (bench.py's exact artifacts: genome + index
+# built in HBM, reads sliced in HBM)
+from minimap2_tpu.parallel.devbuild import build_device_index
+from minimap2_tpu.utils.simgenome_dev import (simulate_genome_device,
+                                              simulate_reads_device)
+GENOME_LEN = int(float(os.environ.get("MM2TPU_GENOME_LEN", "1e9")))
+t0 = time.time()
+names_g, parts = simulate_genome_device(GENOME_LEN, 8, 7)
+di, meta = build_device_index(names_g, parts, w=10, k=15, verbose=True)
+print(f"genome+index {time.time()-t0:.0f}s", flush=True)
+mid_occ = meta.mid_occ
 p = BatchParams(L=12288, M=2048, A=int(os.environ.get("MM2TPU_A", "4096")),
-                occ_cap=min(max(mo.mid_occ, 10),
+                occ_cap=min(max(mid_occ, 10),
                             int(os.environ.get("MM2TPU_OCC_CAP", "64"))),
                 chain_window=64)
-t0 = time.time()
-di = DeviceIndex.from_host(mi, 1,
-                           cache=".bench_cache/devidx_1g_s7.npz")[0]
-np.asarray(di.pos2[:1])
-print(f"upload {time.time()-t0:.0f}s h2_bits={di.h2_bits}", flush=True)
-
-z = np.load(".bench_cache/reads_1g_s7.npz", allow_pickle=True)
-rcodes = [np.asarray(s) for s in z["seqs"]]
+rnames, rcodes = simulate_reads_device(parts, B, seed=1, names=names_g)
+del parts
 ACGT = np.frombuffer(b"ACGT", np.uint8)
 seqs = [ACGT[c].tobytes() for c in rcodes][:B]
 codes, lens = engine.encode_batch(seqs, p.L)
