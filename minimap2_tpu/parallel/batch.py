@@ -191,6 +191,12 @@ class BatchParams:
     gape2: int = 1
     zdrop: int = 400
     hpc: bool = False      # homopolymer-compressed minimizers (map-pb/hifi)
+    # long-join rescue (map.c:283-292): when the best chain leaves a big
+    # uncovered tail, rechain the same anchors with the wide band
+    # (bw_long, options.c:26) so SV-spanning joins survive; 0 = off
+    bw_long: int = 0
+    rmq_rescue_size: int = 1000
+    rmq_rescue_ratio: float = 0.1
 
 
 # ---------------------------------------------------------------------------

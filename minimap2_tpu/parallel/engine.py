@@ -71,18 +71,46 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
             di, mh_hi, mh_lo, mz, mpos, mvalid, lens, p, interpret,
             mspan=mspan)
         B = codes.shape[0]
-        if not interpret and B % 128 == 0 and p.A % 256 == 0:
-            from ..ops.chain_pallas import chain_batch
-            f, pred, qs_a, rs_a = chain_batch(
-                rev, rid, rpos, qpos, span, av, BL=128, WND=p.chain_window,
-                AC=256, k=p.k, max_dist_x=p.max_dist_x,
-                max_dist_y=p.max_dist_y, bw=p.bw,
-                chn_pen_gap=p.chn_pen_gap, chn_pen_skip=p.chn_pen_skip)
-        else:
-            _, (f, pred, vv, qs_a, rs_a) = _chain_scan(rev, rid, rpos,
-                                                       qpos, span, av, p)
+
+        def run_chain(bw, max_dist):
+            if not interpret and B % 128 == 0 and p.A % 256 == 0:
+                from ..ops.chain_pallas import chain_batch
+                f, pred, qs_a, rs_a = chain_batch(
+                    rev, rid, rpos, qpos, span, av, BL=128,
+                    WND=p.chain_window, AC=256, k=p.k, max_dist_x=max_dist,
+                    max_dist_y=max_dist, bw=bw,
+                    chn_pen_gap=p.chn_pen_gap, chn_pen_skip=p.chn_pen_skip)
+            else:
+                import dataclasses
+                p2 = dataclasses.replace(p, bw=bw, max_dist_x=max_dist,
+                                         max_dist_y=max_dist)
+                _, (f, pred, vv, qs_a, rs_a) = _chain_scan(
+                    rev, rid, rpos, qpos, span, av, p2)
+            return f, qs_a, rs_a
+
+        f, qs_a, rs_a = run_chain(p.bw, p.max_dist_x)
         recs = topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K,
                            min_sc, with_sec=with_sec)
+        if p.bw_long > p.bw:
+            # long-join rescue (map.c:283-292): reads whose best chain
+            # leaves > rmq_rescue_size uncovered query (or spans > 10% of
+            # the read and has competitors) are rechained over the SAME
+            # anchors with the wide band; pass-2 scores dominate pass-1
+            # whenever a join exists, so triggered reads take pass-2.
+            sc0, qs0, qe0 = recs[0][0], recs[2][0], recs[3][0]   # (B,)
+            n_multi = jnp.sum(recs[0] >= min_sc, axis=0) > 1
+            span0 = qe0 - qs0
+            lq = lens.astype(jnp.int32)
+            trig = (sc0 > 0) & n_multi & (
+                (lq - span0 > p.rmq_rescue_size)
+                | (span0.astype(jnp.float32)
+                   > lq.astype(jnp.float32) * p.rmq_rescue_ratio))
+            f2, qs2_a, rs2_a = run_chain(
+                p.bw_long, max(p.max_dist_x, p.bw_long))
+            recs2 = topk_chains(f2, qs2_a, rs2_a, rev, rid, rpos, qpos,
+                                av, K, min_sc, with_sec=with_sec)
+            recs = [jnp.where(trig[None, :], b, a)
+                    for a, b in zip(recs, recs2)]
         Kout = recs[0].shape[0]
         recs.append(jnp.broadcast_to(rep_len[None, :], (Kout, rep_len.shape[0])))
         return jnp.stack(recs)     # one (10, K, B) array -> one host fetch
@@ -167,6 +195,16 @@ def _occ_cap(opt) -> int:
     return min(max(opt.mid_occ, 10), cap)
 
 
+
+def _bw_long(opt) -> int:
+    """Long-join band (map.c:283: only without splice/sr/no-ljoin and
+    when bw_long actually exceeds bw)."""
+    from ..config import MM_F_NO_LJOIN, MM_F_SPLICE, MM_F_SR
+    if (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)) == 0             and opt.bw_long > opt.bw:
+        return opt.bw_long
+    return 0
+
+
 def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
                     L: int = 16384):
     """CLI --batch driver: device PAF mapping over read mega-batches.
@@ -197,7 +235,8 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
     p = BatchParams(L=L, M=max(256, L // 4), A=4096,
                     occ_cap=_occ_cap(opt), chain_window=64,
                     k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
-                    max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc)
+                    max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc,
+                    bw_long=_bw_long(opt))
     di = DeviceIndex.from_host(mi, 1)[0]
     interp = jax.default_backend() != "tpu"
     step = make_paf_step(di, p, K=opt.best_n if opt.best_n < 8 else 5,
@@ -542,7 +581,8 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
     p = BatchParams(L=L, M=max(256, L // 4), A=4096,
                     occ_cap=_occ_cap(opt), chain_window=64,
                     k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
-                    max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc)
+                    max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc,
+                    bw_long=_bw_long(opt))
     di = DeviceIndex.from_host(mi, 1)[0]
     interp = jax.default_backend() != "tpu"
     # with secondaries on, each selection round yields [primary,
