@@ -37,10 +37,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_BIN = os.environ.get("MM2_REF_BIN", "/tmp/mm2build/minimap2")
-# single-thread reads/s of the reference on the 1 Gb workload, recorded
-# from this machine (see .bench_cache/*.refrate.json provenance); used
-# only if the binary is absent
-FALLBACK_REF_READS_PER_S = 77.0
+# single-thread reads/s of the reference (v2.30-r1299) on the EXACT
+# current workload -- device-generated 1 Gb genome seed=7 ("dev2"),
+# 512 ONT-like reads -- recorded on this host 2026-08-20 via
+# scripts/record_refrate.py (.bench_cache/ref_1g_s7dev2.fa.refrate.json);
+# used only if both the binary and the stamp are absent
+FALLBACK_REF_READS_PER_S = 30.55
 XEON_CORES = 64
 B = 512          # reads per device batch
 N_READS = 512
@@ -237,19 +239,25 @@ def bench_offdist(di, mi, mid_occ):
 def bench_ref(parts, ref_names, names, rcodes):
     """Reference binary single-core reads/s on the same workload.
 
-    Only runs when REF_BIN exists.  The FASTA is produced WITHOUT a
-    device->host genome download (the tunnel has been observed at
-    ~1-2 MB/s): jax.random is backend-deterministic, so a JAX_PLATFORMS=cpu
-    subprocess regenerates the identical genome and writes it directly
+    The recorded .refrate.json stamp (same workload, same host) is
+    consulted FIRST so a wiped /tmp build does not lose the measured
+    baseline.  The FASTA is produced WITHOUT a device->host genome
+    download (the tunnel has been observed at ~1-2 MB/s): jax.random is
+    backend-deterministic, so a JAX_PLATFORMS=cpu subprocess regenerates
+    the identical genome and writes it directly
     (utils/simgenome_dev.write_genome_fasta_host).  Cached under
     .bench_cache/."""
-    if not os.path.exists(REF_BIN):
-        return None
     from minimap2_tpu.utils.simgenome import write_fasta
     ACGT = np.frombuffer(b"ACGT", np.uint8)
     os.makedirs(CACHE, exist_ok=True)
     tag = "5m_s0" if SMALL else f"1g_s{GENOME_SEED}dev2"
     fa_path = os.path.join(CACHE, f"ref_{tag}.fa")
+    stamp0 = fa_path + ".refrate.json"
+    if os.path.exists(stamp0):
+        with open(stamp0) as f:
+            return json.load(f)["reads_per_s"]
+    if not os.path.exists(REF_BIN):
+        return None
     if not os.path.exists(fa_path):
         t0 = time.time()
         if SMALL:
