@@ -183,3 +183,26 @@ def test_many_contigs_map_batch():
         assert out["chain_score"][i] > 50
         assert out["rid"][i] == rid, (i, out["rid"][i], rid)
         assert abs(int(out["rs"][i]) - st) < 150
+
+
+@pytest.mark.slow
+def test_devbuild_parity_2mb_with_ns():
+    """Larger-scale parity stress: 2 Mb across 5 contigs with 0.3% N
+    runs (multi-chunk path, ambiguity resets near chunk boundaries)."""
+    rng = np.random.default_rng(17)
+    names, seqs = _rand_genome(rng, [900_000, 500_000, 400_000, 150_000,
+                                     50_000], 0.0)
+    # clustered N runs (not iid): the edge-fix reset path's hard case
+    for s in seqs:
+        for _ in range(max(1, len(s) // 100_000)):
+            st = int(rng.integers(0, len(s) - 30))
+            s[st:st + int(rng.integers(1, 30))] = 4
+    mi = _host_ref(names, seqs, 10, 15)
+    di, meta = build_device_index(names, seqs, 10, 15, interpret=True,
+                                  chunk_pos=1 << 19)   # force many chunks
+    keys, starts, y = _dev_as_host(di, meta)
+    assert meta.n_mini == len(mi.pos)
+    assert meta.n_distinct == len(mi.keys)
+    np.testing.assert_array_equal(keys, mi.keys)
+    np.testing.assert_array_equal(starts, mi.starts)
+    np.testing.assert_array_equal(y, mi.pos)
