@@ -53,6 +53,19 @@ def wstart_np(r, w):
     return np.maximum(0, (r - w + 1) >> 1) // 16 * 16
 
 
+def wstart_chunk(r, w, RB: int):
+    """CHUNK-uniform window start: all RB diagonals of a chunk share the
+    window of the chunk's first diagonal.  Eliminates the per-diagonal
+    roll + its lax.cond from the hot loop (the rolls move to one
+    boundary shift per chunk); costs <= RB/2 extra lanes of window
+    (asserted in extd2_batch2)."""
+    return wstart((r // RB) * RB, w)
+
+
+def wstart_chunk_np(r, w, RB: int):
+    return wstart_np((r // RB) * RB, w)
+
+
 def _wrap8(val):
     return ((val + 128) & 255) - 128
 
@@ -107,22 +120,48 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
         return jnp.sum(jnp.where(lane128 == i, ezc, 0), axis=1,
                        keepdims=True, dtype=jnp.int32)
 
-    # loop carries: DP rows + per-pair scalar columns
-    carry0 = (u_s[:], v_s[:], x_s[:], y_s[:], x2_s[:], y2_s[:], s_s[:],
-              H_s[:] if not approx_max else jnp.zeros((G, 1), jnp.int32),
-              col(EZ_MAX), col(EZ_ZDROP), col(EZ_MAXQ), col(EZ_MAXT),
-              col(EZ_MQE), col(EZ_MQET), col(EZ_MTE), col(EZ_MTEQ),
-              col(EZ_SCORE), col(EZ_LASTST), col(EZ_DEAD), col(EZ_NR),
-              col(EZ_NR + 1),   # H0
-              col(EZ_NR + 2))   # last_H0_t
+    # chunk-uniform window: every diagonal of this chunk shares the
+    # window origin of the chunk's first diagonal, so the hot loop has
+    # NO rolls and NO lax.cond -- the carried state is shifted once per
+    # chunk (below) into the new chunk's coordinates
+    ws = wstart(rc * RB, w)
+    ws_prevc = wstart(jnp.maximum(rc - 1, 0) * RB, w)
+    dsh = ws - ws_prevc                       # multiple of 16, <= RB/2+16
+
+    def chunk_shift(a_, fill):
+        # roll left by dsh lanes via static-power decomposition (dynamic
+        # roll amounts are not portable across Mosaic versions)
+        out = a_
+        for bit in (16, 32, 64, 128):
+            if bit >= W:
+                break
+            hit = (dsh & bit) != 0
+            rolled = pltpu.roll(out, W - bit, axis=1)
+            rolled = jnp.where(lane >= W - bit, fill, rolled)
+            out = jnp.where(hit, rolled, out)
+        return out
+
+    def carry_init():
+        u0 = chunk_shift(u_s[:], -q - e)
+        v0 = chunk_shift(v_s[:], -q - e)
+        x0 = chunk_shift(x_s[:], -q - e)
+        y0 = chunk_shift(y_s[:], -q - e)
+        x20 = chunk_shift(x2_s[:], -q2 - e2)
+        y20 = chunk_shift(y2_s[:], -q2 - e2)
+        s0 = chunk_shift(s_s[:], 0)
+        H0_ = chunk_shift(H_s[:], NEG_INF32) if not approx_max \
+            else jnp.zeros((G, 1), jnp.int32)
+        return (u0, v0, x0, y0, x20, y20, s0, H0_,
+                col(EZ_MAX), col(EZ_ZDROP), col(EZ_MAXQ), col(EZ_MAXT),
+                col(EZ_MQE), col(EZ_MQET), col(EZ_MTE), col(EZ_MTEQ),
+                col(EZ_SCORE), col(EZ_LASTST), col(EZ_DEAD), col(EZ_NR),
+                col(EZ_NR + 1),   # H0
+                col(EZ_NR + 2))   # last_H0_t
 
     def body(i, carry):
         (u, v, x, y, x2, y2, s, H, mx, zdr, mxq, mxt, mqe, mqet, mte, mteq,
          score, last_st, dead0, nr, H0, h0t) = carry
         r = rc * RB + i
-        ws = wstart(r, w)
-        ws_prev = wstart(r - 1, w)
-        adv = (ws - ws_prev == 16) & (r > 0)
 
         dead = (dead0 != 0) | (r >= qlen + tlen - 1)
         st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
@@ -134,17 +173,14 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
         livem = live.astype(jnp.int32) != 0
         use_prev = (st - last_st == 16) & livem & (st > 0)
 
-        # boundary scalars from PRE-roll rows at abs pos st-1
-        # (lane st-1-ws_prev; always within the previous window, see header)
-        # -- only when some pair's band start advanced this diag
-        def extract_b(_):
-            lane_pre = st - 1 - ws_prev                          # (G,1)
-            pk = (x & 255) | ((x2 & 255) << 8) | ((v & 255) << 16)
-            return jnp.sum(jnp.where(lane == lane_pre, pk, 0), axis=1,
-                           keepdims=True, dtype=jnp.int32)
-
-        ext = lax.cond(jnp.any(use_prev), extract_b,
-                       lambda _: jnp.zeros((G, 1), jnp.int32), 0)
+        # boundary scalars at abs pos st-1 (lane st-1-ws >= 15 whenever
+        # use_prev: st advanced past a 16-aligned bound above ws);
+        # computed unconditionally -- a lax.cond on jnp.any(use_prev)
+        # costs more than the one-hot reduction it guards
+        lane_pre = st - 1 - ws                                  # (G,1)
+        pk = (x & 255) | ((x2 & 255) << 8) | ((v & 255) << 16)
+        ext = jnp.sum(jnp.where(lane == lane_pre, pk, 0), axis=1,
+                      keepdims=True, dtype=jnp.int32)
         x_b = _sext8(ext)
         x2_b = _sext8(ext >> 8)
         v_b = _sext8(ext >> 16)
@@ -157,23 +193,8 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
         v1 = jnp.where(use_prev, v_b,
                        jnp.where(st > 0, -q - e, v1_edge))
 
-        # uniform window roll; adv is a group-uniform scalar and true on
-        # ~1/32 of diagonals, so the whole roll block sits behind a cond
-        def do_roll(_):
-            def shifted(a_, fill):
-                rolled = pltpu.roll(a_, W - 16, axis=1)
-                return jnp.where(lane >= W - 16, fill, rolled)
-            Hr = H
-            if not approx_max:
-                Hr = pltpu.roll(H, W - 16, axis=1)
-                Hr = jnp.where(lane >= W - 16, NEG_INF32, Hr)
-            return (shifted(u, -q - e), shifted(v, -q - e),
-                    shifted(x, -q - e), shifted(y, -q - e),
-                    shifted(x2, -q2 - e2), shifted(y2, -q2 - e2),
-                    shifted(s, 0), Hr)
-
-        u_p, v_p, x_p, y_p, x2_p, y2_p, s_p, H_p = lax.cond(
-            adv, do_roll, lambda _: (u, v, x, y, x2, y2, s, H), 0)
+        u_p, v_p, x_p, y_p, x2_p, y2_p, s_p, H_p = \
+            u, v, x, y, x2, y2, s, H
 
         abs_idx = lane + ws
         at_r = (abs_idx == r) & (en >= r)
@@ -377,7 +398,7 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
 
     @pl.when(jnp.logical_not(skip))
     def _run():
-        carry = lax.fori_loop(0, RB, body, carry0)
+        carry = lax.fori_loop(0, RB, body, carry_init())
         (u, v, x, y, x2, y2, s, H, mx, zdr, mxq, mxt, mqe, mqet, mte, mteq,
          score, last_st, dead, nr, H0, h0t) = carry
         u_s[:] = u
@@ -436,7 +457,7 @@ def prep_rows(qr, sf, lens, *, G, W, RB, R, w, QP, TP):
     NP = NG * G
     qlen = lens[:, 0:1]
     rs_np = np.arange(RT, dtype=np.int32)
-    ws_np = wstart_np(rs_np, w)
+    ws_np = wstart_chunk_np(rs_np, w, RB)
     c = int(rs_np[-1] - ws_np[-1]) + 8          # c - r + ws(r) >= 8 > 0
     CQ = c + W
     # qxa[n, c - qpos] = q[n, qpos] = qr[n, qlen-1-qpos]
@@ -472,7 +493,10 @@ def extd2_batch2(qr, sf, lens, *, G, W, RB, R, QP, TP, q, e, q2, e2, w,
     targets; lens: (N, 2) i32.  Returns (p, ez): p (NG, RC, RB, G, W) u8
     direction rows (lane l of diag r = abs target pos wstart(r)+l), and
     ez (N, EZ_N) i32."""
-    assert W % 128 == 0 and W >= w + 48, (W, w)
+    # chunk-uniform window: the band drifts <= ceil(RB/2/16)*16 lanes
+    # within one RB-diagonal chunk on top of the w+48 per-diag need
+    drift = -(-(RB // 2) // 16) * 16
+    assert W % 128 == 0 and W >= w + 48 + drift, (W, w, RB)
     N = qr.shape[0]
     NG = (N + G - 1) // G
     RC = (R + RB - 1) // RB

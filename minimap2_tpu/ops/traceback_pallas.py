@@ -26,7 +26,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .extend_pallas2 import wstart
+from .extend_pallas2 import wstart_chunk
 from .exts_pallas import wstart_q
 
 
@@ -74,7 +74,8 @@ def _bt_kernel(lens_ref, p_ref, ops_ref, fin_ref, st_s, *, G, W, RB, RC, w,
         else:
             st0r = jnp.maximum(jnp.maximum(0, r - qv + 1), (r - w + 1) >> 1)
             en0r = jnp.minimum(jnp.minimum(tv - 1, r), (r + w) >> 1)
-            wsr = wstart(jnp.full((G, 1), r, jnp.int32), w)
+            # chunk-uniform window origin (matches extd2 v3 row layout)
+            wsr = wstart_chunk(jnp.full((G, 1), r, jnp.int32), w, RB)
         force = jnp.where(iv < st0r, 2, -1)
         force = jnp.where(iv > en0r, 1, force)
         row = jnp.zeros((G, W), jnp.int32) + p_ref[0, 0, rl, :, :]

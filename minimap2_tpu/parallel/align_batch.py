@@ -55,7 +55,9 @@ class AlignBatcher:
         self.QP, self.TP = QP, TP
         self.G, self.W, self.RB = G, W, RB
         self.sub = sub
-        self.w = min(opt.bw, W - 48)
+        # chunk-uniform window: band + 48 + <= RB/2 drift must fit in W
+        drift = -(-(RB // 2) // 16) * 16
+        self.w = min(opt.bw, W - 48 - drift)
         self.R = (QP + TP + RB - 1) // RB * RB
         # host nt4 reference codes for target slicing
         self.S = np.asarray(mi.S, np.uint8)

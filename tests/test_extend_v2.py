@@ -13,7 +13,7 @@ from minimap2_tpu.ops import ksw2_np  # noqa: E402
 from minimap2_tpu.ops.extend_pallas2 import (EZ_MAX, EZ_MAXQ, EZ_MAXT,  # noqa: E402
                                              EZ_MQE, EZ_MQET, EZ_MTE,
                                              EZ_MTEQ, EZ_SCORE, EZ_ZDROP,
-                                             extd2_batch2, wstart_np)
+                                             extd2_batch2, wstart_chunk_np)
 
 Q, E, Q2, E2 = 4, 2, 24, 1
 KSW_APPROX_MAX, KSW_SCORE_ONLY = 0x08, 0x01
@@ -93,7 +93,7 @@ def test_v2_cigar_bitexact():
                 break
             st = st0 // 16 * 16
             en = (en0 + 16) // 16 * 16 - 1
-            ws = int(wstart_np(np.int64(r), w))
+            ws = int(wstart_chunk_np(np.int64(r), w, RB))
             row = p[ng, r // RB, r % RB, g, :]
             p_rows[r] = row[st - ws:en - ws + 1].astype(np.uint8)
             off[r], off_end[r] = st, en
