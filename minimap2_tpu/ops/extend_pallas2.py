@@ -37,6 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF32 = -0x40000000
+# DP row dtype: values are int8-range (Suzuki-Kasahara differences), and
+# this Mosaic supports vector<i16> but not vector<i8> -- i16 rows double
+# per-instruction lane density and halve the loop-carry footprint
+DT = jnp.int16
 
 # ez output lanes (superset of v1's)
 EZ_MAX, EZ_ZDROP, EZ_MAXQ, EZ_MAXT, EZ_MQE, EZ_MQET, EZ_MTE, EZ_MTEQ, \
@@ -98,13 +102,13 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
 
     @pl.when(rc == 0)
     def _init():
-        u_s[:] = jnp.full((G, W), -q - e, jnp.int32)
-        v_s[:] = jnp.full((G, W), -q - e, jnp.int32)
-        x_s[:] = jnp.full((G, W), -q - e, jnp.int32)
-        y_s[:] = jnp.full((G, W), -q - e, jnp.int32)
-        x2_s[:] = jnp.full((G, W), -q2 - e2, jnp.int32)
-        y2_s[:] = jnp.full((G, W), -q2 - e2, jnp.int32)
-        s_s[:] = jnp.zeros((G, W), jnp.int32)
+        u_s[:] = jnp.full((G, W), -q - e, DT)
+        v_s[:] = jnp.full((G, W), -q - e, DT)
+        x_s[:] = jnp.full((G, W), -q - e, DT)
+        y_s[:] = jnp.full((G, W), -q - e, DT)
+        x2_s[:] = jnp.full((G, W), -q2 - e2, DT)
+        y2_s[:] = jnp.full((G, W), -q2 - e2, DT)
+        s_s[:] = jnp.zeros((G, W), DT)
         if not approx_max:
             H_s[:] = jnp.full((G, W), NEG_INF32, jnp.int32)
         ez0 = jnp.zeros((G, 128), jnp.int32)
@@ -178,20 +182,22 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
         # computed unconditionally -- a lax.cond on jnp.any(use_prev)
         # costs more than the one-hot reduction it guards
         lane_pre = st - 1 - ws                                  # (G,1)
-        pk = (x & 255) | ((x2 & 255) << 8) | ((v & 255) << 16)
+        pk = ((x.astype(jnp.int32) & 255)
+              | ((x2.astype(jnp.int32) & 255) << 8)
+              | ((v.astype(jnp.int32) & 255) << 16))
         ext = jnp.sum(jnp.where(lane == lane_pre, pk, 0), axis=1,
                       keepdims=True, dtype=jnp.int32)
         x_b = _sext8(ext)
         x2_b = _sext8(ext >> 8)
         v_b = _sext8(ext >> 16)
-        x1 = jnp.where(use_prev, x_b, -q - e)
-        x21 = jnp.where(use_prev, x2_b, -q2 - e2)
+        x1 = jnp.where(use_prev, x_b, -q - e).astype(DT)
+        x21 = jnp.where(use_prev, x2_b, -q2 - e2).astype(DT)
         v1_edge = jnp.where(r == 0, -q - e,
                             jnp.where(r < long_thres, -e,
                                       jnp.where(r == long_thres,
-                                                long_diff, -e2)))
-        v1 = jnp.where(use_prev, v_b,
-                       jnp.where(st > 0, -q - e, v1_edge))
+                                                long_diff, -e2))).astype(DT)
+        v1 = jnp.where(use_prev, v_b.astype(DT),
+                       jnp.where(st > 0, jnp.int16(-q - e), v1_edge))
 
         u_p, v_p, x_p, y_p, x2_p, y2_p, s_p, H_p = \
             u, v, x, y, x2, y2, s, H
@@ -207,12 +213,12 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
         scov = (abs_idx >= st0) & (abs_idx <= s_hi)
         tq8 = trow_ref[0, i, 0, :, :]
         qq8 = qrow_ref[0, i, 0, :, :]
-        tq = jnp.zeros((G, W), jnp.int32) + tq8
-        qq = jnp.zeros((G, W), jnp.int32) + qq8
+        tq = jnp.zeros((G, W), DT) + tq8
+        qq = jnp.zeros((G, W), DT) + qq8
         eqm = (tq - qq) == 0
         maskN = (tq == 4) | (qq == 4)
-        sval = jnp.where(eqm, sc_mch, sc_mis)
-        sval = jnp.where(maskN, sc_N, sval)
+        sval = jnp.where(eqm, jnp.int16(sc_mch), jnp.int16(sc_mis))
+        sval = jnp.where(maskN, jnp.int16(sc_N), sval)
         s_cur = jnp.where(scov & livem, sval, s_p)
 
         z = s_cur
@@ -287,7 +293,8 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             # exact H row + max tracking (ksw2_extd2_sse.c exact path)
             en0l = en0 - ws
             st0l = st0 - ws
-            pk2 = (u_out & 255) | ((v_out & 255) << 8)
+            pk2 = ((u_out.astype(jnp.int32) & 255)
+                   | ((v_out.astype(jnp.int32) & 255) << 8))
             uv_en0 = jnp.sum(jnp.where(lane == en0l, pk2, 0), axis=1,
                              keepdims=True, dtype=jnp.int32)
             u_en0 = _sext8(uv_en0)
@@ -297,11 +304,12 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             H_en0p = jnp.sum(jnp.where(lane == en0l, H_p, 0), axis=1,
                              keepdims=True, dtype=jnp.int32)
             h_en0 = jnp.where(en0 > 0, H_en0m1 + u_en0, H_en0p + v_en0)
-            v_first = jnp.sum(jnp.where(lane == 0, v_out, 0), axis=1,
-                              keepdims=True, dtype=jnp.int32)
+            # r == 0 implies ws == 0: lane 0 IS abs pos 0, so a static
+            # slice replaces a ~180 ns one-hot cross-lane reduction
+            v_first = v_out[:, 0:1].astype(jnp.int32)
             h_en0 = jnp.where(r == 0, v_first - qe_pen, h_en0)
             body_mask = (abs_idx >= st0) & (abs_idx < en0) & (r > 0)
-            Hnew = jnp.where(body_mask, H_p + v_out, H_p)
+            Hnew = jnp.where(body_mask, H_p + v_out.astype(jnp.int32), H_p)
             Hnew = jnp.where((abs_idx == en0) & livem, h_en0, Hnew)
             H_out = jnp.where(livem, Hnew, H_p)
             body_vals = jnp.where(body_mask, Hnew, NEG_INF32)
@@ -343,8 +351,8 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             # (ksw2_extd2_sse.c approx path; oracle ksw2_np.py:352-377)
             # lane lx = t0+1-ws holds (v[t0], u[t0+1]); lx >= 0 always
             # (t0 >= st0-1 >= ws-1), unlike t0-ws which can be -1
-            pk2 = ((pltpu.roll(v_out, 1, axis=1) & 255)
-                   | ((u_out & 255) << 8))
+            pk2 = ((pltpu.roll(v_out, 1, axis=1).astype(jnp.int32) & 255)
+                   | ((u_out.astype(jnp.int32) & 255) << 8))
             ext2 = jnp.sum(jnp.where(lane == h0t + 1 - ws, pk2, 0), axis=1,
                            keepdims=True, dtype=jnp.int32)
             d0 = _sext8(ext2)                                   # v[t0]
@@ -360,8 +368,9 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
                               jnp.where(case2, d0, d1))
             H0_new = H0 + delta
             h0t_new = h0t + jnp.where(step_t | jnp.logical_not(in0), 1, 0)
-            v_first = jnp.sum(jnp.where(lane == 0, v_out, 0), axis=1,
-                              keepdims=True, dtype=jnp.int32)
+            # r == 0 implies ws == 0: lane 0 IS abs pos 0, so a static
+            # slice replaces a ~180 ns one-hot cross-lane reduction
+            v_first = v_out[:, 0:1].astype(jnp.int32)
             H0_new = jnp.where(r == 0, v_first - qe_pen, H0_new)
             h0t_new = jnp.where(r == 0, 0, h0t_new)
             H0_out = jnp.where(livem, H0_new, H0)
@@ -532,7 +541,8 @@ def extd2_batch2(qr, sf, lens, *, G, W, RB, R, QP, TP, q, e, q2, e2, w,
         out_specs=(p_spec,
                    pl.BlockSpec((1, G, 128), lambda n, rc: (n, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((G, W), jnp.int32) for _ in range(8)]
+        scratch_shapes=[pltpu.VMEM((G, W), DT) for _ in range(7)]
+        + [pltpu.VMEM((G, W), jnp.int32)]            # H (full scores)
         + [pltpu.VMEM((G, 128), jnp.int32)],
     )
     p_out, ez_out = pl.pallas_call(
