@@ -833,43 +833,21 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, mspan, qlen,
     offs = jnp.cumsum(cnt, axis=1) - cnt                      # (B, M)
     ends = offs + cnt
     slot = jnp.arange(p.A, dtype=jnp.int32)[None, :]          # (1, A)
-    # seed attributes -> anchor slots WITHOUT a (B, A) gather: scatter
-    # each seed's tuple at its run-start slot, then forward-fill with a
-    # "last-marked" associative copy-scan.  The former per-anchor
-    # take_along_axis was ~2M random HBM transactions per batch -- the
-    # single biggest cost in the whole mapping step; the scan is a few
-    # log2(A) vector passes.
+    # seed_of[a] = j covering slot a: scatter seed ids at run starts,
+    # then a forward running max (replaces a per-row binary search)
     mark = jnp.full((B, p.A), -1, jnp.int32)
     jrow = jnp.arange(M, dtype=jnp.int32)[None, :].repeat(B, 0)
     scat = jnp.where(cnt > 0, jnp.minimum(offs, p.A - 1), p.A - 1)
-    rowi = jnp.arange(B)[:, None]
-    mark = mark.at[rowi, scat].max(jnp.where(cnt > 0, jrow, -1))
+    mark = mark.at[jnp.arange(B)[:, None], scat].max(
+        jnp.where(cnt > 0, jrow, -1))
+    seed_of = lax.associative_scan(jnp.maximum, mark, axis=1)
+    seed_of = jnp.clip(seed_of, 0, M - 1)
     a_valid = slot < ends[:, -1:]
-
-    def scat_plane(vals):
-        z = jnp.zeros((B, p.A), vals.dtype)
-        z = z.at[rowi, scat].set(jnp.where(cnt > 0, vals, 0), mode="drop")
-        # capacity-edge slot A-1 can collect several colliding seeds
-        # with scatter order unspecified; force the max-id seed's value
-        # (what the old seed_of gather produced deterministically)
-        id_last = mark[:, p.A - 1]
-        v_last = jnp.take_along_axis(
-            vals, jnp.clip(id_last, 0, M - 1)[:, None], axis=1)[:, 0]
-        return z.at[:, p.A - 1].set(jnp.where(id_last >= 0, v_last, 0))
-
-    planes = (mark, scat_plane(offs), scat_plane(start), scat_plane(mz),
-              scat_plane(mpos), scat_plane(mspan))
-
-    def fill(a, b):
-        m1 = a[0]
-        m2 = b[0]
-        take2 = m2 >= 0
-        return tuple(jnp.where(take2, y, x) for x, y in zip(a, b))
-
-    filled = lax.associative_scan(fill, planes, axis=1)
-    g_offs, g_start, g_mz, g_mpos, g_mspan = filled[1:]
-    within = slot - g_offs
-    pidx = g_start + within
+    # one 5-wide row gather replaces five take_along_axis calls
+    seedpk = jnp.stack([offs, start, mz, mpos, mspan], axis=-1)
+    g = jnp.take_along_axis(seedpk, seed_of[..., None], axis=1)
+    within = slot - g[..., 0]
+    pidx = g[..., 1] + within
     pidx = jnp.clip(pidx, 0, di.pos2.shape[0] - 1)
     if di.pos_fmt in (1, 2):
         # single u32 plane: global position; rid recovered by unrolled
@@ -920,9 +898,9 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, mspan, qlen,
         rps = pv[..., 1]             # rpos<<1 | strand (packed plane)
         rpos = rps >> 1
         rstrand = rps & 1
-    qz = g_mz
-    qpos = g_mpos
-    span = g_mspan
+    qz = g[..., 2]
+    qpos = g[..., 3]
+    span = g[..., 4]
     same = rstrand == qz
     rev = (~same).astype(jnp.int32)
     # query coordinate flip on reverse strand (seed.c / map.c:196-201)
@@ -1133,11 +1111,9 @@ def _extend_best(di: DeviceIndex, codes, lens, best, p: BatchParams,
     lens2 = jnp.stack([jnp.maximum(qlen, 1), jnp.maximum(tlen, 1)],
                       axis=1).astype(jnp.int32)
     R = p.QP + p.TP - 1
-    # chunk-uniform window: band + 48 + RB/2 drift must fit in W
-    w_eff = min(p.ext_w, p.W - 48 - 64)
     _, ez = extd2_batch2(qr, tcode, lens2, G=16, W=p.W, RB=128, R=R,
                          QP=p.QP, TP=p.TP, q=p.gapo, e=p.gape, q2=p.gapo2,
-                         e2=p.gape2, w=w_eff, zdrop=p.zdrop,
+                         e2=p.gape2, w=p.ext_w, zdrop=p.zdrop,
                          right_mode=False, approx_max=True,
                          approx_drop=False, sc_mch=p.sc_mch, sc_mis=p.sc_mis,
                          sc_N=-1, with_cigar=False, interpret=interpret)
