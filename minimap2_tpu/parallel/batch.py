@@ -1111,9 +1111,11 @@ def _extend_best(di: DeviceIndex, codes, lens, best, p: BatchParams,
     lens2 = jnp.stack([jnp.maximum(qlen, 1), jnp.maximum(tlen, 1)],
                       axis=1).astype(jnp.int32)
     R = p.QP + p.TP - 1
+    # chunk-uniform window: band + 48 + RB/2 drift must fit in W
+    w_eff = min(p.ext_w, p.W - 48 - 64)
     _, ez = extd2_batch2(qr, tcode, lens2, G=16, W=p.W, RB=128, R=R,
                          QP=p.QP, TP=p.TP, q=p.gapo, e=p.gape, q2=p.gapo2,
-                         e2=p.gape2, w=p.ext_w, zdrop=p.zdrop,
+                         e2=p.gape2, w=w_eff, zdrop=p.zdrop,
                          right_mode=False, approx_max=True,
                          approx_drop=False, sc_mch=p.sc_mch, sc_mis=p.sc_mis,
                          sc_N=-1, with_cigar=False, interpret=interpret)

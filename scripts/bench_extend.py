@@ -61,15 +61,20 @@ def main():
             if vm > 12 * 2 ** 20:
                 continue
             cfgs.append((G, RB))
-    for cig in (True, False):
+    # (with_cigar, approx): (1, True) is the production gap-fill config
+    # (align_batch + the dp_cells metric); (1, False) = exact extension;
+    # (0, True) = score-only
+    for cig, approx in ((True, True), (True, False), (False, True)):
         for G, RB in cfgs:
             try:
-                cps, dt, tc = run_one(NP_, QP, TP, w, W, G, RB, cig, not cig)
+                cps, dt, tc = run_one(NP_, QP, TP, w, W, G, RB, cig, approx)
                 print(f"G={G:3d} RB={RB:3d} cigar={int(cig)} "
+                      f"approx={int(approx)} "
                       f"-> {cps/1e9:6.2f} Gcells/s  ({dt*1e3:.1f} ms, "
                       f"compile {tc:.0f}s)", flush=True)
             except Exception as e:
-                print(f"G={G:3d} RB={RB:3d} cigar={int(cig)} -> FAIL "
+                print(f"G={G:3d} RB={RB:3d} cigar={int(cig)} "
+                      f"approx={int(approx)} -> FAIL "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
