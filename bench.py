@@ -109,7 +109,8 @@ def bench_ours(di, mi, mid_occ, names, rcodes):
     # pos-gather + sort + chain cost; the mapeval gate below guards the
     # quality tradeoff
     p = BatchParams(L=12288, M=2048, A=4096,
-                    occ_cap=min(max(mid_occ, 10), 64), chain_window=64)
+                    occ_cap=min(max(mid_occ, 10), 64), chain_window=64,
+                    bw_long=20000)      # map-ont long-join rescue on
     interp = jax.default_backend() != "tpu"
     step = engine.make_paf_step(di, p, K=5, min_sc=40, interpret=interp)
     buf = io.StringIO()
