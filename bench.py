@@ -177,11 +177,12 @@ def bench_dp_cells():
         return None
     rng = np.random.default_rng(0)
     NP_, QP, TP, w, W = 64, 10240, 10240, 500, 640
+    G_, RB_ = 32, 64       # best of the scripts/bench_extend.py sweep
     qr = rng.integers(0, 4, (NP_, QP)).astype(np.uint8)
     sf = rng.integers(0, 4, (NP_, TP)).astype(np.uint8)
     lens = np.full((NP_, 2), QP, np.int32)
     R = (QP + TP + 127) // 128 * 128
-    kw = dict(G=16, W=W, RB=128, R=R, QP=QP, TP=TP, q=4, e=2, q2=24, e2=1,
+    kw = dict(G=G_, W=W, RB=RB_, R=R, QP=QP, TP=TP, q=4, e=2, q2=24, e2=1,
               w=w, zdrop=-1, right_mode=False, approx_max=True,
               approx_drop=False, sc_mch=2, sc_mis=-4, sc_N=0,
               with_cigar=True)

@@ -37,10 +37,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF32 = -0x40000000
-# DP row dtype: values are int8-range (Suzuki-Kasahara differences), and
-# this Mosaic supports vector<i16> but not vector<i8> -- i16 rows double
-# per-instruction lane density and halve the loop-carry footprint
-DT = jnp.int16
+# DP row dtype.  Values are int8-range (Suzuki-Kasahara differences);
+# i16 rows would double lane density, but this Mosaic cannot rotate
+# non-32-bit vectors and rejects relayouts of replicated (G,1) masks
+# between the 8- and 16-sublane tilings, so the rows stay i32.  (The
+# plumbing is DT-parametric for when Mosaic grows i16 support.)
+DT = jnp.int32
 
 # ez output lanes (superset of v1's)
 EZ_MAX, EZ_ZDROP, EZ_MAXQ, EZ_MAXT, EZ_MQE, EZ_MQET, EZ_MTE, EZ_MTEQ, \
@@ -77,6 +79,14 @@ def _wrap8(val):
 def _sext8(val):
     """Sign-extend the low byte of an int32."""
     return ((val & 255) + 128 & 255) - 128
+
+
+def _roll16(a, shift):
+    """pltpu.roll for i16 operands: Mosaic only rotates 32-bit data, so
+    round-trip through i32 (values are int8-range -- lossless)."""
+    if a.dtype == jnp.int32:
+        return pltpu.roll(a, shift, axis=1)
+    return pltpu.roll(a.astype(jnp.int32), shift, axis=1).astype(a.dtype)
 
 
 def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
@@ -140,7 +150,7 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             if bit >= W:
                 break
             hit = (dsh & bit) != 0
-            rolled = pltpu.roll(out, W - bit, axis=1)
+            rolled = _roll16(out, W - bit)
             rolled = jnp.where(lane >= W - bit, fill, rolled)
             out = jnp.where(hit, rolled, out)
         return out
@@ -197,7 +207,7 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
                                       jnp.where(r == long_thres,
                                                 long_diff, -e2))).astype(DT)
         v1 = jnp.where(use_prev, v_b.astype(DT),
-                       jnp.where(st > 0, jnp.int16(-q - e), v1_edge))
+                       jnp.where(st > 0, jnp.asarray(-q - e, DT), v1_edge))
 
         u_p, v_p, x_p, y_p, x2_p, y2_p, s_p, H_p = \
             u, v, x, y, x2, y2, s, H
@@ -217,15 +227,15 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
         qq = jnp.zeros((G, W), DT) + qq8
         eqm = (tq - qq) == 0
         maskN = (tq == 4) | (qq == 4)
-        sval = jnp.where(eqm, jnp.int16(sc_mch), jnp.int16(sc_mis))
-        sval = jnp.where(maskN, jnp.int16(sc_N), sval)
+        sval = jnp.where(eqm, jnp.asarray(sc_mch, DT), jnp.asarray(sc_mis, DT))
+        sval = jnp.where(maskN, jnp.asarray(sc_N, DT), sval)
         s_cur = jnp.where(scov & livem, sval, s_p)
 
         z = s_cur
         stl = st - ws                                            # (G,1)
-        xt1 = jnp.where(lane == stl, x1, pltpu.roll(x_p, 1, axis=1))
-        vt1 = jnp.where(lane == stl, v1, pltpu.roll(v_p, 1, axis=1))
-        x2t1 = jnp.where(lane == stl, x21, pltpu.roll(x2_p, 1, axis=1))
+        xt1 = jnp.where(lane == stl, x1, _roll16(x_p, 1))
+        vt1 = jnp.where(lane == stl, v1, _roll16(v_p, 1))
+        x2t1 = jnp.where(lane == stl, x21, _roll16(x2_p, 1))
         ut = u_p
         a = _wrap8(xt1 + vt1)
         b = _wrap8(y_p + ut)
@@ -351,7 +361,7 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             # (ksw2_extd2_sse.c approx path; oracle ksw2_np.py:352-377)
             # lane lx = t0+1-ws holds (v[t0], u[t0+1]); lx >= 0 always
             # (t0 >= st0-1 >= ws-1), unlike t0-ws which can be -1
-            pk2 = ((pltpu.roll(v_out, 1, axis=1).astype(jnp.int32) & 255)
+            pk2 = ((_roll16(v_out, 1).astype(jnp.int32) & 255)
                    | ((u_out.astype(jnp.int32) & 255) << 8))
             ext2 = jnp.sum(jnp.where(lane == h0t + 1 - ws, pk2, 0), axis=1,
                            keepdims=True, dtype=jnp.int32)

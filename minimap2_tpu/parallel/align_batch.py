@@ -48,7 +48,7 @@ def _align_step(qr, sf, lens, *, G, W, RB, R, QP, TP, q, e, q2, e2, w,
 class AlignBatcher:
     """Aligns (read, best-chain) jobs in fixed-shape device sub-batches."""
 
-    def __init__(self, mi, opt, *, QP=12800, TP=12800, G=16, W=640, RB=128,
+    def __init__(self, mi, opt, *, QP=12800, TP=12800, G=32, W=640, RB=64,
                  sub=64):
         self.mi = mi
         self.opt = opt
