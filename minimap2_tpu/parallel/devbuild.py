@@ -324,7 +324,8 @@ def build_device_index(names, codes_list, w: int, k: int,
                        cap_frac: float = 0.26, chunk_pos: int = 64 << 20,
                        occ_frac: float = 2e-4, interpret: bool = False,
                        verbose: bool = False,
-                       force_pos_fmt: int | None = None):
+                       force_pos_fmt: int | None = None,
+                       consume: bool = False):
     """Build a DeviceIndex on the TPU from host nt4 code arrays.
 
     Returns (DeviceIndex, DevBuildMeta).  The index stays in HBM; only
@@ -363,18 +364,38 @@ def build_device_index(names, codes_list, w: int, k: int,
         fmt2 = force_pos_fmt == 2       # path on small genomes
     # separators use code 5 (ambiguous like 4, but distinguishable from
     # a real N: _edge_fix flushes at 5-boundaries and drops at 4-resets)
-    sep = jnp.full((OV,), 5, jnp.uint8)
-    parts = [sep]
-    for c in codes_list:
-        if isinstance(c, jax.Array):        # already in HBM (device gen)
-            parts.append(c.astype(jnp.uint8))
-        else:
-            parts.append(jax.device_put(np.ascontiguousarray(c, np.uint8)))
-        parts.append(sep)
-    if pad_to > total_sep:
-        parts.append(jnp.full((pad_to - total_sep,), 5, jnp.uint8))
-    S = jnp.concatenate(parts)
-    del parts
+    if consume:
+        # GRCh38-scale: assemble S by donated in-place writes, freeing
+        # each source contig as it is copied -- a concatenate would hold
+        # genome + copy (2x ~3 GB) live simultaneously
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _wr(Sb, part, off):
+            return lax.dynamic_update_slice(Sb, part, (off,))
+
+        S = jnp.full((pad_to,), 5, jnp.uint8)
+        offs_w = [int(o) for o in seq_off]
+        for j in range(len(codes_list)):
+            c = codes_list[j]
+            codes_list[j] = None            # drop the caller's reference
+            if not isinstance(c, jax.Array):
+                c = jax.device_put(np.ascontiguousarray(c, np.uint8))
+            S = _wr(S, c.astype(jnp.uint8), jnp.uint32(offs_w[j])
+                    if fmt2 else jnp.int32(offs_w[j]))
+            del c
+    else:
+        sep = jnp.full((OV,), 5, jnp.uint8)
+        parts = [sep]
+        for c in codes_list:
+            if isinstance(c, jax.Array):    # already in HBM (device gen)
+                parts.append(c.astype(jnp.uint8))
+            else:
+                parts.append(jax.device_put(
+                    np.ascontiguousarray(c, np.uint8)))
+            parts.append(sep)
+        if pad_to > total_sep:
+            parts.append(jnp.full((pad_to - total_sep,), 5, jnp.uint8))
+        S = jnp.concatenate(parts)
+        del parts
     if verbose:
         print(f"[devbuild] upload+assemble {time.time()-t0:.1f}s "
               f"total_sep={total_sep}", file=sys.stderr)
@@ -413,6 +434,12 @@ def build_device_index(names, codes_list, w: int, k: int,
     if verbose:
         print(f"[devbuild] sketch {n_calls} chunks {time.time()-t0:.1f}s "
               f"n_mini={N}", file=sys.stderr)
+    if fmt2:
+        # pack the reference plane to 4-bit BEFORE the genome-scale sort:
+        # at 3 Gb the u8 plane is ~20% of HBM and the sort is the peak
+        if S.shape[0] % 2:
+            S = jnp.concatenate([S, jnp.zeros((1,), jnp.uint8)])
+        S = _pack_s4_dev(jnp.minimum(S, jnp.uint8(4)))
     NPAD = _round_up(max(N, 1), 8 << 20)
     keys_s, khi_s, pos_s, str_s, neq, K = _global_sort(
         keys_buf, khi_buf, pos_buf, str_buf, jnp.int32(N),
@@ -452,20 +479,16 @@ def build_device_index(names, codes_list, w: int, k: int,
     else:
         mid_occ = (1 << 31) - 1
     del chist
-    # the retained reference plane must be plain nt4: separator code 5
-    # exists only for the sketch's flush/reset distinction -- the -a
-    # path's _gather_s expects codes 0..4
-    S = jnp.minimum(S, jnp.uint8(4))
     pstrand = None
     s_fmt = 0
     if fmt2:
         pstrand = _pack_strand(str_s, NPAD=NPAD)
-        # 4-bit-pack the reference plane: at > 2 Gb the u8 plane alone
-        # is a fifth of HBM (and _gather_s reads s_fmt 1 natively)
-        if S.shape[0] % 2:
-            S = jnp.concatenate([S, jnp.zeros((1,), jnp.uint8)])
-        S = _pack_s4_dev(S)
-        s_fmt = 1
+        s_fmt = 1       # S was 4-bit packed before the sort
+    else:
+        # the retained reference plane must be plain nt4: separator
+        # code 5 exists only for the sketch's flush/reset distinction
+        # -- the -a path's _gather_s expects codes 0..4
+        S = jnp.minimum(S, jnp.uint8(4))
     del str_s
     if probe_win:
         # the windowed probe reads krows/sc2 only; drop the (K, 2) key

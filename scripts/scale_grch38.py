@@ -39,11 +39,16 @@ def main():
                                    ncon - 24, seed=8)
     names = big[0] + [f"alt{i}" for i in range(len(small[1]))]
     parts = big[1] + small[1]
+    big[1].clear()      # consume=True frees contigs as they are copied;
+    small[1].clear()    # no other list may keep references alive
+    del big, small
     jax.block_until_ready(parts[-1])
     print(f"[scale] genome: {sum(int(p.shape[0]) for p in parts):,} bp "
           f"across {len(parts)} contigs", flush=True)
     t0 = time.time()
-    di, meta = build_device_index(names, parts, w=10, k=15, verbose=True)
+    di, meta = build_device_index(names, parts, w=10, k=15, verbose=True,
+                                  cap_frac=0.21, consume=True)
+    parts = None
     print(f"[scale] index built in {time.time()-t0:.0f}s "
           f"pos_fmt={di.pos_fmt} s_fmt={di.s_fmt} "
           f"n_mini={meta.n_mini:,} distinct={meta.n_distinct:,} "
@@ -51,8 +56,10 @@ def main():
     assert di.pos_fmt == 2 and di.pstrand is not None and di.s_fmt == 1
 
     B = 256
-    rnames, rcodes = simulate_reads_device(parts[:24], B, seed=3,
+    big2 = simulate_genome_device(int(total * 0.97), 24, seed=7)
+    rnames, rcodes = simulate_reads_device(big2[1], B, seed=3,
                                            names=names[:24])
+    del big2
     ACGT = np.frombuffer(b"ACGT", np.uint8)
     seqs = [ACGT[c].tobytes() for c in rcodes]
     p = BatchParams(L=12288, M=2048, A=4096,
