@@ -206,6 +206,16 @@ def _sketch_chunk(S, keys_buf, khi_buf, pos_buf, str_buf, n_off, base_row,
     return keys_buf, khi_buf, pos_buf, str_buf, n_off + cnt, cnt
 
 
+@functools.partial(jax.jit, static_argnames=("NPAD",),
+                   donate_argnums=(0,))
+def _trim(buf, *, NPAD):
+    """Shrink a capture buffer to the sort size in its own donated
+    program: the sort's donation cannot alias buffers of unequal size,
+    so sorting CAP_TOT-sized buffers into NPAD-sized outputs held both
+    generations live (the 3 Gb-genome OOM: 16.09 of 15.75 GB HBM)."""
+    return buf[:NPAD]
+
+
 @functools.partial(jax.jit, static_argnames=("NPAD", "wide", "fmt2"),
                    donate_argnums=(0, 1, 2, 3))
 def _global_sort(keys_buf, khi_buf, pos_buf, str_buf, n, *, NPAD, wide,
@@ -440,10 +450,17 @@ def build_device_index(names, codes_list, w: int, k: int,
         if S.shape[0] % 2:
             S = jnp.concatenate([S, jnp.zeros((1,), jnp.uint8)])
         S = _pack_s4_dev(jnp.minimum(S, jnp.uint8(4)))
-    NPAD = _round_up(max(N, 1), 8 << 20)
+    NPAD = min(_round_up(max(N, 1), 8 << 20), CAP_TOT)
+    if NPAD < CAP_TOT:      # trim one buffer at a time (bounded peak)
+        keys_buf = _trim(keys_buf, NPAD=NPAD)
+        if wide:
+            khi_buf = _trim(khi_buf, NPAD=NPAD)
+        pos_buf = _trim(pos_buf, NPAD=NPAD)
+        if fmt2:
+            str_buf = _trim(str_buf, NPAD=NPAD)
     keys_s, khi_s, pos_s, str_s, neq, K = _global_sort(
         keys_buf, khi_buf, pos_buf, str_buf, jnp.int32(N),
-        NPAD=min(NPAD, CAP_TOT), wide=wide, fmt2=fmt2)
+        NPAD=NPAD, wide=wide, fmt2=fmt2)
     del keys_buf, khi_buf, pos_buf, str_buf
     K = int(K)
     if verbose:
