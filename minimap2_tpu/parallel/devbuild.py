@@ -300,10 +300,13 @@ def _pack_strand(str_s, *, NPAD):
     return out
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _pack_s4_dev(S):
     """nt4 u8 -> two 4-bit codes per byte, on device (s_fmt 1; the
-    device twin of batch._pack_s4)."""
+    device twin of batch._pack_s4).  S is DONATED and the separator
+    clamp happens inside: a separate jnp.minimum dispatch materialized
+    its own genome-sized temp (the 3 Gb pack-step OOM)."""
+    S = jnp.minimum(S, jnp.uint8(4))
     return S[0::2] | (S[1::2] << jnp.uint8(4))
 
 
@@ -447,9 +450,8 @@ def build_device_index(names, codes_list, w: int, k: int,
     if fmt2:
         # pack the reference plane to 4-bit BEFORE the genome-scale sort:
         # at 3 Gb the u8 plane is ~20% of HBM and the sort is the peak
-        if S.shape[0] % 2:
-            S = jnp.concatenate([S, jnp.zeros((1,), jnp.uint8)])
-        S = _pack_s4_dev(jnp.minimum(S, jnp.uint8(4)))
+        assert S.shape[0] % 2 == 0      # pad_to is even by construction
+        S = _pack_s4_dev(S)
     NPAD = min(_round_up(max(N, 1), 8 << 20), CAP_TOT)
     if NPAD < CAP_TOT:      # trim one buffer at a time (bounded peak)
         keys_buf = _trim(keys_buf, NPAD=NPAD)
