@@ -447,11 +447,13 @@ def build_device_index(names, codes_list, w: int, k: int,
     if verbose:
         print(f"[devbuild] sketch {n_calls} chunks {time.time()-t0:.1f}s "
               f"n_mini={N}", file=sys.stderr)
-    if fmt2:
-        # pack the reference plane to 4-bit BEFORE the genome-scale sort:
-        # at 3 Gb the u8 plane is ~20% of HBM and the sort is the peak
-        assert S.shape[0] % 2 == 0      # pad_to is even by construction
-        S = _pack_s4_dev(S)
+    if verbose:
+        la = sorted((x.nbytes, str(x.shape), str(x.dtype))
+                    for x in jax.live_arrays())[::-1][:12]
+        tot = sum(x.nbytes for x in jax.live_arrays())
+        print(f"[devbuild] live HBM before pack: {tot/1e9:.2f} GB; top: "
+              + "; ".join(f"{n/1e9:.2f}G {s} {d}" for n, s, d in la[:8]),
+              file=sys.stderr)
     NPAD = min(_round_up(max(N, 1), 8 << 20), CAP_TOT)
     if NPAD < CAP_TOT:      # trim one buffer at a time (bounded peak)
         keys_buf = _trim(keys_buf, NPAD=NPAD)
@@ -460,6 +462,12 @@ def build_device_index(names, codes_list, w: int, k: int,
         pos_buf = _trim(pos_buf, NPAD=NPAD)
         if fmt2:
             str_buf = _trim(str_buf, NPAD=NPAD)
+    if fmt2:
+        # pack the reference plane to 4-bit BEFORE the genome-scale sort
+        # (and after the trim frees the capture-buffer overhang): at 3 Gb
+        # the u8 plane is ~20% of HBM and the sort is the peak
+        assert S.shape[0] % 2 == 0      # pad_to is even by construction
+        S = _pack_s4_dev(S)
     keys_s, khi_s, pos_s, str_s, neq, K = _global_sort(
         keys_buf, khi_buf, pos_buf, str_buf, jnp.int32(N),
         NPAD=NPAD, wide=wide, fmt2=fmt2)
