@@ -300,14 +300,31 @@ def _pack_strand(str_s, *, NPAD):
     return out
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("CH",),
+                   donate_argnums=(1,))
+def _pack_s4_piece(S, out, off, *, CH):
+    x = lax.dynamic_slice(S, (off,), (CH,)).astype(jnp.int32)
+    x = jnp.minimum(x, 4)
+    o = (x[0::2] | (x[1::2] << 4)).astype(jnp.uint8)
+    return lax.dynamic_update_slice(out, o, (off // jnp.uint32(2),))
+
+
 def _pack_s4_dev(S):
     """nt4 u8 -> two 4-bit codes per byte, on device (s_fmt 1; the
-    device twin of batch._pack_s4).  S is DONATED and the separator
-    clamp happens inside: a separate jnp.minimum dispatch materialized
-    its own genome-sized temp (the 3 Gb pack-step OOM)."""
-    S = jnp.minimum(S, jnp.uint8(4))
-    return S[0::2] | (S[1::2] << jnp.uint8(4))
+    device twin of batch._pack_s4).  Chunked: u8 arithmetic promotes to
+    i32 inside XLA, so packing the whole plane at once materialized a
+    4x-genome-sized program (the 3 Gb pack-step OOM); 2^28-byte pieces
+    keep the temps under ~2 GB."""
+    T = int(S.shape[0])
+    CH = min(1 << 28, T)
+    out = jnp.zeros((T // 2,), jnp.uint8)
+    off = 0
+    while off + CH <= T:
+        out = _pack_s4_piece(S, out, jnp.uint32(off), CH=CH)
+        off += CH
+    if off < T:
+        out = _pack_s4_piece(S, out, jnp.uint32(off), CH=T - off)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("bb", "shift"))
