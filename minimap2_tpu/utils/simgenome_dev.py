@@ -157,9 +157,18 @@ def simulate_reads_device(parts, n_reads: int, seed: int = 1,
     ci = rng.integers(0, n_chrom, n_reads)
     ln = rng.integers(min_len, max_len, n_reads)
     st = (rng.random(n_reads) * (per - ln)).astype(np.int64)
-    gstart = (ci * per + st).astype(np.int32)
-    flat = jnp.concatenate(parts)
-    raw = np.asarray(_slice_reads(flat, jnp.asarray(gstart), max_len))
+    # slice per contig (a flat concat overflows int32 gather indices for
+    # > 2 Gb genomes); reassemble rows in the original read order
+    raw = np.zeros((n_reads, max_len), np.uint8)
+    for c in range(n_chrom):
+        sel = np.flatnonzero(ci == c)
+        if len(sel):
+            pad_n = 1 << max(0, int(len(sel) - 1).bit_length())
+            stp = np.zeros(pad_n, np.int32)
+            stp[:len(sel)] = st[sel]
+            rows = np.asarray(_slice_reads(parts[c], jnp.asarray(stp),
+                                           max_len))
+            raw[sel] = rows[:len(sel)]
     names_out, out = [], []
     for i in range(n_reads):
         src = raw[i, :ln[i]].astype(np.uint8)
