@@ -829,6 +829,15 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, mspan, qlen,
          prev_incl[:, :-1]], axis=1)
     contrib = jnp.where(flt, jnp.minimum(p.k, en - prev_excl), 0)
     rep_len = jnp.sum(contrib, axis=1).astype(jnp.int32)
+    # adaptive per-read occurrence cap: when the anchor capacity A would
+    # overflow, shrink every seed's taken count to A // n_seeds instead
+    # of silently dropping the HIGH-qpos seeds' anchors wholesale (which
+    # cost rev-strand reads 2-5 kb of query coverage at 3 Gb genome
+    # scale -- the reference never drops, it adapts via mid_occ)
+    total0 = jnp.sum(cnt, axis=1, keepdims=True)
+    nfound = jnp.maximum(jnp.sum(cnt > 0, axis=1, keepdims=True), 1)
+    cap_r = jnp.maximum(p.A // nfound, 1).astype(cnt.dtype)
+    cnt = jnp.where(total0 > p.A, jnp.minimum(cnt, cap_r), cnt)
     # per-seed output offsets; anchors beyond capacity A are dropped
     offs = jnp.cumsum(cnt, axis=1) - cnt                      # (B, M)
     ends = offs + cnt
