@@ -72,6 +72,7 @@ def main():
     sc, sub, qs, qe, rs, re_, rev, rid, cnt, rep = rec
     ok = 0
     n_conf = 0
+    n_strict = 0
     fails = []
     for i, nm in enumerate(rnames):
         _tag, cname, st, en, strand = nm.split("!")
@@ -83,15 +84,23 @@ def main():
         if not conf:
             continue
         n_conf += 1
+        # mapeval criterion: right contig + mapped interval overlaps the
+        # truth interval (paftools mapeval's correctness rule); strict =
+        # also recovers the read head (within 500 bp -- occ_cap-skipped
+        # repeat heads fail this, the documented mid_occ shortcut)
+        ov = min(int(re_[0, i]), int(en)) - max(int(rs[0, i]), int(st))
         good = (sc[0, i] > 100 and rid[0, i] == want_rid
-                and abs(int(rs[0, i]) - int(st)) < 500)
+                and ov > 0.1 * (int(re_[0, i]) - int(rs[0, i])))
+        strict = good and abs(int(rs[0, i]) - int(st)) < 500
         ok += int(good)
+        n_strict += int(strict)
         if not good and len(fails) < 12:
             fails.append((i, strand, int(st), int(en), int(sc[0, i]),
                           int(rs[0, i]), int(re_[0, i]), int(qs[0, i]),
                           int(qe[0, i]), int(rev[0, i])))
     print(f"[scale] mapped {B} reads in {dt:.1f}s (first batch incl. "
-          f"compile); confident: {n_conf}/{B}, correct: {ok}/{n_conf}",
+          f"compile); confident: {n_conf}/{B}, mapeval-correct: "
+          f"{ok}/{n_conf}, strict head-coverage: {n_strict}/{n_conf}",
           flush=True)
     if fails:
         print("[scale] sample failures (i, strand, want_st, want_en, "
