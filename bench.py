@@ -108,10 +108,11 @@ def bench_ours(di, mi, mid_occ, names, rcodes):
     # anchors -- halving the anchor capacity halves the dominant
     # pos-gather + sort + chain cost; the mapeval gate below guards the
     # quality tradeoff
-    # M = L/4: at M=2048 the ~2000-2600 minimizers of a repeat-dense
-    # 11 kb read overflow the slot capacity and the chain loses its
-    # query tail (diagnosed at 3.1 Gb scale: ~2-5 kb of lost coverage)
-    p = BatchParams(L=12288, M=3072, A=4096,
+    # M=2048 suffices: the 3.1 Gb tail-loss diagnosis showed the anchor
+    # capacity (fixed by the adaptive per-read occurrence cap), not the
+    # minimizer slots, was the binding constraint -- raising M changed
+    # nothing but cost ~35% throughput
+    p = BatchParams(L=12288, M=2048, A=4096,
                     occ_cap=min(max(mid_occ, 10), 64), chain_window=64,
                     bw_long=20000)      # map-ont long-join rescue on
     interp = jax.default_backend() != "tpu"

@@ -62,7 +62,7 @@ def main():
     del big2
     ACGT = np.frombuffer(b"ACGT", np.uint8)
     seqs = [ACGT[c].tobytes() for c in rcodes]
-    p = BatchParams(L=12288, M=3072, A=4096,
+    p = BatchParams(L=12288, M=2048, A=4096,
                     occ_cap=min(max(meta.mid_occ, 10), 64), chain_window=64)
     step = engine.make_paf_step(di, p, K=5, min_sc=40)
     t0 = time.time()
