@@ -38,11 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF32 = -0x40000000
 # DP row dtype.  Values are int8-range (Suzuki-Kasahara differences);
-# i16 rows would double lane density, but this Mosaic cannot rotate
-# non-32-bit vectors and rejects relayouts of replicated (G,1) masks
-# between the 8- and 16-sublane tilings, so the rows stay i32.  (The
-# plumbing is DT-parametric for when Mosaic grows i16 support.)
-DT = jnp.int32
+# i16/i8 rows would raise lane density 2-4x, but a direct probe of this
+# target (v5e, jax 0.9 Mosaic) shows the VPU supports only add/xor/and
+# on sub-32-bit vectors -- vector max ('arith.maxsi') and comparisons
+# do not legalize at i16/i8 -- so the dense layouts cannot express the
+# DP recurrence and the rows stay i32.  The plumbing is DT-parametric
+# (MM2TPU_EXT_DT=i16/i8) to re-test on future hardware generations.
+import os as _os
+DT = {"i32": jnp.int32, "i16": jnp.int16,
+      "i8": jnp.int8}[_os.environ.get("MM2TPU_EXT_DT", "i32")]
 
 # ez output lanes (superset of v1's)
 EZ_MAX, EZ_ZDROP, EZ_MAXQ, EZ_MAXT, EZ_MQE, EZ_MQET, EZ_MTE, EZ_MTEQ, \
@@ -73,7 +77,13 @@ def wstart_chunk_np(r, w, RB: int):
 
 
 def _wrap8(val):
-    return ((val + 128) & 255) - 128
+    """int8 wraparound emulation -- now an identity: the Suzuki-Kasahara
+    difference values are mathematically bounded by 2*(q2+e2)+match
+    (ksw2_extz2_sse.c:78's own int8-safety bound, < 127 for every
+    preset), so on i32 lanes the wrap never fires; dropping it removes
+    ~30 vector ops per diagonal.  Bit-exactness vs the int8 reference
+    is enforced by the ksw2_np oracle tests (test_extend_v2.py)."""
+    return val
 
 
 def _sext8(val):
@@ -89,9 +99,9 @@ def _roll16(a, shift):
     return pltpu.roll(a.astype(jnp.int32), shift, axis=1).astype(a.dtype)
 
 
-def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
+def _extd2_kernel_v2(lens_ref, qxa_ref, sfz_ref, p_ref, ez_ref,
                      u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, H_s, ezc_s,
-                     *, G, W, RB, RC, q, e, q2, e2, w, zdrop,
+                     *, G, W, RB, RC, CQ, CT, c, q, e, q2, e2, w, zdrop,
                      right_mode, approx_max, approx_drop, sc_mch, sc_mis,
                      sc_N, with_cigar):
     rc = pl.program_id(1)
@@ -107,6 +117,37 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
 
     lane = lax.broadcasted_iota(jnp.int32, (G, W), 1)
     lane128 = lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+    ones_w_f = jnp.ones((W, 1), jnp.float32)
+
+    def lane_sum(vals):
+        """(G, W) -> (G, 1) cross-lane sum via an MXU matvec: the VPU
+        reduction costs ~180 ns of lane shuffles per call; the one-hot
+        payloads are <= 24 bits so float32 accumulation is exact."""
+        return jnp.dot(vals.astype(jnp.float32), ones_w_f,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    def reborn(mask):
+        """An i32-land boolean as a 0/-1 integer mask in DT: Mosaic
+        cannot relayout i1 vectors between the 8- and 16/32-sublane
+        tilings, so DT-operand selects go through arithmetic masking
+        (dsel) instead of jnp.where (identity at i32)."""
+        return reborn2(mask, DT)
+
+    def dsel(m, a_, b_):
+        """Select with a reborn() mask (jnp.where at i32)."""
+        if DT == jnp.int32:
+            return jnp.where(m, a_, b_)
+        return b_ ^ ((a_ ^ b_) & m)
+
+    def reborn2(mask, dt):
+        if dt == jnp.int32:
+            return mask
+        return (-(mask.astype(jnp.int32))).astype(dt)
+
+    def dsel2(m, a_, b_, dt):
+        if dt == jnp.int32:
+            return jnp.where(m, a_, b_)
+        return b_ ^ ((a_ ^ b_) & m)
     qlen = lens_ref[0, :, 0:1]                                # (G, 1)
     tlen = lens_ref[0, :, 1:2]
 
@@ -151,9 +192,45 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
                 break
             hit = (dsh & bit) != 0
             rolled = _roll16(out, W - bit)
-            rolled = jnp.where(lane >= W - bit, fill, rolled)
-            out = jnp.where(hit, rolled, out)
+            dt_ = out.dtype
+            fillv = jnp.asarray(fill, dt_)
+            rolled = dsel2(reborn2(lane >= W - bit, dt_), fillv, rolled,
+                           dt_)
+            out = dsel2(reborn2(hit, dt_), rolled, out, dt_)
         return out
+
+    def dyn_left_roll(a_, amt):
+        """result[j] = a_[(j + amt) mod L] for traced amt in [0, L):
+        Mosaic only rolls by static amounts, so decompose into
+        conditional power-of-two rolls (runs once per chunk)."""
+        L = a_.shape[1]
+        shift = (L - amt) % L
+        out = a_
+        bit = 1
+        while bit < L:
+            hit = (shift & bit) != 0
+            out = jnp.where(hit, pltpu.roll(out, bit, axis=1), out)
+            bit <<= 1
+        return out
+
+    # chunk-resident code rows.  Mosaic requires dynamic lane offsets to
+    # be 128-aligned, so both loads use an aligned base + a once-per-
+    # chunk dynamic rotate; the query window then advances ONE lane per
+    # diagonal via a single roll in the hot loop (the v2 design instead
+    # pre-materialized every (G, W) row in HBM: ~2.6 GB and ~100 ms per
+    # 64x10 kb call).
+    # target row: constant within the chunk (chunk-uniform window)
+    at_ = pl.multiple_of((ws >> 7) << 7, 128)
+    lt_ = sfz_ref[0, :, pl.ds(at_, W + 128)].astype(jnp.int32)
+    tq32 = dyn_left_roll(lt_, ws - at_)[:, :W]          # i32 code row
+    # query window: qwin[j] = qxa[Q0 - 128 + j]; row of diagonal
+    # rc*RB + i = qwin[:, 128:] after i right-rolls
+    Q0 = c + ws - rc * RB
+    base_q = Q0 - 128
+    aq_ = pl.multiple_of((jnp.maximum(base_q, 0) >> 7) << 7, 128)
+    lq_ = qxa_ref[0, :, pl.ds(aq_, W + 256)].astype(jnp.int32)
+    amt_q = (base_q - aq_) % (W + 256)
+    qwin0 = dyn_left_roll(lq_, amt_q)[:, :W + 128]      # i32 code window
 
     def carry_init():
         u0 = chunk_shift(u_s[:], -q - e)
@@ -170,11 +247,12 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
                 col(EZ_MQE), col(EZ_MQET), col(EZ_MTE), col(EZ_MTEQ),
                 col(EZ_SCORE), col(EZ_LASTST), col(EZ_DEAD), col(EZ_NR),
                 col(EZ_NR + 1),   # H0
-                col(EZ_NR + 2))   # last_H0_t
+                col(EZ_NR + 2),   # last_H0_t
+                qwin0)            # rolling query code window
 
     def body(i, carry):
         (u, v, x, y, x2, y2, s, H, mx, zdr, mxq, mxt, mqe, mqet, mte, mteq,
-         score, last_st, dead0, nr, H0, h0t) = carry
+         score, last_st, dead0, nr, H0, h0t, qwin) = carry
         r = rc * RB + i
 
         dead = (dead0 != 0) | (r >= qlen + tlen - 1)
@@ -195,75 +273,89 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
         pk = ((x.astype(jnp.int32) & 255)
               | ((x2.astype(jnp.int32) & 255) << 8)
               | ((v.astype(jnp.int32) & 255) << 16))
-        ext = jnp.sum(jnp.where(lane == lane_pre, pk, 0), axis=1,
-                      keepdims=True, dtype=jnp.int32)
+        ext = lane_sum(jnp.where(lane == lane_pre, pk, 0))
         x_b = _sext8(ext)
         x2_b = _sext8(ext >> 8)
         v_b = _sext8(ext >> 16)
-        x1 = jnp.where(use_prev, x_b, -q - e).astype(DT)
-        x21 = jnp.where(use_prev, x2_b, -q2 - e2).astype(DT)
-        v1_edge = jnp.where(r == 0, -q - e,
-                            jnp.where(r < long_thres, -e,
-                                      jnp.where(r == long_thres,
-                                                long_diff, -e2))).astype(DT)
-        v1 = jnp.where(use_prev, v_b.astype(DT),
-                       jnp.where(st > 0, jnp.asarray(-q - e, DT), v1_edge))
+        x1_32 = jnp.where(use_prev, x_b, -q - e)
+        x21_32 = jnp.where(use_prev, x2_b, -q2 - e2)
+        v1_edge32 = jnp.where(r == 0, -q - e,
+                              jnp.where(r < long_thres, -e,
+                                        jnp.where(r == long_thres,
+                                                  long_diff, -e2)))
+        v1_32 = jnp.where(use_prev, v_b,
+                          jnp.where(st > 0, -q - e, v1_edge32))
+        if DT == jnp.int32:
+            x1, x21, v1, v1_edge = x1_32, x21_32, v1_32, v1_edge32
+        else:
+            # (G, 1) scalar columns broadcast to (G, W) in i32-land, then
+            # convert: Mosaic can neither relayout replicated i1 columns
+            # nor broadcast (G, 1) i16 operands across the 16-sublane
+            # tiling (narrow-DT experiments only -- v5e's VPU has no i16
+            # vector max/compare, so DT stays i32 in production)
+            zW32 = jnp.zeros((G, W), jnp.int32)
+            x1 = (zW32 + x1_32).astype(DT)
+            x21 = (zW32 + x21_32).astype(DT)
+            v1 = (zW32 + v1_32).astype(DT)
+            v1_edge = (zW32 + v1_edge32).astype(DT)
 
         u_p, v_p, x_p, y_p, x2_p, y2_p, s_p, H_p = \
             u, v, x, y, x2, y2, s, H
 
         abs_idx = lane + ws
-        at_r = (abs_idx == r) & (en >= r)
-        y_p = jnp.where(at_r, -q - e, y_p)
-        y2_p = jnp.where(at_r, -q2 - e2, y2_p)
-        u_p = jnp.where(at_r, v1_edge, u_p)
+        at_r = reborn((abs_idx == r) & (en >= r))
+        y_p = dsel(at_r, jnp.asarray(-q - e, DT), y_p)
+        y2_p = dsel(at_r, jnp.asarray(-q2 - e2, DT), y2_p)
+        u_p = dsel(at_r, v1_edge, u_p)
 
         # score row (storeu coverage [st0, s_hi]; stale bytes persist)
         s_hi = st0 + ((en0 - st0) // 16) * 16 + 15
         scov = (abs_idx >= st0) & (abs_idx <= s_hi)
-        tq8 = trow_ref[0, i, 0, :, :]
-        qq8 = qrow_ref[0, i, 0, :, :]
-        tq = jnp.zeros((G, W), DT) + tq8
-        qq = jnp.zeros((G, W), DT) + qq8
-        eqm = (tq - qq) == 0
-        maskN = (tq == 4) | (qq == 4)
-        sval = jnp.where(eqm, jnp.asarray(sc_mch, DT), jnp.asarray(sc_mis, DT))
-        sval = jnp.where(maskN, jnp.asarray(sc_N, DT), sval)
-        s_cur = jnp.where(scov & livem, sval, s_p)
+        qq32 = qwin[:, 128:]       # this diagonal's query code row (i32)
+        eqm = (tq32 - qq32) == 0
+        maskN = (tq32 == 4) | (qq32 == 4)
+        sval = dsel(eqm, jnp.asarray(sc_mch, DT), jnp.asarray(sc_mis, DT))
+        sval = dsel(maskN, jnp.asarray(sc_N, DT), sval)
+        scl = reborn(scov & livem)
+        s_cur = dsel(scl, sval, s_p)
 
         z = s_cur
         stl = st - ws                                            # (G,1)
-        xt1 = jnp.where(lane == stl, x1, _roll16(x_p, 1))
-        vt1 = jnp.where(lane == stl, v1, _roll16(v_p, 1))
-        x2t1 = jnp.where(lane == stl, x21, _roll16(x2_p, 1))
+        at_stl = reborn(lane == stl)
+        xt1 = dsel(at_stl, x1, _roll16(x_p, 1))
+        vt1 = dsel(at_stl, v1, _roll16(v_p, 1))
+        x2t1 = dsel(at_stl, x21, _roll16(x2_p, 1))
         ut = u_p
         a = _wrap8(xt1 + vt1)
         b = _wrap8(y_p + ut)
         a2 = _wrap8(x2t1 + vt1)
         b2 = _wrap8(y2_p + ut)
         if with_cigar:
+            one, two, three, four = (jnp.asarray(i, DT)
+                                     for i in (1, 2, 3, 4))
+            zero = jnp.asarray(0, DT)
             if not right_mode:
-                d = jnp.where(a > z, 1, 0)
+                d = jnp.where(a > z, one, zero)
                 z = jnp.maximum(z, a)
-                d = jnp.where(b > z, 2, d)
+                d = jnp.where(b > z, two, d)
                 z = jnp.maximum(z, b)
-                d = jnp.where(a2 > z, 3, d)
+                d = jnp.where(a2 > z, three, d)
                 z = jnp.maximum(z, a2)
-                d = jnp.where(b2 > z, 4, d)
+                d = jnp.where(b2 > z, four, d)
                 z = jnp.maximum(z, b2)
             else:
-                d = jnp.where(z > a, 0, 1)
+                d = jnp.where(z > a, zero, one)
                 z = jnp.maximum(z, a)
-                d = jnp.where(z > b, d, 2)
+                d = jnp.where(z > b, d, two)
                 z = jnp.maximum(z, b)
-                d = jnp.where(z > a2, d, 3)
+                d = jnp.where(z > a2, d, three)
                 z = jnp.maximum(z, a2)
-                d = jnp.where(z > b2, d, 4)
+                d = jnp.where(z > b2, d, four)
                 z = jnp.maximum(z, b2)
         else:
             z = jnp.maximum(jnp.maximum(z, a), jnp.maximum(b, jnp.maximum(a2, b2)))
             d = None
-        z = jnp.minimum(z, sc_mch)
+        z = jnp.minimum(z, jnp.asarray(sc_mch, DT))
         u_new = _wrap8(z - vt1)
         v_new = _wrap8(z - ut)
         t1 = _wrap8(z - q)
@@ -276,26 +368,27 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             ga, gb, ga2, gb2 = a > 0, b > 0, a2 > 0, b2 > 0
         else:
             ga, gb, ga2, gb2 = a >= 0, b >= 0, a2 >= 0, b2 >= 0
-        x_new = _wrap8(jnp.where(ga, a, 0) - qe_pen)
-        y_new = _wrap8(jnp.where(gb, b, 0) - qe_pen)
-        x2_new = _wrap8(jnp.where(ga2, a2, 0) - qe2_pen)
-        y2_new = _wrap8(jnp.where(gb2, b2, 0) - qe2_pen)
+        zd = jnp.asarray(0, DT)
+        x_new = _wrap8(jnp.where(ga, a, zd) - jnp.asarray(qe_pen, DT))
+        y_new = _wrap8(jnp.where(gb, b, zd) - jnp.asarray(qe_pen, DT))
+        x2_new = _wrap8(jnp.where(ga2, a2, zd) - jnp.asarray(qe2_pen, DT))
+        y2_new = _wrap8(jnp.where(gb2, b2, zd) - jnp.asarray(qe2_pen, DT))
 
-        m_upd = livem & (abs_idx >= st) & (abs_idx <= en)
-        u_out = jnp.where(m_upd, u_new, u_p)
-        v_out = jnp.where(m_upd, v_new, v_p)
-        x_out = jnp.where(m_upd, x_new, x_p)
-        y_out = jnp.where(m_upd, y_new, y_p)
-        x2_out = jnp.where(m_upd, x2_new, x2_p)
-        y2_out = jnp.where(m_upd, y2_new, y2_p)
-        s_out = jnp.where(scov & livem, s_cur, s_p)
+        m_upd = reborn(livem & (abs_idx >= st) & (abs_idx <= en))
+        u_out = dsel(m_upd, u_new, u_p)
+        v_out = dsel(m_upd, v_new, v_p)
+        x_out = dsel(m_upd, x_new, x_p)
+        y_out = dsel(m_upd, y_new, y_p)
+        x2_out = dsel(m_upd, x2_new, x2_p)
+        y2_out = dsel(m_upd, y2_new, y2_p)
+        s_out = dsel(scl, s_cur, s_p)
 
         if with_cigar:
-            d = d | jnp.where(ga, 0x08, 0)
-            d = d | jnp.where(gb, 0x10, 0)
-            d = d | jnp.where(ga2, 0x20, 0)
-            d = d | jnp.where(gb2, 0x40, 0)
-            p_ref[0, 0, i, :, :] = jnp.where(m_upd, d, 0).astype(jnp.uint8)
+            d = d | jnp.where(ga, jnp.asarray(0x08, DT), zd)
+            d = d | jnp.where(gb, jnp.asarray(0x10, DT), zd)
+            d = d | jnp.where(ga2, jnp.asarray(0x20, DT), zd)
+            d = d | jnp.where(gb2, jnp.asarray(0x40, DT), zd)
+            p_ref[0, 0, i, :, :] = dsel(m_upd, d, zd).astype(jnp.uint8)
 
         fin = livem & (r == qlen + tlen - 2) & (en0 == tlen - 1)
 
@@ -305,14 +398,11 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             st0l = st0 - ws
             pk2 = ((u_out.astype(jnp.int32) & 255)
                    | ((v_out.astype(jnp.int32) & 255) << 8))
-            uv_en0 = jnp.sum(jnp.where(lane == en0l, pk2, 0), axis=1,
-                             keepdims=True, dtype=jnp.int32)
+            uv_en0 = lane_sum(jnp.where(lane == en0l, pk2, 0))
             u_en0 = _sext8(uv_en0)
             v_en0 = _sext8(uv_en0 >> 8)
-            H_en0m1 = jnp.sum(jnp.where(lane == en0l - 1, H_p, 0), axis=1,
-                              keepdims=True, dtype=jnp.int32)
-            H_en0p = jnp.sum(jnp.where(lane == en0l, H_p, 0), axis=1,
-                             keepdims=True, dtype=jnp.int32)
+            H_en0m1 = lane_sum(jnp.where(lane == en0l - 1, H_p, 0))
+            H_en0p = lane_sum(jnp.where(lane == en0l, H_p, 0))
             h_en0 = jnp.where(en0 > 0, H_en0m1 + u_en0, H_en0p + v_en0)
             # r == 0 implies ws == 0: lane 0 IS abs pos 0, so a static
             # slice replaces a ~180 ns one-hot cross-lane reduction
@@ -331,10 +421,8 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             max_t = jnp.where(use_body, body_arg, en0)
             max_H = jnp.where(r == 0, h_en0, max_H)
             max_t = jnp.where(r == 0, 0, max_t)
-            h_at_en0 = jnp.sum(jnp.where(lane == en0l, Hnew, 0), axis=1,
-                               keepdims=True, dtype=jnp.int32)
-            h_at_st0 = jnp.sum(jnp.where(lane == st0l, Hnew, 0), axis=1,
-                               keepdims=True, dtype=jnp.int32)
+            h_at_en0 = lane_sum(jnp.where(lane == en0l, Hnew, 0))
+            h_at_st0 = lane_sum(jnp.where(lane == st0l, Hnew, 0))
             upd_mte = livem & (en0 == tlen - 1) & (h_at_en0 > mte)
             mte = jnp.where(upd_mte, h_at_en0, mte)
             mteq = jnp.where(upd_mte, r - en0, mteq)
@@ -352,8 +440,7 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             mx = jnp.where(livem & better, max_H, mx)
             mxt = jnp.where(livem & better, max_t, mxt)
             mxq = jnp.where(livem & better, r - max_t, mxq)
-            sc_fin = jnp.sum(jnp.where(lane == tlen - 1 - ws, Hnew, 0),
-                             axis=1, keepdims=True, dtype=jnp.int32)
+            sc_fin = lane_sum(jnp.where(lane == tlen - 1 - ws, Hnew, 0))
             score = jnp.where(fin, sc_fin, score)
             H0_out, h0t_out = H0, h0t
         else:
@@ -363,8 +450,7 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             # (t0 >= st0-1 >= ws-1), unlike t0-ws which can be -1
             pk2 = ((_roll16(v_out, 1).astype(jnp.int32) & 255)
                    | ((u_out.astype(jnp.int32) & 255) << 8))
-            ext2 = jnp.sum(jnp.where(lane == h0t + 1 - ws, pk2, 0), axis=1,
-                           keepdims=True, dtype=jnp.int32)
+            ext2 = lane_sum(jnp.where(lane == h0t + 1 - ws, pk2, 0))
             d0 = _sext8(ext2)                                   # v[t0]
             d1 = _sext8(ext2 >> 8)                              # u[t0+1]
             in0 = (st0 <= h0t) & (h0t <= en0)
@@ -408,7 +494,8 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
         nr = jnp.where(livem, r + 1, nr)
         return (u_out, v_out, x_out, y_out, x2_out, y2_out, s_out, H_out,
                 mx, zdr, mxq, mxt, mqe, mqet, mte, mteq, score, last_st,
-                dead_out, nr, H0_out, h0t_out)
+                dead_out, nr, H0_out, h0t_out,
+                pltpu.roll(qwin, 1, axis=1))      # advance 1 lane/diag
 
     # chunk skip: all pairs dead already
     all_dead = jnp.min(col(EZ_DEAD), axis=0, keepdims=False)[0] != 0
@@ -419,7 +506,7 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
     def _run():
         carry = lax.fori_loop(0, RB, body, carry_init())
         (u, v, x, y, x2, y2, s, H, mx, zdr, mxq, mxt, mqe, mqet, mte, mteq,
-         score, last_st, dead, nr, H0, h0t) = carry
+         score, last_st, dead, nr, H0, h0t, _qwin) = carry
         u_s[:] = u
         v_s[:] = v
         x_s[:] = x
@@ -450,24 +537,38 @@ def _extd2_kernel_v2(lens_ref, qrow_ref, trow_ref, p_ref, ez_ref,
             p_ref[0, 0, :, :, :] = jnp.zeros((RB, G, W), jnp.uint8)
 
 
-def prep_rows(qr, sf, lens, *, G, W, RB, R, w, QP, TP):
-    """Build per-diagonal u8 code rows for the kernel.
+def plane_dims(R, W, RB, w):
+    """Static geometry of the anti-diagonal-aligned planes: (c, CQ, CT)
+    with c - r + ws(r) >= 8 for every diagonal r < RC*RB."""
+    RC = (R + RB - 1) // RB
+    RT = RC * RB
+    rs_np = np.arange(RT, dtype=np.int32)
+    ws_np = wstart_chunk_np(rs_np, w, RB)
+    c = int(rs_np[-1] - ws_np[-1]) + 8          # c - r + ws(r) >= 8 > 0
+    # +256/+128 lanes of zero padding: the kernel's 128-aligned chunk
+    # loads read [base & ~127, base + W + 256) / [ws & ~127, ws + W + 128)
+    CQ = -(-(c + W + 256) // 128) * 128
+    CT = -(-(int(ws_np[-1]) + W + 128) // 128) * 128
+    return c, CQ, CT
+
+
+def prep_planes(qr, sf, lens, *, G, W, RB, R, w, QP, TP):
+    """Build the anti-diagonal-aligned code planes for the kernel.
 
     qr: (N, QP) uint8 REVERSED queries; sf: (N, TP) uint8 targets;
-    lens: (N, 2) int32.  Returns (qrow, trow, lens_v) shaped
-    (RC, RB, NG, G, W) u8 x2 and (NG, G, 128) i32.
+    lens: (N, 2) int32.  Returns (qxa, sfz, lens_v) shaped
+    (NG, G, CQ) u8, (NG, G, CT) u8 and (NG, G, 128) i32.
 
-    The per-diag row for every pair is a CONTIGUOUS window of a per-pair
-    "anti-diagonal aligned" buffer: qxa[n, c - qpos] = q[n, qpos] (zeros
-    elsewhere), so row r = qxa[:, c - r + ws(r) : +W] -- a pair-independent
-    offset.  Rows are then RT slab DMA copies (vmap'd dynamic_slice), not
-    element gathers.  Out-of-range substitution matches v1: t outside
-    [0, TP) -> 0; q outside [0, qlen) -> 0.
+    qxa[n, c - qpos] = q[n, qpos] (zeros elsewhere), so the row of
+    diagonal r is the contiguous window qxa[:, c - r + ws(r) : +W] -- a
+    pair-independent offset the kernel slices straight out of VMEM.
+    (v2 pre-materialized every row as (RC, RB, NG, G, W) HBM slabs:
+    ~2.6 GB and ~100 ms per 64x10 kb call, more than half the wall
+    time.)  Out-of-range substitution matches v1: t outside [0, TP) ->
+    0; q outside [0, qlen) -> 0.
     """
     N = qr.shape[0]
     NG = (N + G - 1) // G
-    RC = (R + RB - 1) // RB
-    RT = RC * RB
     pad = NG * G - N
     if pad:
         qr = jnp.concatenate([qr, jnp.zeros((pad, QP), jnp.uint8)], 0)
@@ -475,10 +576,7 @@ def prep_rows(qr, sf, lens, *, G, W, RB, R, w, QP, TP):
         lens = jnp.concatenate([lens, jnp.ones((pad, 2), jnp.int32)], 0)
     NP = NG * G
     qlen = lens[:, 0:1]
-    rs_np = np.arange(RT, dtype=np.int32)
-    ws_np = wstart_chunk_np(rs_np, w, RB)
-    c = int(rs_np[-1] - ws_np[-1]) + 8          # c - r + ws(r) >= 8 > 0
-    CQ = c + W
+    c, CQ, CT = plane_dims(R, W, RB, w)
     # qxa[n, c - qpos] = q[n, qpos] = qr[n, qlen-1-qpos]
     # -> qxa[n, j] = qr[n, j - (c - qlen + 1)] for j in [c-qlen+1, c]
     jidx = jnp.arange(CQ, dtype=jnp.int32)[None, :]
@@ -486,19 +584,14 @@ def prep_rows(qr, sf, lens, *, G, W, RB, R, w, QP, TP):
     ok = (src >= 0) & (src < qlen)
     qxa = jnp.where(ok, jnp.take_along_axis(
         qr, jnp.clip(src, 0, QP - 1), axis=1), jnp.uint8(0))
-    CT = int(ws_np[-1]) + W
-    sfz = jnp.zeros((NP, CT), jnp.uint8).at[:, :TP].set(sf) if CT > TP \
-        else sf[:, :CT]
-    jq = jnp.asarray(c - rs_np + ws_np, jnp.int32)
-    jt = jnp.asarray(np.minimum(ws_np, max(CT - W, 0)), jnp.int32)
-    qrow = jax.vmap(lambda j: lax.dynamic_slice(qxa, (0, j), (NP, W)))(jq)
-    trow = jax.vmap(lambda j: lax.dynamic_slice(sfz, (0, j), (NP, W)))(jt)
-    qrow = qrow.reshape(RC, RB, NG, G, W)
-    trow = trow.reshape(RC, RB, NG, G, W)
+    if CT > TP:
+        sfz = jnp.zeros((NP, CT), jnp.uint8).at[:, :TP].set(sf)
+    else:
+        sfz = sf[:, :CT]
     lens_v = jnp.zeros((NG, G, 128), jnp.int32)
     lens_v = lens_v.at[:, :, 0].set(lens[:, 0].reshape(NG, G))
     lens_v = lens_v.at[:, :, 1].set(lens[:, 1].reshape(NG, G))
-    return qrow, trow, lens_v
+    return qxa.reshape(NG, G, CQ), sfz.reshape(NG, G, CT), lens_v
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -516,13 +609,16 @@ def extd2_batch2(qr, sf, lens, *, G, W, RB, R, QP, TP, q, e, q2, e2, w,
     # within one RB-diagonal chunk on top of the w+48 per-diag need
     drift = -(-(RB // 2) // 16) * 16
     assert W % 128 == 0 and W >= w + 48 + drift, (W, w, RB)
+    assert RB <= 128, RB   # the rolling query window re-anchors per chunk
     N = qr.shape[0]
     NG = (N + G - 1) // G
     RC = (R + RB - 1) // RB
-    qrow, trow, lens_v = prep_rows(qr, sf, lens, G=G, W=W, RB=RB, R=R, w=w,
+    qxa, sfz, lens_v = prep_planes(qr, sf, lens, G=G, W=W, RB=RB, R=R, w=w,
                                    QP=QP, TP=TP)
+    c, CQ, CT = plane_dims(R, W, RB, w)
     kernel = functools.partial(
-        _extd2_kernel_v2, G=G, W=W, RB=RB, RC=RC, q=q, e=e, q2=q2, e2=e2,
+        _extd2_kernel_v2, G=G, W=W, RB=RB, RC=RC, CQ=CQ, CT=CT, c=c,
+        q=q, e=e, q2=q2, e2=e2,
         w=w, zdrop=zdrop, right_mode=right_mode, approx_max=approx_max,
         approx_drop=approx_drop, sc_mch=sc_mch, sc_mis=sc_mis, sc_N=sc_N,
         with_cigar=with_cigar)
@@ -543,9 +639,9 @@ def extd2_batch2(qr, sf, lens, *, G, W, RB, R, QP, TP, q, e, q2, e2, w,
         in_specs=[
             pl.BlockSpec((1, G, 128), lambda n, rc: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB, 1, G, W), lambda n, rc: (rc, 0, n, 0, 0),
+            pl.BlockSpec((1, G, CQ), lambda n, rc: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RB, 1, G, W), lambda n, rc: (rc, 0, n, 0, 0),
+            pl.BlockSpec((1, G, CT), lambda n, rc: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(p_spec,
@@ -562,6 +658,6 @@ def extd2_batch2(qr, sf, lens, *, G, W, RB, R, QP, TP, q, e, q2, e2, w,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(lens_v, qrow, trow)
+    )(lens_v, qxa, sfz)
     ez = ez_out.reshape(NG * G, 128)[:N, :EZ_N]
     return p_out, ez

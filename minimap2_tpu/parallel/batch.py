@@ -137,6 +137,89 @@ def _mulhi_u32(a, nb: int):
             + (cross2 >> jnp.uint32(16)))
 
 
+H2R_SLOTS = 64      # entries per 256-lane row: [key_sel, aux, start, cnt]
+H2R_LOAD = 44       # target mean keys per bucket (load ~0.69: Poisson
+#                     tails at capacity 64 make 2-choice overflow ~1e-7;
+#                     32-slot rows at load 0.8 overflowed ~3e-3 of keys)
+
+
+def _h2r_top32_np(hi, lo, key_bits: int):
+    """Top 32 bits of the key left-aligned: the monotone interpolation
+    coordinate for choice-1 bucketing (keys are hash64-uniform)."""
+    if key_bits < 32:
+        return (lo << np.uint32(32 - key_bits)).astype(np.uint32)
+    if key_bits == 32:
+        return lo
+    return ((hi << np.uint32(64 - key_bits))
+            | (lo >> np.uint32(key_bits - 32))).astype(np.uint32)
+
+
+def build_h2rows_np(keys_u64: np.ndarray, starts: np.ndarray,
+                    cnts: np.ndarray, key_bits: int,
+                    nb0: int | None = None):
+    """Host build of the payload-fused 2-choice bucket table.
+
+    keys_u64 must be the SORTED distinct minimizer hashes; starts/cnts the
+    (offset, count) runs into the position plane.  Returns (rows (NB, 128)
+    u32, NB).  Choice 1 = mulhi(top32(key), NB) is monotone over the
+    sorted keys, so within-bucket ranks come straight from run positions;
+    overflow keys (bucket > 32 deep) fall to choice 2 = the Fibonacci
+    rehash; any key failing both grows NB 15% and retries (rare at load
+    0.81: P(Poisson(26) > 32) per bucket is ~5%, and choice 2 absorbs
+    the spill)."""
+    K = len(keys_u64)
+    ROWW = 4 * H2R_SLOTS
+    wide = key_bits > 31
+    hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
+    lo = keys_u64.astype(np.uint32)
+    a = _h2r_top32_np(hi, lo, key_bits)
+    k11 = (((lo >> np.uint32(11)) | (hi << np.uint32(21)))
+           * np.uint32(2654435761))
+    NB = nb0 if nb0 else max(64, -(-K // H2R_LOAD))
+    i = np.arange(K, dtype=np.int64)
+    while True:
+        b1 = ((a.astype(np.uint64) * np.uint64(NB))
+              >> np.uint64(32)).astype(np.int64)
+        rs = np.r_[True, b1[1:] != b1[:-1]] if K else np.zeros(0, bool)
+        grp = np.maximum.accumulate(np.where(rs, i, 0))
+        rank1 = i - grp
+        placed1 = rank1 < H2R_SLOTS
+        occ1 = np.bincount(b1[placed1], minlength=NB) if K else \
+            np.zeros(NB, np.int64)
+        b2 = ((k11.astype(np.uint64) * np.uint64(NB))
+              >> np.uint64(32)).astype(np.int64)
+        midx = np.nonzero(~placed1)[0]
+        ordm = np.argsort(b2[midx], kind="stable")
+        midx = midx[ordm]
+        mbs = b2[midx]
+        nm = len(midx)
+        j = np.arange(nm, dtype=np.int64)
+        rs2 = np.r_[True, mbs[1:] != mbs[:-1]] if nm else np.zeros(0, bool)
+        grp2 = np.maximum.accumulate(np.where(rs2, j, 0)) if nm else j
+        rank2 = j - grp2
+        cap2 = H2R_SLOTS - occ1[mbs] if nm else np.zeros(0, np.int64)
+        placed2 = rank2 < cap2
+        n_ov = int(nm - placed2.sum())
+        if n_ov <= max(0, K // 1_000_000) or NB > 4 * max(64, -(-K // H2R_LOAD)):
+            # residual overflow (<= 1e-6 of keys) is dropped: those
+            # minimizers simply never match, like an occurrence filter
+            break
+        NB = int(NB * 1.15) + 1
+    rows = np.full(NB * ROWW, 0xFFFFFFFF, np.uint32)
+
+    def scatter(bkt, slot, sel):
+        base = bkt * ROWW + slot * 4
+        rows[base] = (hi[sel] if wide else lo[sel])
+        rows[base + 1] = (lo[sel] if wide else 0)
+        rows[base + 2] = starts[sel].astype(np.uint32)
+        rows[base + 3] = cnts[sel].astype(np.uint32)
+
+    if K:
+        scatter(b1[placed1], rank1[placed1], placed1)
+        scatter(mbs[placed2], (occ1[mbs] + rank2)[placed2], midx[placed2])
+    return rows.reshape(NB, ROWW), NB
+
+
 def searchsorted_u64pair(khi, klo, qhi, qlo):
     """Left insertion point of (qhi, qlo) into the lexicographically sorted
     key pair arrays (vectorized binary search; index.c:93 analogue)."""
@@ -229,9 +312,11 @@ class DeviceIndex:
 
     def __init__(self, keys2, sc2, pos2, S, seq_off, seq_len,
                  bucket_start=None, h2=None, pstrand=None, krows=None,
+                 h2r=None,
                  key_shift: int = 0, n_probe: int = 6, h2_bits: int = 0,
                  h2_slots: int = 8, pos_fmt: int = 0, h2_nb: int = 0,
-                 s_fmt: int = 0, probe_win: int = 0):
+                 s_fmt: int = 0, probe_win: int = 0, h2r_nb: int = 0,
+                 key_bits: int = 0):
         # pair-packed planes: one 2-wide gather fetches what used to take
         # two element gathers (gathers are the device bottleneck)
         self.keys2 = keys2          # (K, 2) u32 [hi, lo], sorted, UMAX pad
@@ -277,9 +362,22 @@ class DeviceIndex:
         # GRCh38 scale is a 49 GB relayout copy (the r03/r04 bench OOM).
         self.krows = krows                 # (ceil(K/64), 128) u32 or None
         self.probe_win = probe_win         # static: 1 = windowed probe ok
+        # payload-fused 2-choice bucket table (the preferred probe): one
+        # 128-lane row per bucket, 32 slots of [key_sel, aux, start, cnt]
+        # (key32: key_sel = key, aux = spare; wide: key_sel = hi,
+        # aux = lo).  Choice 1 is MONOTONE in the sorted key order
+        # (interpolation by the key's top 32 bits), choice 2 is the
+        # Fibonacci rehash -- so the whole probe is TWO 512 B row
+        # gathers, vs four transactions for the windowed krows probe
+        # (bucket_start + 2 key rows + sc2).  The row payload replaces
+        # keys2/sc2/bucket_start entirely.
+        self.h2r = h2r                     # (NB, 128) u32 or None
+        self.h2r_nb = h2r_nb               # static: NB (mulhi reduction)
+        self.key_bits = key_bits           # static: 2k (for top32 shift)
 
     _AUX_FIELDS = ("key_shift", "n_probe", "h2_bits", "h2_slots",
-                   "pos_fmt", "h2_nb", "s_fmt", "probe_win")
+                   "pos_fmt", "h2_nb", "s_fmt", "probe_win", "h2r_nb",
+                   "key_bits")
 
     def aux_dict(self):
         return {a: getattr(self, a) for a in self._AUX_FIELDS}
@@ -287,7 +385,7 @@ class DeviceIndex:
     def tree_flatten(self):
         return ((self.keys2, self.sc2, self.pos2, self.S,
                  self.seq_off, self.seq_len, self.bucket_start, self.h2,
-                 self.pstrand, self.krows),
+                 self.pstrand, self.krows, self.h2r),
                 tuple(getattr(self, a) for a in self._AUX_FIELDS))
 
     @classmethod
@@ -338,12 +436,36 @@ class DeviceIndex:
         key_bits = 2 * mi.k
         shift = max(0, key_bits - bb)
         from .. import native
-        use_h2 = native.available() and K > 0
+        use_h2r = K > 0 and os.environ.get("MM2TPU_H2R", "1") != "0"
+        use_h2 = (not use_h2r) and native.available() and K > 0
         key32 = key_bits < 32
         h2_slots = 4 if key32 else 8
         h2_bits = 0
         h2_nb = 0
         h2_tables = None
+        h2r_nb = 0
+        h2r_tables = None
+        if use_h2r:
+            kmax = max(bounds[i + 1] - bounds[i] for i in range(n_shards))
+            nb = max(64, -(-kmax // H2R_LOAD))
+            while True:     # all shards share one NB (stackable pytrees)
+                h2r_tables = []
+                ok = True
+                for i in range(n_shards):
+                    lo, hi = bounds[i], bounds[i + 1]
+                    p0 = int(mi.starts[lo])
+                    rel = (mi.starts[lo:hi] - p0).astype(np.int64)
+                    rows, nb_out = build_h2rows_np(
+                        mi.keys[lo:hi], rel, cnts_all[lo:hi], key_bits,
+                        nb0=nb)
+                    if nb_out != nb:
+                        nb = nb_out
+                        ok = False
+                        break
+                    h2r_tables.append(rows)
+                if ok:
+                    break
+            h2r_nb = nb
         if use_h2:
             kmax = max(bounds[i + 1] - bounds[i] for i in range(n_shards))
             # non-pow2 bucket count with the mulhi range reduction: a pow2
@@ -370,8 +492,12 @@ class DeviceIndex:
             p0 = int(mi.starts[lo]) if K else 0
             p1 = int(mi.starts[hi]) if K else 0
             h2 = None
-            if use_h2:
-                h2 = jnp.asarray(h2_tables[i])
+            h2r = None
+            if use_h2r or use_h2:
+                if use_h2r:
+                    h2r = jnp.asarray(h2r_tables[i])
+                else:
+                    h2 = jnp.asarray(h2_tables[i])
                 # placeholders keep the pytree shape without the upload
                 keys2 = np.full((1, 2), 0xFFFFFFFF, np.uint32)
                 sc2 = np.zeros((1, 2), np.int32)
@@ -446,12 +572,13 @@ class DeviceIndex:
                               jnp.asarray(seq_off_out), jnp.asarray(seq_len),
                               jnp.asarray(bstart), h2,
                               None if pstrand is None else jnp.asarray(pstrand),
-                              krows,
+                              krows, h2r,
                               key_shift=shift,
                               n_probe=n_probe, h2_bits=h2_bits,
                               h2_slots=h2_slots, pos_fmt=pos_fmt,
                               h2_nb=h2_nb, s_fmt=s_fmt,
-                              probe_win=probe_win))
+                              probe_win=probe_win, h2r_nb=h2r_nb,
+                              key_bits=key_bits))
         if cache:
             try:
                 cls._save_cache(cache, shards)
@@ -460,9 +587,9 @@ class DeviceIndex:
         return shards
 
     _CACHE_LEAVES = ("keys2", "sc2", "pos2", "S", "seq_off", "seq_len",
-                     "bucket_start", "h2", "pstrand", "krows")
+                     "bucket_start", "h2", "pstrand", "krows", "h2r")
     _CACHE_AUX = ("key_shift", "n_probe", "h2_bits", "h2_slots", "pos_fmt",
-                  "h2_nb", "s_fmt", "probe_win")
+                  "h2_nb", "s_fmt", "probe_win", "h2r_nb", "key_bits")
 
     @classmethod
     def _save_cache(cls, path, shards):
@@ -493,8 +620,12 @@ class DeviceIndex:
             for name in cls._CACHE_LEAVES:
                 k = f"s{i}_{name}"
                 leaves.append(jnp.asarray(z[k]) if k in z.files else None)
-            if aux.get("probe_win") and leaves[-1] is None:
+            if aux.get("probe_win") \
+                    and leaves[cls._CACHE_LEAVES.index("krows")] is None:
                 raise ValueError("cache predates the krows layout")
+            if aux.get("h2r_nb") \
+                    and leaves[cls._CACHE_LEAVES.index("h2r")] is None:
+                raise ValueError("cache predates the h2r layout")
             shards.append(cls(*leaves, **aux))
         return shards
 
@@ -712,6 +843,38 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     K = di.keys2.shape[0]
     if mspan is None:       # per-anchor query span; k unless HPC
         mspan = jnp.full((B, M), p.k, jnp.int32)
+    if di.h2r is not None:
+        # payload-fused 2-choice probe: TWO 512 B row gathers total.
+        # Choice 1 = monotone interpolation by the key's top 32 bits,
+        # choice 2 = Fibonacci rehash; each row holds 32 slots of
+        # [key_sel, aux, start, cnt] (see DeviceIndex.h2r).
+        kb = di.key_bits
+        if kb < 32:
+            a = mh_lo << jnp.uint32(32 - kb)
+        elif kb == 32:
+            a = mh_lo
+        else:
+            a = (mh_hi << jnp.uint32(64 - kb)) | (mh_lo >> jnp.uint32(kb - 32))
+        b1 = _mulhi_u32(a, di.h2r_nb).astype(jnp.int32)
+        k11 = (((mh_lo >> jnp.uint32(11)) | (mh_hi << jnp.uint32(21)))
+               * jnp.uint32(2654435761))
+        b2 = _mulhi_u32(k11, di.h2r_nb).astype(jnp.int32)
+        cat = jnp.concatenate([di.h2r[b1], di.h2r[b2]], axis=-1)
+        kpl = cat[..., 0::4]                              # (B, M, 64)
+        spl = cat[..., 2::4].astype(jnp.int32)
+        cpl = cat[..., 3::4].astype(jnp.int32)
+        if kb < 32:      # the full key fits key_sel; sentinel can't match
+            hit = kpl == mh_lo[..., None]
+        else:
+            hit = ((kpl == mh_hi[..., None])
+                   & (cat[..., 1::4] == mh_lo[..., None]))
+        found = jnp.any(hit, axis=-1) & mvalid
+        start = jnp.where(found, jnp.max(jnp.where(hit, spl, 0), axis=-1), 0)
+        cnt_raw = jnp.max(jnp.where(hit, cpl, 0), axis=-1)
+        cnt = jnp.where(found & (cnt_raw <= p.occ_cap), cnt_raw, 0)
+        flt = found & (cnt_raw > p.occ_cap)
+        return _expand_anchors(di, start, cnt, flt, mz, mpos, mspan, qlen,
+                               p, interpret)
     if di.h2 is not None:
         # 2-choice bucketed hash probe: exactly two row gathers per
         # minimizer (native build_hash2_table layout)
@@ -1225,10 +1388,14 @@ def make_sharded_step(mesh, p: BatchParams, interpret: bool = False,
 
 
 def _di_proto(**aux):
-    # pstrand exists iff pos_fmt 2; None keeps the pytree structures of
-    # the spec proto and the real stacked DeviceIndex aligned
+    # optional leaves exist iff their aux marker says so; None keeps the
+    # pytree structures of the spec proto and the real stacked
+    # DeviceIndex aligned
     ps = 0 if aux.get("pos_fmt", 0) == 2 else None
-    return DeviceIndex(*([0] * 8), ps, **aux)
+    h2 = 0 if (aux.get("h2_nb", 0) or aux.get("h2_bits", 0)) else None
+    h2r = 0 if aux.get("h2r_nb", 0) else None
+    kr = 0 if aux.get("probe_win", 0) else None
+    return DeviceIndex(0, 0, 0, 0, 0, 0, 0, h2, ps, kr, h2r, **aux)
 
 
 def stack_shards(shards: list[DeviceIndex]) -> DeviceIndex:

@@ -327,6 +327,71 @@ def _pack_s4_dev(S):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("NB", "CAPM", "key_bits"))
+def _h2rows_try(keys2, sc2, K, *, NB, CAPM, key_bits):
+    """Device build of the payload-fused 2-choice bucket table (the
+    2-gather probe; see batch.DeviceIndex.h2r / batch.build_h2rows_np).
+
+    Choice 1 = mulhi(top32(key), NB) is MONOTONE over the sorted distinct
+    keys, so within-bucket ranks come from run positions with a cummax --
+    no extra genome-scale sort.  Overflow keys (> 32 deep) are compacted
+    (<= CAPM of them) and fall to choice 2 = the Fibonacci rehash; any
+    key failing both is counted in n_ov and the host grows NB + retries.
+    Returns (rows (NB, 128) u32, n_ov, n_movers)."""
+    from .batch import H2R_SLOTS, _mulhi_u32
+    khi, klo = keys2[:, 0], keys2[:, 1]
+    KPAD = khi.shape[0]
+    i = jnp.arange(KPAD, dtype=jnp.int32)
+    pad = i >= K
+    if key_bits < 32:
+        a = klo << jnp.uint32(32 - key_bits)
+    elif key_bits == 32:
+        a = klo
+    else:
+        a = ((khi << jnp.uint32(64 - key_bits))
+             | (klo >> jnp.uint32(key_bits - 32)))
+    b1 = jnp.where(pad, NB, _mulhi_u32(a, NB).astype(jnp.int32))
+    runstart = jnp.concatenate([jnp.ones(1, bool), b1[1:] != b1[:-1]])
+    grp = lax.cummax(jnp.where(runstart, i, 0))
+    rank1 = i - grp
+    placed1 = (rank1 < H2R_SLOTS) & ~pad
+    occ1 = jnp.zeros((NB + 1,), jnp.int32).at[b1].add(
+        placed1.astype(jnp.int32), mode="drop")
+    k11 = (((klo >> jnp.uint32(11)) | (khi << jnp.uint32(21)))
+           * jnp.uint32(2654435761))
+    b2 = _mulhi_u32(k11, NB).astype(jnp.int32)
+    mover = ~placed1 & ~pad
+    n_mv = jnp.sum(mover, dtype=jnp.int32)
+    midx = jnp.nonzero(mover, size=CAPM,
+                       fill_value=KPAD - 1)[0].astype(jnp.int32)
+    msel = jnp.arange(CAPM, dtype=jnp.int32) < n_mv
+    mb2 = jnp.where(msel, b2[midx], NB)
+    mb2s, mord = lax.sort((mb2, jnp.arange(CAPM, dtype=jnp.int32)),
+                          num_keys=1)
+    j = jnp.arange(CAPM, dtype=jnp.int32)
+    rs2 = jnp.concatenate([jnp.ones(1, bool), mb2s[1:] != mb2s[:-1]])
+    grp2 = lax.cummax(jnp.where(rs2, j, 0))
+    rank2 = j - grp2
+    occ_at = occ1[jnp.minimum(mb2s, NB)]
+    placed2 = (rank2 < H2R_SLOTS - occ_at) & (mb2s < NB)
+    n_ov = n_mv - jnp.sum(placed2, dtype=jnp.int32)
+    wide = key_bits > 31
+    ksel = khi if wide else klo
+    aux = klo if wide else jnp.zeros_like(klo)
+    starts_u = sc2[:, 0].astype(jnp.uint32)
+    cnts_u = sc2[:, 1].astype(jnp.uint32)
+    ROWW = 4 * H2R_SLOTS
+    flat = jnp.full((NB * ROWW,), UMAX, jnp.uint32)
+    tgt1 = jnp.where(placed1, b1 * ROWW + rank1 * 4, NB * ROWW)
+    for d, v in enumerate((ksel, aux, starts_u, cnts_u)):
+        flat = flat.at[tgt1 + d].set(v, mode="drop")
+    orig = midx[mord]
+    tgt2 = jnp.where(placed2, mb2s * ROWW + (occ_at + rank2) * 4, NB * ROWW)
+    for d, v in enumerate((ksel, aux, starts_u, cnts_u)):
+        flat = flat.at[tgt2 + d].set(v[orig], mode="drop")
+    return flat.reshape(NB, ROWW), n_ov, n_mv
+
+
 @functools.partial(jax.jit, static_argnames=("bb", "shift"))
 def _bucket_table(keys2, K, *, bb, shift):
     """bucket_start[b] = first distinct-key row whose (key >> shift) >= b.
@@ -500,21 +565,53 @@ def build_device_index(names, codes_list, w: int, k: int,
         keys_s, khi_s, pos_s, neq, jnp.int32(N),
         KPAD=KPAD, NPAD=NPAD, wide=wide)
     del keys_s, khi_s, pos_s, neq      # donated -- already invalid
-    bb = min(26, max(4, int(math.ceil(math.log2(max(K, 2)))) + 2),
-             key_bits)
-    while True:
-        shift = max(0, key_bits - bb)
-        bs, bmax = _bucket_table(keys2, jnp.int32(K), bb=bb, shift=shift)
-        bmax = int(bmax)
-        # the windowed probe's 2-row krows gather covers >= 64 keys past
-        # bucket_start but the guarantee is verified at <= 25 per bucket;
-        # hash-uniform keys make bmax <= 25 overwhelmingly likely at avg
-        # load <= 1.5 -- grow bb if not (cheap: KPAD-sized recompile only)
-        if bmax <= 25 or bb >= min(28, key_bits):
-            break
-        bb += 1
-    probe_win = 2 if (bmax <= 25 and KPAD >= 128) else 0
-    n_probe = max(1, int(math.ceil(math.log2(int(bmax) + 1))))
+    import os
+    h2r = None
+    h2r_nb = 0
+    if K and os.environ.get("MM2TPU_DEVBUILD_H2R", "1") != "0":
+        from .batch import H2R_LOAD
+        CAPM = _round_up(max(KPAD // 16, 1 << 20), 1 << 20)
+        NBH = max(64, -(-K // H2R_LOAD))
+        for _ in range(5):
+            flatr, n_ov_d, n_mv_d = _h2rows_try(keys2, sc2, jnp.int32(K),
+                                                NB=NBH, CAPM=CAPM,
+                                                key_bits=key_bits)
+            n_ov_h, n_mv_h = int(n_ov_d), int(n_mv_d)
+            # residual overflow <= 1e-6 of keys is dropped (those
+            # minimizers never match -- far below the occ filter's
+            # effect); larger overflow grows the table and retries
+            if n_mv_h <= CAPM and n_ov_h <= max(0, K // 1_000_000):
+                h2r, h2r_nb = flatr, NBH
+                break
+            if verbose:
+                print(f"[devbuild] h2rows NB={NBH}: movers={n_mv_h} "
+                      f"overflow={n_ov_h}; growing", file=sys.stderr)
+            del flatr
+            NBH = int(NBH * 1.15) + 1
+        if verbose and h2r is not None:
+            print(f"[devbuild] h2rows NB={h2r_nb} movers={n_mv_h} "
+                  f"dropped={n_ov_h} ({time.time()-t0:.1f}s)",
+                  file=sys.stderr)
+    if h2r is not None:
+        # the 2-gather payload probe replaces keys2/sc2/krows/bucket_start
+        bs = jnp.zeros((2,), jnp.int32)
+        shift, probe_win, n_probe = 0, 0, 1
+    else:
+        bb = min(26, max(4, int(math.ceil(math.log2(max(K, 2)))) + 2),
+                 key_bits)
+        while True:
+            shift = max(0, key_bits - bb)
+            bs, bmax = _bucket_table(keys2, jnp.int32(K), bb=bb, shift=shift)
+            bmax = int(bmax)
+            # the windowed probe's 2-row krows gather covers >= 64 keys past
+            # bucket_start but the guarantee is verified at <= 25 per bucket;
+            # hash-uniform keys make bmax <= 25 overwhelmingly likely at avg
+            # load <= 1.5 -- grow bb if not (cheap: KPAD-sized recompile only)
+            if bmax <= 25 or bb >= min(28, key_bits):
+                break
+            bb += 1
+        probe_win = 2 if (bmax <= 25 and KPAD >= 128) else 0
+        n_probe = max(1, int(math.ceil(math.log2(int(bmax) + 1))))
     # mid_occ = (kth-smallest count) + 1 read off the histogram cumsum
     if K:
         kk = min(int((1.0 - occ_frac) * K), K - 1)
@@ -534,7 +631,13 @@ def build_device_index(names, codes_list, w: int, k: int,
         # -- the -a path's _gather_s expects codes 0..4
         S = jnp.minimum(S, jnp.uint8(4))
     del str_s
-    if probe_win:
+    if h2r is not None:
+        # the payload probe reads h2r only: drop the key/offset planes
+        # (~1.5 GB of HBM at 1 Gb scale, ~4.6 GB at GRCh38 scale)
+        keys2 = jnp.full((1, 2), UMAX, jnp.uint32)
+        sc2 = jnp.zeros((1, 2), jnp.int32)
+        krows = None
+    elif probe_win:
         # the windowed probe reads krows/sc2 only; drop the (K, 2) key
         # plane so it does not hold 770 MB of HBM at 1 Gb scale (the
         # binary-search fallback that needs it is only taken at
@@ -546,9 +649,11 @@ def build_device_index(names, codes_list, w: int, k: int,
                      jnp.asarray(seq_off.astype(np.uint32).view(np.int32)),
                      jnp.asarray(lens.astype(np.int32)),
                      bucket_start=bs, h2=None, pstrand=pstrand, krows=krows,
+                     h2r=h2r,
                      key_shift=shift, n_probe=n_probe, h2_bits=0,
                      h2_slots=8, pos_fmt=2 if fmt2 else 1, h2_nb=0,
-                     s_fmt=s_fmt, probe_win=probe_win)
+                     s_fmt=s_fmt, probe_win=probe_win, h2r_nb=h2r_nb,
+                     key_bits=key_bits)
     jax.block_until_ready(di.pos2)
     if verbose:
         print(f"[devbuild] done {time.time()-t0:.1f}s n_probe={n_probe} "

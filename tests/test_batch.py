@@ -284,3 +284,55 @@ def test_pos_fmt2_packed_s_matches_fmt1(tiny_world):
     for key, o in outs.items():
         for k in base:
             assert np.array_equal(o[k], base[k]), (key, k)
+
+
+def test_h2r_probe_matches_fallback(tiny_world):
+    """The payload-fused 2-choice probe (h2r) returns the same anchors as
+    the sorted-key binary-search probe on identical inputs."""
+    import os
+
+    from minimap2_tpu.parallel.batch import (_compact_minimizers,
+                                             _lookup_anchors)
+    mi, p, codes, lens, truth = tiny_world
+    di_r = DeviceIndex.from_host(mi, 1)[0]
+    assert di_r.h2r is not None and di_r.h2r_nb > 0
+    os.environ["MM2TPU_H2R"] = "0"
+    try:
+        di_b = DeviceIndex.from_host(mi, 1)[0]
+    finally:
+        del os.environ["MM2TPU_H2R"]
+    assert di_b.h2r is None
+    hhi, hlo, z, is_mini = device_sketch(jnp.asarray(codes),
+                                         jnp.asarray(lens), p.k, p.w)
+    front = _compact_minimizers(hhi, hlo, z, is_mini, p.M)
+    out_r = _lookup_anchors(di_r, *front, jnp.asarray(lens), p, True)
+    out_b = _lookup_anchors(di_b, *front, jnp.asarray(lens), p, True)
+    for a, b in zip(out_r, out_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_h2r_probe_wide_keys():
+    """Same parity with k=19 (38-bit keys: the [hi, lo] wide row layout)."""
+    import os
+
+    from minimap2_tpu.parallel.batch import (_compact_minimizers,
+                                             _lookup_anchors)
+    rng = np.random.default_rng(11)
+    ref = "".join(rng.choice(list("ACGT"), 30000))
+    mi = MiniIndex.build(["c1"], [ref], w=10, k=19)
+    p = BatchParams(k=19, L=512, M=128, A=256, chain_window=32)
+    codes, lens, _ = _sim(rng, ref, p, 8, p.L)
+    di_r = DeviceIndex.from_host(mi, 1)[0]
+    assert di_r.h2r is not None and di_r.key_bits == 38
+    os.environ["MM2TPU_H2R"] = "0"
+    try:
+        di_b = DeviceIndex.from_host(mi, 1)[0]
+    finally:
+        del os.environ["MM2TPU_H2R"]
+    hhi, hlo, z, is_mini = device_sketch(jnp.asarray(codes),
+                                         jnp.asarray(lens), p.k, p.w)
+    front = _compact_minimizers(hhi, hlo, z, is_mini, p.M)
+    out_r = _lookup_anchors(di_r, *front, jnp.asarray(lens), p, True)
+    out_b = _lookup_anchors(di_b, *front, jnp.asarray(lens), p, True)
+    for a, b in zip(out_r, out_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -25,15 +25,39 @@ def _host_ref(names, seqs, w, k):
     return mi
 
 
+def _h2r_as_tables(di, K):
+    """Decode the payload-fused 2-choice rows back into sorted
+    (keys2, sc2) tables (the h2r layout's parity check)."""
+    r = np.asarray(di.h2r).reshape(-1, 32, 4)
+    ks, aux, st, cn = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    valid = ks != np.uint32(0xFFFFFFFF)
+    assert int(valid.sum()) == K, (int(valid.sum()), K)
+    if di.key_bits > 31:
+        keys = (ks[valid].astype(np.uint64) << np.uint64(32)) \
+            | aux[valid].astype(np.uint64)
+        hi, lo = ks[valid], aux[valid]
+    else:
+        keys = ks[valid].astype(np.uint64)
+        hi, lo = np.zeros_like(ks[valid]), ks[valid]
+    order = np.argsort(keys, kind="stable")
+    keys2 = np.stack([hi[order], lo[order]], axis=1)
+    sc2 = np.stack([st[valid][order].astype(np.int64),
+                    cn[valid][order].astype(np.int64)], axis=1)
+    return keys2, sc2
+
+
 def _dev_as_host(di, meta):
     """Download the (small, test-sized) device tables and re-express them
     in host MiniIndex coordinates."""
-    if di.krows is not None:
+    if di.h2r is not None:
+        keys2, sc2 = _h2r_as_tables(di, meta.n_distinct)
+    elif di.krows is not None:
         # windowed-probe layout: 64 interleaved (hi, lo) pairs per row
         keys2 = np.asarray(di.krows).reshape(-1, 2)
+        sc2 = np.asarray(di.sc2)
     else:
         keys2 = np.asarray(di.keys2)
-    sc2 = np.asarray(di.sc2)
+        sc2 = np.asarray(di.sc2)
     pos2 = np.asarray(di.pos2)
     K = meta.n_distinct
     keys = (keys2[:K, 0].astype(np.uint64) << np.uint64(32)) \
@@ -70,9 +94,14 @@ def test_devbuild_matches_host(w, k, n_frac):
 
 
 def test_devbuild_bucket_table():
+    import os
     rng = np.random.default_rng(3)
     names, seqs = _rand_genome(rng, [80_000])
-    di, meta = build_device_index(names, seqs, 10, 15, interpret=True)
+    os.environ["MM2TPU_DEVBUILD_H2R"] = "0"    # legacy windowed layout
+    try:
+        di, meta = build_device_index(names, seqs, 10, 15, interpret=True)
+    finally:
+        del os.environ["MM2TPU_DEVBUILD_H2R"]
     keys2 = np.asarray(di.krows).reshape(-1, 2)
     bs = np.asarray(di.bucket_start)
     K = meta.n_distinct
@@ -98,8 +127,11 @@ def test_devbuild_mid_occ_matches_host():
 def _dev_as_host_fmt2(di, meta):
     """fmt2 layout -> host coordinates (u32 positions + strand bitmap +
     4-bit packed S)."""
-    keys2 = np.asarray(di.krows).reshape(-1, 2)
-    sc2 = np.asarray(di.sc2)
+    if di.h2r is not None:
+        keys2, sc2 = _h2r_as_tables(di, meta.n_distinct)
+    else:
+        keys2 = np.asarray(di.krows).reshape(-1, 2)
+        sc2 = np.asarray(di.sc2)
     pos2 = np.asarray(di.pos2)
     ps = np.asarray(di.pstrand)
     K = meta.n_distinct
