@@ -448,6 +448,25 @@ def main(argv=None) -> int:
             oval()
             print("[WARNING]  --lj-min-ratio has been deprecated.",
                   file=sys.stderr)
+        elif abase == "--mask-level":       # alias of -M (main.c:96)
+            mo.mask_level = float(oval())
+        elif abase == "--min-count":        # alias of -n (main.c:94)
+            mo.min_cnt = int(oval())
+        elif abase == "--min-chain-score":  # alias of -m (main.c:95)
+            mo.min_chain_score = int(oval())
+        elif abase == "--min-dp-score":     # alias of -s (main.c:97)
+            mo.min_dp_max = parse_num(oval())
+        elif abase == "--mb-size":          # alias of -K (main.c:26)
+            mo.mini_batch_size = parse_num(oval())
+        elif abase == "--max-intron-len":   # alias of -G (main.c:92)
+            viln = parse_num(oval())
+            mo.max_gap_ref = mo.bw = mo.bw_long = viln
+        elif a == "--all-chain":            # alias of -P (main.c:50)
+            mo.flag |= C.MM_F_ALL_CHAINS | C.MM_F_NO_LJOIN
+        elif a == "--no-self":              # alias of -D (main.c:30)
+            mo.flag |= C.MM_F_NO_DIAG
+        elif abase == "--cost-non-gt-ag":   # alias of -C (main.c:36)
+            mo.noncan = int(oval())
         elif a == "-h" or a == "--help":
             print("Usage: minimap2_tpu [options] target.fa query.fq [...]")
             print("See docs/OPTIONS.md for the full option reference.")
@@ -511,6 +530,11 @@ def main(argv=None) -> int:
         if sum(len(s_) for s_ in seqs) > io.batch_size and queries:
             multipart = (names, seqs)   # multi-part index (-I) split/merge
             mi = None
+            if args.batch:
+                print("[WARNING] genome exceeds -I "
+                      f"({io.batch_size} bp): --batch is ignored and the "
+                      "host multi-part split/merge path runs instead; "
+                      "raise -I to keep the device path", file=sys.stderr)
         else:
             mi = MiniIndex.build(names, seqs, w=io.w, k=io.k,
                                  b=io.bucket_bits, flag=io.flag)

@@ -143,15 +143,14 @@ H2R_LOAD = 44       # target mean keys per bucket (load ~0.69: Poisson
 #                     32-slot rows at load 0.8 overflowed ~3e-3 of keys)
 
 
-def _h2r_top32_np(hi, lo, key_bits: int):
-    """Top 32 bits of the key left-aligned: the monotone interpolation
-    coordinate for choice-1 bucketing (keys are hash64-uniform)."""
-    if key_bits < 32:
-        return (lo << np.uint32(32 - key_bits)).astype(np.uint32)
-    if key_bits == 32:
-        return lo
-    return ((hi << np.uint32(64 - key_bits))
-            | (lo >> np.uint32(key_bits - 32))).astype(np.uint32)
+def _h2r_b1_np(lo, NB):
+    """Choice-1 bucket: Fibonacci hash of the key's low word.  NOT the
+    key value itself -- minimizer keys are window MINIMA of hash64
+    values, so their magnitude distribution is heavily skewed low and
+    interpolation bucketing overloads the low buckets ~5x."""
+    m1 = (lo * np.uint32(2654435769))
+    return ((m1.astype(np.uint64) * np.uint64(NB))
+            >> np.uint64(32)).astype(np.int64)
 
 
 def build_h2rows_np(keys_u64: np.ndarray, starts: np.ndarray,
@@ -172,18 +171,21 @@ def build_h2rows_np(keys_u64: np.ndarray, starts: np.ndarray,
     wide = key_bits > 31
     hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
     lo = keys_u64.astype(np.uint32)
-    a = _h2r_top32_np(hi, lo, key_bits)
     k11 = (((lo >> np.uint32(11)) | (hi << np.uint32(21)))
            * np.uint32(2654435761))
     NB = nb0 if nb0 else max(64, -(-K // H2R_LOAD))
     i = np.arange(K, dtype=np.int64)
     while True:
-        b1 = ((a.astype(np.uint64) * np.uint64(NB))
-              >> np.uint64(32)).astype(np.int64)
-        rs = np.r_[True, b1[1:] != b1[:-1]] if K else np.zeros(0, bool)
+        b1 = _h2r_b1_np(lo, NB)
+        ord1 = np.argsort(b1, kind="stable")
+        b1s = b1[ord1]
+        rs = np.r_[True, b1s[1:] != b1s[:-1]] if K else np.zeros(0, bool)
         grp = np.maximum.accumulate(np.where(rs, i, 0))
-        rank1 = i - grp
-        placed1 = rank1 < H2R_SLOTS
+        rank1s = i - grp
+        placed1s = rank1s < H2R_SLOTS
+        # back to key order
+        rank1 = np.empty(K, np.int64); rank1[ord1] = rank1s
+        placed1 = np.zeros(K, bool); placed1[ord1] = placed1s
         occ1 = np.bincount(b1[placed1], minlength=NB) if K else \
             np.zeros(NB, np.int64)
         b2 = ((k11.astype(np.uint64) * np.uint64(NB))
@@ -363,11 +365,11 @@ class DeviceIndex:
         self.krows = krows                 # (ceil(K/64), 128) u32 or None
         self.probe_win = probe_win         # static: 1 = windowed probe ok
         # payload-fused 2-choice bucket table (the preferred probe): one
-        # 128-lane row per bucket, 32 slots of [key_sel, aux, start, cnt]
+        # 256-lane row per bucket, 64 slots of [key_sel, aux, start, cnt]
         # (key32: key_sel = key, aux = spare; wide: key_sel = hi,
-        # aux = lo).  Choice 1 is MONOTONE in the sorted key order
-        # (interpolation by the key's top 32 bits), choice 2 is the
-        # Fibonacci rehash -- so the whole probe is TWO 512 B row
+        # aux = lo).  Choices 1/2 are two independent Fibonacci hashes
+        # (NOT value interpolation: minimizer keys are window minima, so
+        # their magnitudes skew low) -- the whole probe is TWO 1 KB row
         # gathers, vs four transactions for the windowed krows probe
         # (bucket_start + 2 key rows + sc2).  The row payload replaces
         # keys2/sc2/bucket_start entirely.
@@ -844,18 +846,12 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     if mspan is None:       # per-anchor query span; k unless HPC
         mspan = jnp.full((B, M), p.k, jnp.int32)
     if di.h2r is not None:
-        # payload-fused 2-choice probe: TWO 512 B row gathers total.
-        # Choice 1 = monotone interpolation by the key's top 32 bits,
-        # choice 2 = Fibonacci rehash; each row holds 32 slots of
-        # [key_sel, aux, start, cnt] (see DeviceIndex.h2r).
+        # payload-fused 2-choice probe: TWO 1 KB row gathers total.
+        # Choice 1/2 = two independent Fibonacci hashes; each row holds
+        # 64 slots of [key_sel, aux, start, cnt] (see DeviceIndex.h2r).
         kb = di.key_bits
-        if kb < 32:
-            a = mh_lo << jnp.uint32(32 - kb)
-        elif kb == 32:
-            a = mh_lo
-        else:
-            a = (mh_hi << jnp.uint32(64 - kb)) | (mh_lo >> jnp.uint32(kb - 32))
-        b1 = _mulhi_u32(a, di.h2r_nb).astype(jnp.int32)
+        b1 = _mulhi_u32(mh_lo * jnp.uint32(2654435769),
+                        di.h2r_nb).astype(jnp.int32)
         k11 = (((mh_lo >> jnp.uint32(11)) | (mh_hi << jnp.uint32(21)))
                * jnp.uint32(2654435761))
         b2 = _mulhi_u32(k11, di.h2r_nb).astype(jnp.int32)

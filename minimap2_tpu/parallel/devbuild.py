@@ -343,18 +343,21 @@ def _h2rows_try(keys2, sc2, K, *, NB, CAPM, key_bits):
     KPAD = khi.shape[0]
     i = jnp.arange(KPAD, dtype=jnp.int32)
     pad = i >= K
-    if key_bits < 32:
-        a = klo << jnp.uint32(32 - key_bits)
-    elif key_bits == 32:
-        a = klo
-    else:
-        a = ((khi << jnp.uint32(64 - key_bits))
-             | (klo >> jnp.uint32(key_bits - 32)))
-    b1 = jnp.where(pad, NB, _mulhi_u32(a, NB).astype(jnp.int32))
-    runstart = jnp.concatenate([jnp.ones(1, bool), b1[1:] != b1[:-1]])
+    # choice 1 = Fibonacci hash (NOT value interpolation: minimizer keys
+    # are window MINIMA of hash64 values, so their magnitudes skew low
+    # and interpolation overloads the low buckets ~5x); ranks within
+    # buckets come from one (b1, idx) sort
+    b1 = jnp.where(pad, NB,
+                   _mulhi_u32(klo * jnp.uint32(2654435769),
+                              NB).astype(jnp.int32))
+    b1s, ord1 = lax.sort((b1, i), num_keys=1)
+    runstart = jnp.concatenate([jnp.ones(1, bool), b1s[1:] != b1s[:-1]])
     grp = lax.cummax(jnp.where(runstart, i, 0))
-    rank1 = i - grp
-    placed1 = (rank1 < H2R_SLOTS) & ~pad
+    rank1s = i - grp
+    placed1s = (rank1s < H2R_SLOTS) & (b1s < NB)
+    # back to key order (scatter the sorted-ranks through ord1)
+    rank1 = jnp.zeros((KPAD,), jnp.int32).at[ord1].set(rank1s)
+    placed1 = jnp.zeros((KPAD,), bool).at[ord1].set(placed1s)
     occ1 = jnp.zeros((NB + 1,), jnp.int32).at[b1].add(
         placed1.astype(jnp.int32), mode="drop")
     k11 = (((klo >> jnp.uint32(11)) | (khi << jnp.uint32(21)))
@@ -568,7 +571,14 @@ def build_device_index(names, codes_list, w: int, k: int,
     import os
     h2r = None
     h2r_nb = 0
-    if K and os.environ.get("MM2TPU_DEVBUILD_H2R", "1") != "0":
+    # h2r build peak: keys2+sc2+krows (KPAD*24) + the (b1, idx) rank
+    # sort (KPAD*16) + the table itself (NB*1KB) on top of pos2 + S;
+    # above ~13.5 GB (GRCh38 scale) keep the 4-gather krows probe
+    # instead of OOMing (a chunked h2r build is future work)
+    _h2r_peak = (KPAD * 40 + max(64, -(-K // 44)) * 1024
+                 + int(pos2.nbytes) + int(S.nbytes))
+    if K and os.environ.get("MM2TPU_DEVBUILD_H2R", "1") != "0" \
+            and _h2r_peak < 13.5e9:
         from .batch import H2R_LOAD
         CAPM = _round_up(max(KPAD // 16, 1 << 20), 1 << 20)
         NBH = max(64, -(-K // H2R_LOAD))

@@ -220,10 +220,20 @@ def simulate_reads_device_clr(parts, n_reads: int, seed: int = 97,
     span = ln + sv_del
     ci = rng.integers(0, n_chrom, n_reads)
     st = (rng.random(n_reads) * (per - span)).astype(np.int64)
-    gstart = (ci * per + st).astype(np.int64)
-    flat = jnp.concatenate(parts)
-    raw = np.asarray(_slice_reads(flat, jnp.asarray(gstart.astype(np.int32)),
-                                  int(span.max())))
+    # slice per contig (a flat concat overflows int32 gather indices for
+    # > 2 Gb genomes -- same fix as simulate_reads_device); rows
+    # reassemble in the original read order
+    span_max = int(span.max())
+    raw = np.zeros((n_reads, span_max), np.uint8)
+    for c in range(n_chrom):
+        sel = np.flatnonzero(ci == c)
+        if len(sel):
+            pad_n = 1 << max(0, int(len(sel) - 1).bit_length())
+            stp = np.zeros(pad_n, np.int32)
+            stp[:len(sel)] = st[sel]
+            rows = np.asarray(_slice_reads(parts[c], jnp.asarray(stp),
+                                           span_max))
+            raw[sel] = rows[:len(sel)]
     sub, ins, dele = err * 0.1, err * 0.6, err * 0.3
     names_out, out = [], []
     for i in range(n_reads):

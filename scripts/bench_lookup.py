@@ -68,12 +68,8 @@ def timeit(label, fn, *args):
 # --- probe only (h2r payload path, truncated after start/cnt)
 @jax.jit
 def st_probe_h2r(di, mh_hi, mh_lo, mvalid):
-    kb = di.key_bits
-    if kb < 32:
-        a = mh_lo << jnp.uint32(32 - kb)
-    else:
-        a = (mh_hi << jnp.uint32(64 - kb)) | (mh_lo >> jnp.uint32(kb - 32))
-    b1 = _mulhi_u32(a, di.h2r_nb).astype(jnp.int32)
+    b1 = _mulhi_u32(mh_lo * jnp.uint32(2654435769),
+                    di.h2r_nb).astype(jnp.int32)
     k11 = (((mh_lo >> jnp.uint32(11)) | (mh_hi << jnp.uint32(21)))
            * jnp.uint32(2654435761))
     b2 = _mulhi_u32(k11, di.h2r_nb).astype(jnp.int32)

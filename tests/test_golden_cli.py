@@ -281,3 +281,21 @@ def test_opt_output_file(tmp_path):
     rc = cli_main(["-c", "-o", str(p), f"{DATA}/t-inv.fa", f"{DATA}/q-inv.fa"])
     assert rc == 0
     assert p.read_text() == out
+
+
+def test_opt_long_aliases():
+    """The 9 long-form aliases of short flags (main.c:24-100) parse and
+    act identically to their short forms (r04 verdict weak #7)."""
+    num = ["--min-chain-score", "30", "--mask-level", "0.6",
+           "--min-count", "4", "--min-dp-score", "90",
+           "--mb-size", "400M", "--cost-non-gt-ag", "5"]
+    srt = ["-m", "30", "-M", "0.6", "-n", "4", "-s", "90",
+           "-K", "400M", "-C", "5"]
+    tgt = [f"{DATA}/MT-human.fa", f"{DATA}/MT-orang.fa"]
+    assert run_cli(num + ["-c"] + tgt) == run_cli(srt + ["-c"] + tgt)
+    flg = ["--no-self", "--all-chain", "--max-intron-len", "50k"]
+    sfl = ["-D", "-P", "-G", "50k"]
+    assert run_cli(flg + tgt) == run_cli(sfl + tgt)
+    # the alias output actually RESPONDS to the value (not warn-ignored)
+    assert run_cli(["--min-chain-score", "3000"] + tgt) \
+        != run_cli(["--min-chain-score", "30"] + tgt)
