@@ -137,10 +137,20 @@ def _mulhi_u32(a, nb: int):
             + (cross2 >> jnp.uint32(16)))
 
 
-H2R_SLOTS = 64      # entries per 256-lane row: [key_sel, aux, start, cnt]
+H2R_SLOTS = 64      # entries per row (64 slots either stride)
 H2R_LOAD = 44       # target mean keys per bucket (load ~0.69: Poisson
 #                     tails at capacity 64 make 2-choice overflow ~1e-7;
 #                     32-slot rows at load 0.8 overflowed ~3e-3 of keys)
+# Row strides:
+#   stride 4 (256-lane rows): [key_sel, aux, start, cnt] -- any key
+#     width / position-plane size.
+#   stride 2 (128-lane rows): [key|cnt_hi2<<30, start|cnt_lo4<<28] --
+#     keys <= 30 bits (k <= 15) AND < 2^28 positions: HALVES the probe's
+#     gather traffic (the dominant cost is the materialized (B, M, row)
+#     gather output, not the descriptor count).  cnt is clamped at 63
+#     (63 = ">= 63"), so occ_cap must be <= 62 on this layout -- see
+#     H2R2_OCC_CAP.
+H2R2_OCC_CAP = 62
 
 
 def _h2r_b1_np(lo, NB):
@@ -167,7 +177,9 @@ def build_h2rows_np(keys_u64: np.ndarray, starts: np.ndarray,
     0.81: P(Poisson(26) > 32) per bucket is ~5%, and choice 2 absorbs
     the spill)."""
     K = len(keys_u64)
-    ROWW = 4 * H2R_SLOTS
+    stride2 = key_bits <= 30 and (len(starts) == 0
+                                  or int(starts[-1] + cnts[-1]) < (1 << 28))
+    ROWW = (2 if stride2 else 4) * H2R_SLOTS
     wide = key_bits > 31
     hi = (keys_u64 >> np.uint64(32)).astype(np.uint32)
     lo = keys_u64.astype(np.uint32)
@@ -209,12 +221,23 @@ def build_h2rows_np(keys_u64: np.ndarray, starts: np.ndarray,
         NB = int(NB * 1.15) + 1
     rows = np.full(NB * ROWW, 0xFFFFFFFF, np.uint32)
 
-    def scatter(bkt, slot, sel):
-        base = bkt * ROWW + slot * 4
-        rows[base] = (hi[sel] if wide else lo[sel])
-        rows[base + 1] = (lo[sel] if wide else 0)
-        rows[base + 2] = starts[sel].astype(np.uint32)
-        rows[base + 3] = cnts[sel].astype(np.uint32)
+    if stride2:
+        cnt6 = np.minimum(cnts, 63).astype(np.uint32)
+        w0_all = lo | ((cnt6 >> np.uint32(4)) << np.uint32(30))
+        w1_all = (starts.astype(np.uint32)
+                  | ((cnt6 & np.uint32(15)) << np.uint32(28)))
+
+        def scatter(bkt, slot, sel):
+            base = bkt * ROWW + slot * 2
+            rows[base] = w0_all[sel]
+            rows[base + 1] = w1_all[sel]
+    else:
+        def scatter(bkt, slot, sel):
+            base = bkt * ROWW + slot * 4
+            rows[base] = (hi[sel] if wide else lo[sel])
+            rows[base + 1] = (lo[sel] if wide else 0)
+            rows[base + 2] = starts[sel].astype(np.uint32)
+            rows[base + 3] = cnts[sel].astype(np.uint32)
 
     if K:
         scatter(b1[placed1], rank1[placed1], placed1)
@@ -846,17 +869,52 @@ def _lookup_anchors(di: DeviceIndex, mh_hi, mh_lo, mz, mpos, mvalid, qlen,
     if mspan is None:       # per-anchor query span; k unless HPC
         mspan = jnp.full((B, M), p.k, jnp.int32)
     if di.h2r is not None:
-        # payload-fused 2-choice probe: TWO 1 KB row gathers total.
-        # Choice 1/2 = two independent Fibonacci hashes; each row holds
-        # 64 slots of [key_sel, aux, start, cnt] (see DeviceIndex.h2r).
+        # payload-fused 2-choice probe: TWO row gathers total.  Choice
+        # 1/2 = two independent Fibonacci hashes (see DeviceIndex.h2r).
         kb = di.key_bits
         b1 = _mulhi_u32(mh_lo * jnp.uint32(2654435769),
                         di.h2r_nb).astype(jnp.int32)
         k11 = (((mh_lo >> jnp.uint32(11)) | (mh_hi << jnp.uint32(21)))
                * jnp.uint32(2654435761))
         b2 = _mulhi_u32(k11, di.h2r_nb).astype(jnp.int32)
+        if di.h2r.shape[1] == 2 * H2R_SLOTS:
+            # stride-2 rows: [key|cnt_hi2<<30, start|cnt_lo4<<28] at
+            # even/odd lanes.  No deinterleaving slices: compare the
+            # whole row against the query key under an even-lane mask,
+            # roll the hit plane one lane right to select the odd word.
+            # (The benign corner: an empty slot's masked w0 is
+            # 0x3FFFFFFF, so THAT one key value can false-hit with
+            # cnt = 63 -> occurrence-filtered; harmless.)
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+            evmask = (lane128 & 1) == 0
+            kmask = jnp.uint32(0x3FFFFFFF)
+
+            def probe2(bkt):
+                r = di.h2r[bkt]                           # (B, M, 128)
+                hitu = (((r & kmask) == mh_lo[..., None]) & evmask) \
+                    .astype(jnp.uint32)
+                hod = jnp.roll(hitu, 1, axis=-1)
+                w0 = jnp.max(r * hitu, axis=-1)
+                w1 = jnp.max(r * hod, axis=-1)
+                return w0, w1, jnp.max(hitu, axis=-1)
+
+            w0a, w1a, fa = probe2(b1)
+            w0b, w1b, fb = probe2(b2)
+            w0v = jnp.maximum(w0a, w0b)
+            w1v = jnp.maximum(w1a, w1b)
+            found = ((fa | fb) > 0) & mvalid
+            start = jnp.where(found,
+                              (w1v & jnp.uint32(0x0FFFFFFF))
+                              .astype(jnp.int32), 0)
+            cnt_raw = (((w0v >> jnp.uint32(30)) << jnp.uint32(4))
+                       | (w1v >> jnp.uint32(28))).astype(jnp.int32)
+            occ_eff = min(p.occ_cap, H2R2_OCC_CAP)
+            cnt = jnp.where(found & (cnt_raw <= occ_eff), cnt_raw, 0)
+            flt = found & (cnt_raw > occ_eff)
+            return _expand_anchors(di, start, cnt, flt, mz, mpos, mspan,
+                                   qlen, p, interpret)
         cat = jnp.concatenate([di.h2r[b1], di.h2r[b2]], axis=-1)
-        kpl = cat[..., 0::4]                              # (B, M, 64)
+        kpl = cat[..., 0::4]                              # (B, M, 128)
         spl = cat[..., 2::4].astype(jnp.int32)
         cpl = cat[..., 3::4].astype(jnp.int32)
         if kb < 32:      # the full key fits key_sel; sentinel can't match

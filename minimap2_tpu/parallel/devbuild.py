@@ -327,8 +327,9 @@ def _pack_s4_dev(S):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("NB", "CAPM", "key_bits"))
-def _h2rows_try(keys2, sc2, K, *, NB, CAPM, key_bits):
+@functools.partial(jax.jit, static_argnames=("NB", "CAPM", "key_bits",
+                                             "stride2"))
+def _h2rows_try(keys2, sc2, K, *, NB, CAPM, key_bits, stride2=False):
     """Device build of the payload-fused 2-choice bucket table (the
     2-gather probe; see batch.DeviceIndex.h2r / batch.build_h2rows_np).
 
@@ -379,18 +380,28 @@ def _h2rows_try(keys2, sc2, K, *, NB, CAPM, key_bits):
     placed2 = (rank2 < H2R_SLOTS - occ_at) & (mb2s < NB)
     n_ov = n_mv - jnp.sum(placed2, dtype=jnp.int32)
     wide = key_bits > 31
-    ksel = khi if wide else klo
-    aux = klo if wide else jnp.zeros_like(klo)
     starts_u = sc2[:, 0].astype(jnp.uint32)
     cnts_u = sc2[:, 1].astype(jnp.uint32)
-    ROWW = 4 * H2R_SLOTS
+    if stride2:
+        # [key|cnt_hi2<<30, start|cnt_lo4<<28] (batch.py H2R stride 2)
+        cnt6 = jnp.minimum(cnts_u, jnp.uint32(63))
+        vals = (klo | ((cnt6 >> jnp.uint32(4)) << jnp.uint32(30)),
+                starts_u | ((cnt6 & jnp.uint32(15)) << jnp.uint32(28)))
+        stw = 2
+    else:
+        vals = (khi if wide else klo,
+                klo if wide else jnp.zeros_like(klo),
+                starts_u, cnts_u)
+        stw = 4
+    ROWW = stw * H2R_SLOTS
     flat = jnp.full((NB * ROWW,), UMAX, jnp.uint32)
-    tgt1 = jnp.where(placed1, b1 * ROWW + rank1 * 4, NB * ROWW)
-    for d, v in enumerate((ksel, aux, starts_u, cnts_u)):
+    tgt1 = jnp.where(placed1, b1 * ROWW + rank1 * stw, NB * ROWW)
+    for d, v in enumerate(vals):
         flat = flat.at[tgt1 + d].set(v, mode="drop")
     orig = midx[mord]
-    tgt2 = jnp.where(placed2, mb2s * ROWW + (occ_at + rank2) * 4, NB * ROWW)
-    for d, v in enumerate((ksel, aux, starts_u, cnts_u)):
+    tgt2 = jnp.where(placed2, mb2s * ROWW + (occ_at + rank2) * stw,
+                     NB * ROWW)
+    for d, v in enumerate(vals):
         flat = flat.at[tgt2 + d].set(v[orig], mode="drop")
     return flat.reshape(NB, ROWW), n_ov, n_mv
 
@@ -582,10 +593,12 @@ def build_device_index(names, codes_list, w: int, k: int,
         from .batch import H2R_LOAD
         CAPM = _round_up(max(KPAD // 16, 1 << 20), 1 << 20)
         NBH = max(64, -(-K // H2R_LOAD))
+        stride2 = key_bits <= 30 and N < (1 << 28)
         for _ in range(5):
             flatr, n_ov_d, n_mv_d = _h2rows_try(keys2, sc2, jnp.int32(K),
                                                 NB=NBH, CAPM=CAPM,
-                                                key_bits=key_bits)
+                                                key_bits=key_bits,
+                                                stride2=stride2)
             n_ov_h, n_mv_h = int(n_ov_d), int(n_mv_d)
             # residual overflow <= 1e-6 of keys is dropped (those
             # minimizers never match -- far below the occ filter's

@@ -124,6 +124,23 @@ def simulate_genome_device(total_len: int = 1_000_000_000, n_chrom: int = 8,
     return names, parts
 
 
+def grch38_envelope_parts(total: int = 3_100_000_000, ncon: int = 195):
+    """The GRCh38-shaped bench envelope: 24 big chromosomes carrying 97%
+    of `total` (seed 7) plus ncon-24 small alt/unplaced contigs sharing
+    3% (seed 8).  Shared by the scale smoke, the driver bench and the
+    reference-rate recorder so all three see the identical genome.
+    Returns (names, parts); parts are device (or cpu-backend) arrays."""
+    big = simulate_genome_device(int(total * 0.97), 24, seed=7)
+    small = simulate_genome_device(max(int(total * 0.03),
+                                       (ncon - 24) * 4096),
+                                   ncon - 24, seed=8)
+    names = big[0] + [f"alt{i}" for i in range(len(small[1]))]
+    parts = big[1] + small[1]
+    big[1].clear()      # devbuild consume=True frees contigs as copied;
+    small[1].clear()    # no other list may keep references alive
+    return names, parts
+
+
 @functools.partial(jax.jit, static_argnames=("RL",))
 def _slice_reads(flat, starts, RL):
     idx = starts[:, None] + jnp.arange(RL, dtype=jnp.int32)[None, :]

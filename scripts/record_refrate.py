@@ -34,22 +34,34 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     assert jax.default_backend() == "cpu"
     assert os.path.exists(REF_BIN), f"missing reference binary {REF_BIN}"
-    from minimap2_tpu.utils.simgenome_dev import (simulate_genome_device,
+    from minimap2_tpu.utils.simgenome_dev import (grch38_envelope_parts,
+                                                  simulate_genome_device,
                                                   simulate_reads_device)
     from minimap2_tpu.utils.simgenome import write_fasta
     os.makedirs(CACHE, exist_ok=True)
-    fa = os.path.join(CACHE, f"ref_1g_s{GENOME_SEED}dev2.fa")
+    grch38 = "--grch38" in sys.argv
     t0 = time.time()
-    names, parts = simulate_genome_device(GENOME_LEN, 8, GENOME_SEED)
-    parts = [np.asarray(p) for p in parts]
+    if grch38:
+        # the 3.1 Gb / 195-contig envelope (BASELINE north-star row 1)
+        fa = os.path.join(CACHE, "ref_grch38_env.fa")
+        names, parts = grch38_envelope_parts()
+        parts = [np.asarray(p) for p in parts]
+        read_parts, read_names = parts[:24], names[:24]
+        read_seed, tag = 3, "grch38_env"
+    else:
+        fa = os.path.join(CACHE, f"ref_1g_s{GENOME_SEED}dev2.fa")
+        names, parts = simulate_genome_device(GENOME_LEN, 8, GENOME_SEED)
+        parts = [np.asarray(p) for p in parts]
+        read_parts, read_names = parts, names
+        read_seed, tag = 1, f"1g_s{GENOME_SEED}dev2"
     print(f"[refrate] genome regenerated on cpu in {time.time()-t0:.0f}s",
           file=sys.stderr)
     if not os.path.exists(fa):
         write_fasta(fa, names, parts)
     rnames, rcodes = simulate_reads_device(
-        [np.asarray(p) for p in parts], N_READS, seed=1, names=names)
+        read_parts, N_READS, seed=read_seed, names=read_names)
     ACGT = np.frombuffer(b"ACGT", np.uint8)
-    fq = os.path.join(CACHE, f"reads_1g_s{GENOME_SEED}dev2.fa")
+    fq = os.path.join(CACHE, f"reads_{tag}.fa")
     with open(fq, "w") as f:
         for nm, c in zip(rnames, rcodes):
             f.write(f">{nm}\n{ACGT[c].tobytes().decode()}\n")

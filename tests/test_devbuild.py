@@ -27,8 +27,25 @@ def _host_ref(names, seqs, w, k):
 
 def _h2r_as_tables(di, K):
     """Decode the payload-fused 2-choice rows back into sorted
-    (keys2, sc2) tables (the h2r layout's parity check)."""
-    r = np.asarray(di.h2r).reshape(-1, 32, 4)
+    (keys2, sc2) tables (the h2r layout's parity check).  Handles both
+    strides; note stride-2 clamps counts at 63, so parity genomes must
+    stay below that occurrence depth."""
+    h2r = np.asarray(di.h2r)
+    if h2r.shape[1] == 128:             # stride 2
+        r = h2r.reshape(-1, 64, 2)
+        w0, w1 = r[..., 0], r[..., 1]
+        valid = w0 != np.uint32(0xFFFFFFFF)
+        keys = (w0[valid] & np.uint32(0x3FFFFFFF)).astype(np.uint64)
+        st = (w1[valid] & np.uint32(0x0FFFFFFF)).astype(np.int64)
+        cn = (((w0[valid] >> np.uint32(30)) << np.uint32(4))
+              | (w1[valid] >> np.uint32(28))).astype(np.int64)
+        assert int(valid.sum()) == K, (int(valid.sum()), K)
+        order = np.argsort(keys, kind="stable")
+        keys2 = np.stack([np.zeros(K, np.uint32),
+                          keys[order].astype(np.uint32)], axis=1)
+        sc2 = np.stack([st[order], cn[order]], axis=1)
+        return keys2, sc2
+    r = h2r.reshape(-1, 64, 4)
     ks, aux, st, cn = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
     valid = ks != np.uint32(0xFFFFFFFF)
     assert int(valid.sum()) == K, (int(valid.sum()), K)
