@@ -205,6 +205,49 @@ class SpliceAlignBatcher:
         return out
 
 
+def split_extent(qs, qe, rs, re_, wq, wr, w_thr, qp_max, tp_max):
+    """Anchored decomposition of one chain extent (align.c:803-872 as
+    segment planning): walk the chain waypoints and cut the extent
+    wherever the diagonal jumps by more than w_thr (an SV-scale indel
+    the global band cannot absorb) or a segment outgrows the DP
+    capacity.  Returns (segs, joints): segs = [(qa, ra, qb, rb)]
+    diagonal-consistent spans, joints[i] between seg i and i+1 is
+    (op, len) with op 1=I, 2=D, 0=plain concatenation.
+
+    The jump is attributed to the waypoint BEFORE it; the true joint
+    lies within one waypoint spacing (~chain_len/64), and the next
+    segment's banded DP re-places the local bases, so the residual
+    placement error is bounded by the band."""
+    pts = [(int(qs), int(rs))]
+    for q, r in zip(wq, wr):
+        q, r = int(q), int(r)
+        if q < 0:
+            continue
+        if qs < q < qe and rs < r < re_ and q > pts[-1][0] \
+                and r > pts[-1][1]:
+            pts.append((q, r))
+    pts.append((int(qe), int(re_)))
+    segs, joints = [], []
+    sq, sr = pts[0]
+    for (q1, r1), (q2, r2) in zip(pts, pts[1:]):
+        d = (r2 - r1) - (q2 - q1)
+        if abs(d) > w_thr and q1 > sq and r1 > sr:
+            segs.append((sq, sr, q1, r1))
+            if d > 0:
+                joints.append((2, d))           # deletion joint
+                sq, sr = q1, r1 + d
+            else:
+                joints.append((1, -d))          # insertion joint
+                sq, sr = q1 - d, r1
+        elif (q2 - sq > qp_max - 512 or r2 - sr > tp_max - 512) \
+                and q1 > sq and r1 > sr:
+            segs.append((sq, sr, q1, r1))       # capacity cut, no joint
+            joints.append((0, 0))
+            sq, sr = q1, r1
+    segs.append((sq, sr, int(qe), int(re_)))
+    return segs, joints
+
+
 def build_reg(mi, opt, mat, qlen, qseg, rec, cigar, rep_len, reg_id=0,
               parent=None):
     """Chain record + device cigar -> a Reg the SAM/PAF writers accept.

@@ -1293,6 +1293,32 @@ def topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K: int,
     return [jnp.stack(x) for x in zip(*outs)]
 
 
+def chain_waypoints(qs_a, rs_a, rev, rid, rpos, qpos, av, rec0, WP: int):
+    """Up to WP evenly spaced member anchors of each read's chosen chain
+    (the device side of anchored decomposition, align.c:803-872): the
+    align driver splits the chain extent at waypoint diagonal jumps into
+    band-sized segment DPs instead of one global band.
+
+    rec0 = (qs1, rs1, rev1, rid1) -- the chosen chain's start/strand
+    planes, each (B,).  Returns (wq, wr) int32 (B, WP), -1 = empty.
+    Within a chain both rpos and qpos are non-decreasing along the
+    anchor order, so per-bucket max picks a consistent (q, r) pair."""
+    qs1, rs1, rev1, rid1 = rec0
+    B = qs_a.shape[0]
+    member = av & (qs_a == qs1[:, None]) & (rs_a == rs1[:, None]) \
+        & (rev == rev1[:, None]) & (rid == rid1[:, None])
+    rank = jnp.cumsum(member.astype(jnp.int32), axis=1)
+    cnt = rank[:, -1:]
+    j = jnp.clip((rank - 1) * (WP - 1) // jnp.maximum(cnt - 1, 1),
+                 0, WP - 1)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    jm = jnp.where(member, j, WP - 1)
+    neg = jnp.full((B, WP), -1, jnp.int32)
+    wq = neg.at[rows, jm].max(jnp.where(member, qpos, -1))
+    wr = neg.at[rows, jm].max(jnp.where(member, rpos, -1))
+    return wq, wr
+
+
 def _extend_best(di: DeviceIndex, codes, lens, best, p: BatchParams,
                  interpret: bool):
     """Banded extension of each read's best chain region via the extd2 v2

@@ -26,7 +26,8 @@ from .batch import (BatchParams, DeviceIndex, _chain_scan, _compact_minimizers,
 
 
 def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
-                  interpret: bool = False, with_sec: bool = False):
+                  interpret: bool = False, with_sec: bool = False,
+                  with_wp: bool = False, WP: int = 64):
     """Jitted device program: read batch -> (K, B) chain records.
 
     The index is an argument (not a closure constant): jit constants are
@@ -91,6 +92,7 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
         f, qs_a, rs_a = run_chain(p.bw, p.max_dist_x)
         recs = topk_chains(f, qs_a, rs_a, rev, rid, rpos, qpos, av, K,
                            min_sc, with_sec=with_sec)
+        qs2_a = rs2_a = trig = None
         if p.bw_long > p.bw:
             # long-join rescue (map.c:283-292): reads whose best chain
             # leaves > rmq_rescue_size uncovered query (or spans > 10% of
@@ -113,7 +115,22 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
                     for a, b in zip(recs, recs2)]
         Kout = recs[0].shape[0]
         recs.append(jnp.broadcast_to(rep_len[None, :], (Kout, rep_len.shape[0])))
-        return jnp.stack(recs)     # one (10, K, B) array -> one host fetch
+        stack = jnp.stack(recs)    # one (10, K, B) array -> one host fetch
+        if not with_wp:
+            return stack
+        # waypoints of the chosen chain (anchored decomposition input):
+        # chain membership keys off the (qs_a, rs_a) plane of whichever
+        # chain pass produced the chosen record
+        from .batch import chain_waypoints
+        rec0 = (recs[2][0], recs[4][0], recs[6][0], recs[7][0])
+        wq, wr = chain_waypoints(qs_a, rs_a, rev, rid, rpos, qpos, av,
+                                 rec0, WP)
+        if trig is not None:
+            wq2, wr2 = chain_waypoints(qs2_a, rs2_a, rev, rid, rpos,
+                                       qpos, av, rec0, WP)
+            wq = jnp.where(trig[:, None], wq2, wq)
+            wr = jnp.where(trig[:, None], wr2, wr)
+        return stack, jnp.stack([wq, wr])
 
     def step(packed, nbits, lens):
         return step_di(di_dev, packed, nbits, lens)
@@ -377,6 +394,85 @@ def map_batch_paf(mi, di: DeviceIndex, step, names, seqs, lens_full,
     return n_mapped
 
 
+def _stitch_segments(ab, opt, mat, meta, segs, joints, seg_cigs,
+                     qseg_full):
+    """Audit + join segmented cigars (anchored decomposition tail).
+
+    Terminal segments may be Kadane-trimmed at their OUTER edge only
+    (the reference's extensions stop at the max score, align.c:779-890);
+    any inner-edge trim or an internal z-drop means the segments were
+    mis-joined -> (None, meta) sends the read to the exact host path.
+    Returns (cigar, updated_meta)."""
+    from .. import native
+    if not native.available():
+        out = []
+        for si, cg in enumerate(seg_cigs):
+            out.extend(cg)
+            if si < len(joints):
+                op, ln = joints[si]
+                if op and ln:
+                    out.append((ln << 4) | op)
+        return _merge_cigar(out), dict(meta)
+    off = int(ab.seq_off[meta["rid"]])
+    new_meta = dict(meta)
+    out = []
+    last = len(segs) - 1
+    w_thr_ = max(getattr(ab, "w", 500) // 2, 64)
+    pend = 0        # diagonal seam bases carried into the next joint
+    for si, ((qa, ra, qb, rb), cg) in enumerate(zip(segs, seg_cigs)):
+        qseg_i = qseg_full[qa - meta["qs"]: qb - meta["qs"]]
+        tseg_i = ab.S[off + ra: off + rb]
+        q0, t0, q1, t1, _bsc, tcig = native.cigar_kadane_trim(
+            qseg_i, tseg_i, list(cg), mat, 5, opt.q, opt.e, opt.q2,
+            opt.e2, end_bonus=max(opt.end_bonus, 0))
+        if not tcig:
+            return None, meta
+        if si > 0:
+            # seam repair: a waypoint joint can sit up to one waypoint
+            # spacing before the true breakpoint, so this segment's DP
+            # left-trims bases that belong on the PREVIOUS diagonal; a
+            # diagonal trim (q0 == t0) re-attaches as an M run BEFORE
+            # the joint (the joint length is unchanged -- the seam
+            # shifts, the indel does not).  Non-diagonal or oversized
+            # trims mean mis-joined segments -> exact host path.
+            if q0 != t0 or q0 > 4 * w_thr_:
+                return None, meta
+            if pend + q0:
+                out.append(((pend + q0) << 4) | 0)
+            op_, ln_ = joints[si - 1]
+            if op_ and ln_:
+                out.append((ln_ << 4) | op_)
+        elif q0 or t0:          # outer left edge: extension trim
+            new_meta["qs"] = meta["qs"] + q0
+            new_meta["rs"] = meta["rs"] + t0
+        rq_, rt_ = len(qseg_i) - q1, len(tseg_i) - t1
+        if si < last:
+            if rq_ != rt_ or rq_ > 4 * w_thr_:
+                return None, meta
+            pend = rq_          # carried to the next seam's M run
+        elif rq_ or rt_:        # outer right edge
+            new_meta["qe"] = qa + q1
+            new_meta["re"] = ra + t1
+        if opt.zdrop > 0:
+            mz, _pos = native.zdrop_scan(qseg_i[q0:q1], tseg_i[t0:t1],
+                                         tcig, mat, 5, opt.q, opt.e)
+            if mz > opt.zdrop:
+                return None, meta
+        out.extend(tcig)
+    return _merge_cigar(out), new_meta
+
+
+def _merge_cigar(cig):
+    """Merge adjacent same-op entries (seam hygiene after stitching)."""
+    out = []
+    for c in cig:
+        if out and (out[-1] & 0xF) == (c & 0xF):
+            out[-1] = ((out[-1] >> 4) + (c >> 4)) << 4 | (c & 0xF)
+        else:
+            out.append(c)
+    return out
+
+
 def batch_build_regs(recs, map_fut, ab, mi, opt, mat, sec_mode, splice_mode,
                      out_jobs=None):
     """Chain records + device CIGARs -> per-read Reg lists (the shared
@@ -384,10 +480,15 @@ def batch_build_regs(recs, map_fut, ab, mi, opt, mat, sec_mode, splice_mode,
 
     Returns (by_read: dict id(rec) -> (rec, [Reg...]), fallback list,
     unmapped list, fb_ids set)."""
-    from .align_batch import build_reg, revcomp_codes
+    from .align_batch import build_reg, revcomp_codes, split_extent
+    wp = None
+    if isinstance(map_fut, tuple):
+        map_fut, wp_fut = map_fut
+        wp = np.asarray(wp_fut)            # (2, B, WP) [wq, wr]
     arr = np.asarray(map_fut)
     # (10, K, B): rep_len rides as the last plane
     sc, sub, qs, qe, rs, re_, rev, rid, cnt, rep = arr
+    w_thr = max(getattr(ab, "w", 500) // 2, 64)
     jobs, jmeta = [], []
     fallback, unmapped = [], []
     for b, rec in enumerate(recs):
@@ -439,36 +540,70 @@ def batch_build_regs(recs, map_fut, ab, mi, opt, mat, sec_mode, splice_mode,
                 qs_, rs_ = qs_ - dl, rs_ - dl
                 dr = min(qlen - qe_, r0 - re2)
                 qe_, re2 = qe_ + dr, re2 + dr
-            if not ab.fits(qe_ - qs_, re2 - rs_):
+            # anchored decomposition (align.c:803-872): split the
+            # primary chain extent at waypoint diagonal jumps into
+            # band-sized segment DPs joined by explicit I/D ops, so
+            # SV-scale indels no longer force a per-read host fallback
+            segs, joints = [(qs_, rs_, qe_, re2)], []
+            if k == 0 and wp is not None:
+                segs, joints = split_extent(
+                    qs_, qe_, rs_, re2, wp[0, b], wp[1, b],
+                    w_thr, ab.QP, ab.TP)
+            if not all(ab.fits(qb - qa, rb - ra)
+                       for qa, ra, qb, rb in segs):
                 if k == 0:
                     fallback.append(rec)
                     bad_pri = True
                 continue    # drop oversize secondaries only
-            jobs.append((codes[qs_:qe_], int(rid[k, b]), rs_, re2))
+            for qa, ra, qb, rb in segs:
+                jobs.append((codes[qa:qb], int(rid[k, b]), ra, rb))
             jmeta.append((rec, b, k, is_sec, codes[qs_:qe_],
                           {"sc": int(sc[k, b]), "sub": int(sub[k, b]),
                            "cnt": int(cnt[k, b]),
                            "rev": int(rev[k, b]),
                            "rid": int(rid[k, b]), "qs": qs_,
                            "qe": qe_, "rs": rs_, "re": re2,
-                           "rep": int(rep[0, b])}))
+                           "rep": int(rep[0, b])}, segs, joints))
     cigs = ab.align_jobs(jobs) if jobs else []
     by_read = {}        # id(rec) -> (rec, [Reg, ...])
     fb_ids = set()
     from .. import native
     can_audit = native.available()
-    for (rec, b, k, is_sec, qseg, meta), cres in zip(jmeta, cigs):
+    ci_ = 0
+    for (rec, b, k, is_sec, qseg, meta, segs, joints) in jmeta:
+        n_seg = len(segs)
+        cres_list = cigs[ci_:ci_ + n_seg]
+        ci_ += n_seg
         if splice_mode:
-            cig, ts_, dsc_ = cres
+            cig, ts_, dsc_ = cres_list[0]
             if meta["rev"] and ts_:
                 ts_ ^= 3        # flip to the read strand (align.c:907)
             meta = dict(meta, ts=ts_, dsc=dsc_)
         else:
-            cig = cres
-        if not cig:
+            cig = cres_list[0]
+        if any(not c for c in cres_list):
             if k == 0 and id(rec) not in fb_ids:
                 fallback.append(rec)
                 fb_ids.add(id(rec))
+            continue
+        if n_seg > 1:
+            # anchored decomposition: audit each segment, then join the
+            # cigars with the explicit I/D joint ops between them
+            cig, meta2 = _stitch_segments(ab, opt, mat, meta, segs,
+                                          joints, cres_list, qseg)
+            if cig is None:
+                if k == 0 and id(rec) not in fb_ids:
+                    fallback.append(rec)
+                    fb_ids.add(id(rec))
+                continue
+            qseg = qseg[meta2["qs"] - meta["qs"]:
+                        len(qseg) - (meta["qe"] - meta2["qe"])]
+            meta = meta2
+            r = build_reg(mi, opt, mat, len(rec.seq), qseg, meta, cig,
+                          meta.get("rep", 0), reg_id=k,
+                          parent=k - 1 if is_sec else k)
+            r._rep_len = meta.get("rep", 0)
+            by_read.setdefault(id(rec), (rec, []))[1].append(r)
             continue
         if can_audit:
             tseg = ab.S[ab.seq_off[meta["rid"]] + meta["rs"]:
@@ -590,11 +725,14 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
     # secondaries while sc >= pri_ratio * best; hit.c:255-281)
     sec_mode = opt.best_n > 0 and opt.pri_ratio > 0
     K = 3 if sec_mode else 1
-    step = make_paf_step(di, p, K=K, min_sc=opt.min_chain_score,
-                         interpret=interp, with_sec=sec_mode)
-    mat = gen_ts_mat(5, opt.a, opt.b, opt.transition, opt.sc_ambi)
     from ..config import MM_F_SPLICE
     splice_mode = bool(opt.flag & MM_F_SPLICE)
+    # waypoints feed the anchored decomposition (genomic modes only:
+    # the splice path's N introns are the exts kernel's own business)
+    step = make_paf_step(di, p, K=K, min_sc=opt.min_chain_score,
+                         interpret=interp, with_sec=sec_mode,
+                         with_wp=not splice_mode)
+    mat = gen_ts_mat(5, opt.a, opt.b, opt.transition, opt.sc_ambi)
     if splice_mode:
         skw = {k: v for k, v in (align_kw or {}).items()
                if k in ("QP", "TP", "G", "RB", "sub")}

@@ -161,19 +161,56 @@ def write_genome_fasta_host(path, total_len: int, n_chrom: int, seed: int):
     return names
 
 
+def satellite_regions(P: int, n_chrom: int, seed: int = 7):
+    """The realized (center, length) of each chromosome's 25 centromeric
+    satellite arrays -- recomputed from the same PRNG stream as
+    _sim_chrom_dev (cheap: no genome materialization).  Feeds the
+    deliberately-AMBIGUOUS read slice of the accuracy gate (reads fully
+    inside 171-bp tandem arrays are multi-mappers by construction, so
+    the mapq model must produce a sub-Q60 tail on them)."""
+    root = jax.random.PRNGKey(seed)
+    n_arr, max_rep = 25, 600
+    out = []
+    for c in range(n_chrom):
+        kc = jax.random.fold_in(root, c + 1)
+        ks = jax.random.split(kc, 12)
+        reps = jax.random.randint(ks[8], (n_arr,), 60, max_rep + 1,
+                                  jnp.int32)
+        cen = P // 2 + jax.random.randint(ks[10], (n_arr,),
+                                          -P // 20, P // 20, jnp.int32)
+        cen = jnp.clip(cen, 0, P - max_rep * 171)
+        out.append((np.asarray(cen).astype(np.int64),
+                    np.asarray(reps).astype(np.int64) * 171))
+    return out
+
+
 def simulate_reads_device(parts, n_reads: int, seed: int = 1,
                           min_len: int = 8000, max_len: int = 11000,
                           sub: float = 0.05, dele: float = 0.025,
-                          ins: float = 0.025, names=None):
+                          ins: float = 0.025, names=None,
+                          region: str | None = None,
+                          genome_seed: int = 7):
     """Slice reads from the device genome; only ~n_reads*max_len bytes are
     downloaded.  The error model (sub/del/ins, alternating strand) and the
-    mapeval truth-name format match utils/simgenome.simulate_reads."""
+    mapeval truth-name format match utils/simgenome.simulate_reads.
+
+    region='satellite' samples read starts inside the centromeric
+    tandem arrays (see satellite_regions) instead of uniformly."""
     n_chrom = len(parts)
     per = int(parts[0].shape[0])
     rng = np.random.default_rng(seed)
     ci = rng.integers(0, n_chrom, n_reads)
     ln = rng.integers(min_len, max_len, n_reads)
-    st = (rng.random(n_reads) * (per - ln)).astype(np.int64)
+    if region == "satellite":
+        regs = satellite_regions(per, n_chrom, genome_seed)
+        ai = rng.integers(0, len(regs[0][0]), n_reads)
+        cen = np.array([regs[c][0][a] for c, a in zip(ci, ai)])
+        al = np.array([regs[c][1][a] for c, a in zip(ci, ai)])
+        span = np.maximum(al - ln, 1)
+        st = (cen + rng.random(n_reads) * span).astype(np.int64)
+        st = np.minimum(st, per - ln - 1)
+    else:
+        st = (rng.random(n_reads) * (per - ln)).astype(np.int64)
     # slice per contig (a flat concat overflows int32 gather indices for
     # > 2 Gb genomes); reassemble rows in the original read order
     raw = np.zeros((n_reads, max_len), np.uint8)

@@ -79,3 +79,43 @@ def test_longjoin_no_trigger_on_clean_reads(sv_world):
     a = _best_rec(mi, di, reads, bw_long=0)
     b = _best_rec(mi, di, reads, bw_long=20000)
     assert a == b, (a, b)
+
+
+def test_sv_deletion_device_cigar(sv_world, tmp_path):
+    """Anchored decomposition (r04 missing #3): an SV-deletion read on
+    the --batch -c path must align ON DEVICE (no host fallback) with the
+    ~3 kb deletion as a D run in the cigar."""
+    import re
+    import sys
+
+    from minimap2_tpu.config import IndexOptions, MapOptions, MM_F_CIGAR, \
+        MM_F_OUT_CG, mapopt_update, set_opt
+    mi, di, seqs, st = sv_world
+    io_, mo = IndexOptions(), MapOptions()
+    set_opt(None, io_, mo)
+    mo.flag |= MM_F_CIGAR | MM_F_OUT_CG
+    mo.bw_long = 20000          # long-join rescue: chain spans the SV
+    mapopt_update(mo, mi)
+    fq = tmp_path / "sv.fa"
+    with open(fq, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">r{i}\n{s.decode()}\n")
+    out = io.StringIO()
+    import contextlib
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        engine.run_batched_align_cli(mi, mo, [str(fq)], out,
+                                     batch_reads=8, L=4096)
+    m = re.search(r"host fallbacks: (\d+)", err.getvalue())
+    assert m and int(m.group(1)) == 0, err.getvalue()
+    lines = [l for l in out.getvalue().splitlines() if "\tcg:Z:" in l]
+    assert lines, out.getvalue()
+    cg = lines[0].split("cg:Z:")[1].split("\t")[0]
+    dels = [int(n) for n, op in re.findall(r"(\d+)([MIDNSHP=XB])", cg)
+            if op == "D"]
+    # the 3 kb deletion survives as one D run (placement may shift by
+    # up to a waypoint spacing; size within 10%)
+    assert dels and max(dels) > 2700, cg
+    # query coverage: both flanks aligned
+    qlen, qs, qe = (int(lines[0].split("\t")[i]) for i in (1, 2, 3))
+    assert qe - qs > 3500, lines[0]
