@@ -245,6 +245,23 @@ def build_h2rows_np(keys_u64: np.ndarray, starts: np.ndarray,
     return rows.reshape(NB, ROWW), NB
 
 
+def build_rtab_np(seq_off64: np.ndarray, total_len: int):
+    """4 KiB-block rid table (u16), or None when ineligible (<= 16
+    contigs use unrolled compares; any contig < 4 KiB would put two
+    boundaries in one block and break the single-compare correction)."""
+    n = len(seq_off64)
+    if n <= 16 or n >= 65535:
+        return None
+    gaps = np.diff(np.append(seq_off64.astype(np.int64), total_len))
+    if len(gaps) == 0 or gaps.min() < 4096:
+        return None
+    nb = (total_len + 4095) // 4096
+    rt = np.searchsorted(seq_off64,
+                         np.arange(nb, dtype=np.int64) * 4096,
+                         side="right") - 1
+    return np.maximum(rt, 0).astype(np.uint16)
+
+
 def searchsorted_u64pair(khi, klo, qhi, qlo):
     """Left insertion point of (qhi, qlo) into the lexicographically sorted
     key pair arrays (vectorized binary search; index.c:93 analogue)."""
@@ -337,11 +354,11 @@ class DeviceIndex:
 
     def __init__(self, keys2, sc2, pos2, S, seq_off, seq_len,
                  bucket_start=None, h2=None, pstrand=None, krows=None,
-                 h2r=None,
+                 h2r=None, rtab=None,
                  key_shift: int = 0, n_probe: int = 6, h2_bits: int = 0,
                  h2_slots: int = 8, pos_fmt: int = 0, h2_nb: int = 0,
                  s_fmt: int = 0, probe_win: int = 0, h2r_nb: int = 0,
-                 key_bits: int = 0):
+                 key_bits: int = 0, rtab_on: int = 0):
         # pair-packed planes: one 2-wide gather fetches what used to take
         # two element gathers (gathers are the device bottleneck)
         self.keys2 = keys2          # (K, 2) u32 [hi, lo], sorted, UMAX pad
@@ -399,10 +416,16 @@ class DeviceIndex:
         self.h2r = h2r                     # (NB, 128) u32 or None
         self.h2r_nb = h2r_nb               # static: NB (mulhi reduction)
         self.key_bits = key_bits           # static: 2k (for top32 shift)
+        # 4 KiB-block rid lookup (u16), for > 16 contigs with every
+        # contig >= 4 KiB: rid recovery in 3 gathers instead of a
+        # log2(n_seq)-step binary search (each step is a FULL-SIZE
+        # (B, A) gather even though the table is tiny)
+        self.rtab = rtab                   # (ceil(total/4096),) u16 or None
+        self.rtab_on = rtab_on             # static: 1 = rtab present
 
     _AUX_FIELDS = ("key_shift", "n_probe", "h2_bits", "h2_slots",
                    "pos_fmt", "h2_nb", "s_fmt", "probe_win", "h2r_nb",
-                   "key_bits")
+                   "key_bits", "rtab_on")
 
     def aux_dict(self):
         return {a: getattr(self, a) for a in self._AUX_FIELDS}
@@ -410,7 +433,7 @@ class DeviceIndex:
     def tree_flatten(self):
         return ((self.keys2, self.sc2, self.pos2, self.S,
                  self.seq_off, self.seq_len, self.bucket_start, self.h2,
-                 self.pstrand, self.krows, self.h2r),
+                 self.pstrand, self.krows, self.h2r, self.rtab),
                 tuple(getattr(self, a) for a in self._AUX_FIELDS))
 
     @classmethod
@@ -592,18 +615,21 @@ class DeviceIndex:
                 # (kpad, 2) row-major flat == interleaved [hi0, lo0, ...]
                 krows = jnp.asarray(
                     np.ascontiguousarray(keys2).reshape(-1, 128))
+            rtab = build_rtab_np(seq_off64, total_len) if pos_fmt else None
             shards.append(cls(jnp.asarray(keys2), jnp.asarray(sc2),
                               jnp.asarray(pos2), jnp.asarray(S_out),
                               jnp.asarray(seq_off_out), jnp.asarray(seq_len),
                               jnp.asarray(bstart), h2,
                               None if pstrand is None else jnp.asarray(pstrand),
                               krows, h2r,
+                              None if rtab is None else jnp.asarray(rtab),
                               key_shift=shift,
                               n_probe=n_probe, h2_bits=h2_bits,
                               h2_slots=h2_slots, pos_fmt=pos_fmt,
                               h2_nb=h2_nb, s_fmt=s_fmt,
                               probe_win=probe_win, h2r_nb=h2r_nb,
-                              key_bits=key_bits))
+                              key_bits=key_bits,
+                              rtab_on=0 if rtab is None else 1))
         if cache:
             try:
                 cls._save_cache(cache, shards)
@@ -612,9 +638,11 @@ class DeviceIndex:
         return shards
 
     _CACHE_LEAVES = ("keys2", "sc2", "pos2", "S", "seq_off", "seq_len",
-                     "bucket_start", "h2", "pstrand", "krows", "h2r")
+                     "bucket_start", "h2", "pstrand", "krows", "h2r",
+                     "rtab")
     _CACHE_AUX = ("key_shift", "n_probe", "h2_bits", "h2_slots", "pos_fmt",
-                  "h2_nb", "s_fmt", "probe_win", "h2r_nb", "key_bits")
+                  "h2_nb", "s_fmt", "probe_win", "h2r_nb", "key_bits",
+                  "rtab_on")
 
     @classmethod
     def _save_cache(cls, path, shards):
@@ -1102,10 +1130,27 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, mspan, qlen,
                 in_j = gpos_u >= so_u[j]
                 rid = rid + in_j.astype(jnp.int32)
                 off_sel = jnp.where(in_j, so_u[j], off_sel)
+        elif di.rtab is not None:
+            # GRCh38-class contig counts (195+): a 4 KiB-block rid
+            # lookup table.  rtab[p >> 12] is the rid at the block
+            # start; at most one contig boundary can sit inside a block
+            # (contigs are >= 4 KiB), so ONE compare against the next
+            # contig's offset corrects it.  3 full-size gathers total --
+            # the binary search this replaces cost ceil(log2(n_seq))+1
+            # = 9 of them per batch (~180 ms at GRCh38 scale; gather
+            # cost is per-descriptor even for tiny source tables).
+            so_ext = jnp.concatenate(
+                [so_u, jnp.full((1,), 0xFFFFFFFF, jnp.uint32)])
+            rid0 = di.rtab[jnp.minimum((gpos_u >> jnp.uint32(12))
+                                       .astype(jnp.int32),
+                                       di.rtab.shape[0] - 1)] \
+                .astype(jnp.int32)
+            nxt = so_ext[jnp.minimum(rid0 + 1, n_seq)]
+            rid = rid0 + (gpos_u >= nxt).astype(jnp.int32)
+            off_sel = so_u[jnp.minimum(rid, n_seq - 1)]
         else:
-            # GRCh38-class contig counts (195+): branchless binary search
-            # over the sorted separated offsets, ceil(log2(n_seq)) tiny-
-            # table gathers instead of n_seq-1 unrolled compares
+            # fallback: branchless binary search over the sorted
+            # separated offsets (ceil(log2(n_seq)) tiny-table gathers)
             import math as _math
             lo_ = jnp.zeros(gpos_u.shape, jnp.int32)
             hi_ = jnp.full(gpos_u.shape, n_seq, jnp.int32)
@@ -1141,7 +1186,11 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, mspan, qlen,
     key3 = ((jnp.clip(span, 1, 255).astype(jnp.uint32) << jnp.uint32(20))
             | jnp.clip(qpos_out, 0, None).astype(jnp.uint32))
     B_, A_ = key1.shape
-    if not interpret and B_ % 8 == 0 and (A_ & (A_ - 1)) == 0:
+    if not interpret and B_ % 8 == 0 and (A_ & (A_ - 1)) == 0 \
+            and A_ <= 4096:
+        # (above 4096 lanes the scoped 3-plane bitonic can blow VMEM
+        # under unlucky scheduling; XLA's sort is fine for the rare
+        # big-capacity configs)
         from ..ops.sort_pallas import sort3_rows
         key1, key2, key3 = sort3_rows(key1, key2, key3, G=8)
     else:
@@ -1475,7 +1524,8 @@ def _di_proto(**aux):
     h2 = 0 if (aux.get("h2_nb", 0) or aux.get("h2_bits", 0)) else None
     h2r = 0 if aux.get("h2r_nb", 0) else None
     kr = 0 if aux.get("probe_win", 0) else None
-    return DeviceIndex(0, 0, 0, 0, 0, 0, 0, h2, ps, kr, h2r, **aux)
+    rt = 0 if aux.get("rtab_on", 0) else None
+    return DeviceIndex(0, 0, 0, 0, 0, 0, 0, h2, ps, kr, h2r, rt, **aux)
 
 
 def stack_shards(shards: list[DeviceIndex]) -> DeviceIndex:

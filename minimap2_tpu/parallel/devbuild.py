@@ -243,9 +243,11 @@ def _global_sort(keys_buf, khi_buf, pos_buf, str_buf, n, *, NPAD, wide,
     return keys_buf, khi_buf, pos_buf, str_out, neq, K
 
 
-@functools.partial(jax.jit, static_argnames=("KPAD", "NPAD", "wide"),
+@functools.partial(jax.jit, static_argnames=("KPAD", "NPAD", "wide",
+                                             "with_krows"),
                    donate_argnums=(0, 1, 2, 3))
-def _compact(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, wide):
+def _compact(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, wide,
+             with_krows=True):
     """Distinct-key compaction (the worker_post analogue, index.c:226-278,
     as a rank-scatter).  All NPAD-sized inputs are DONATED: the sorted
     key/pos planes are the single largest live buffers at this point and
@@ -274,10 +276,16 @@ def _compact(keys_s, khi_s, pos_s, neq, n, *, KPAD, NPAD, wide):
     # a 64x pad = 49 GB at 1 Gb scale; see DeviceIndex.krows).  Built by
     # strided lane scatters: every intermediate keeps minor dim >= 64 so
     # layout assignment can never pick a padded tiling for it.
-    r64 = KPAD // 64
-    krows = jnp.zeros((r64, 128), jnp.uint32)
-    krows = krows.at[:, 0::2].set(khi_c.reshape(r64, 64))
-    krows = krows.at[:, 1::2].set(klo_c.reshape(r64, 64))
+    if with_krows:
+        r64 = KPAD // 64
+        krows = jnp.zeros((r64, 128), jnp.uint32)
+        krows = krows.at[:, 0::2].set(khi_c.reshape(r64, 64))
+        krows = krows.at[:, 1::2].set(klo_c.reshape(r64, 64))
+    else:
+        # h2r planned: skip the windowed-probe plane (KPAD*8 bytes of
+        # peak HBM at GRCh38 scale); _krows_build recovers it from
+        # keys2 if the h2r build ends up failing
+        krows = jnp.zeros((1, 128), jnp.uint32)
     sc2 = jnp.stack([starts, counts.astype(jnp.int32)], axis=1)
     # occurrence-count histogram (clipped at 2^16): the exact k-smallest
     # of mm_idx_cal_max_occ (index.c:198-220) reads off its cumsum -- a
@@ -404,6 +412,19 @@ def _h2rows_try(keys2, sc2, K, *, NB, CAPM, key_bits, stride2=False):
     for d, v in enumerate(vals):
         flat = flat.at[tgt2 + d].set(v[orig], mode="drop")
     return flat.reshape(NB, ROWW), n_ov, n_mv
+
+
+@jax.jit
+def _krows_build(keys2):
+    """(KPAD, 2) sorted keys -> the windowed-probe krows plane (64
+    interleaved (hi, lo) pairs per 128-lane row); only needed when the
+    h2r build was skipped or failed."""
+    khi_c, klo_c = keys2[:, 0], keys2[:, 1]
+    r64 = keys2.shape[0] // 64
+    krows = jnp.zeros((r64, 128), jnp.uint32)
+    krows = krows.at[:, 0::2].set(khi_c.reshape(r64, 64))
+    krows = krows.at[:, 1::2].set(klo_c.reshape(r64, 64))
+    return krows
 
 
 @functools.partial(jax.jit, static_argnames=("bb", "shift"))
@@ -575,31 +596,41 @@ def build_device_index(names, codes_list, w: int, k: int,
     KPAD = _round_up(max(K, 1), 1 << 20)
     NPAD = min(NPAD, CAP_TOT)
     key_bits = 2 * k
+    import os
+    # h2r build peak (krows deferred): keys2+sc2 (KPAD*16) + the
+    # (b1, idx) rank sort (~KPAD*16 transient) + the stride-4 table
+    # (NB*1KB; stride-2 halves it) on top of pos2 + S.  Above ~14 GB
+    # keep the 4-gather krows probe instead of OOMing.
+    _nb_est = max(64, -(-K // 44))
+    _stride2_est = (key_bits <= 30 and N < (1 << 28))
+    _h2r_peak = (KPAD * 32 + _nb_est * (512 if _stride2_est else 1024)
+                 + 4 * NPAD + (total_sep // 2 if fmt2 else total_sep))
+    plan_h2r = bool(K and os.environ.get("MM2TPU_DEVBUILD_H2R", "1")
+                    != "0" and _h2r_peak < 14.0e9)
     keys2, krows, sc2, pos2, chist = _compact(
         keys_s, khi_s, pos_s, neq, jnp.int32(N),
-        KPAD=KPAD, NPAD=NPAD, wide=wide)
+        KPAD=KPAD, NPAD=NPAD, wide=wide, with_krows=not plan_h2r)
     del keys_s, khi_s, pos_s, neq      # donated -- already invalid
-    import os
     h2r = None
     h2r_nb = 0
-    # h2r build peak: keys2+sc2+krows (KPAD*24) + the (b1, idx) rank
-    # sort (KPAD*16) + the table itself (NB*1KB) on top of pos2 + S;
-    # above ~13.5 GB (GRCh38 scale) keep the 4-gather krows probe
-    # instead of OOMing (a chunked h2r build is future work)
-    _h2r_peak = (KPAD * 40 + max(64, -(-K // 44)) * 1024
-                 + int(pos2.nbytes) + int(S.nbytes))
-    if K and os.environ.get("MM2TPU_DEVBUILD_H2R", "1") != "0" \
-            and _h2r_peak < 13.5e9:
+    if plan_h2r:
         from .batch import H2R_LOAD
         CAPM = _round_up(max(KPAD // 16, 1 << 20), 1 << 20)
         NBH = max(64, -(-K // H2R_LOAD))
         stride2 = key_bits <= 30 and N < (1 << 28)
         for _ in range(5):
-            flatr, n_ov_d, n_mv_d = _h2rows_try(keys2, sc2, jnp.int32(K),
-                                                NB=NBH, CAPM=CAPM,
-                                                key_bits=key_bits,
-                                                stride2=stride2)
-            n_ov_h, n_mv_h = int(n_ov_d), int(n_mv_d)
+            try:
+                flatr, n_ov_d, n_mv_d = _h2rows_try(keys2, sc2,
+                                                    jnp.int32(K),
+                                                    NB=NBH, CAPM=CAPM,
+                                                    key_bits=key_bits,
+                                                    stride2=stride2)
+                n_ov_h, n_mv_h = int(n_ov_d), int(n_mv_d)
+            except Exception as e:      # runtime OOM at the margin:
+                if verbose:             # fall back to the krows probe
+                    print(f"[devbuild] h2rows build failed ({e}); "
+                          "keeping the krows probe", file=sys.stderr)
+                break
             # residual overflow <= 1e-6 of keys is dropped (those
             # minimizers never match -- far below the occ filter's
             # effect); larger overflow grows the table and retries
@@ -615,6 +646,8 @@ def build_device_index(names, codes_list, w: int, k: int,
             print(f"[devbuild] h2rows NB={h2r_nb} movers={n_mv_h} "
                   f"dropped={n_ov_h} ({time.time()-t0:.1f}s)",
                   file=sys.stderr)
+        if h2r is None:     # failed after retries: recover krows
+            krows = _krows_build(keys2)
     if h2r is not None:
         # the 2-gather payload probe replaces keys2/sc2/krows/bucket_start
         bs = jnp.zeros((2,), jnp.int32)
@@ -668,15 +701,18 @@ def build_device_index(names, codes_list, w: int, k: int,
         keys2 = jnp.full((1, 2), UMAX, jnp.uint32)
     else:
         krows = None
+    from .batch import build_rtab_np
+    rtab = build_rtab_np(np.asarray(seq_off, np.int64), int(total_sep))
     di = DeviceIndex(keys2, sc2, pos2, S,
                      jnp.asarray(seq_off.astype(np.uint32).view(np.int32)),
                      jnp.asarray(lens.astype(np.int32)),
                      bucket_start=bs, h2=None, pstrand=pstrand, krows=krows,
                      h2r=h2r,
+                     rtab=None if rtab is None else jnp.asarray(rtab),
                      key_shift=shift, n_probe=n_probe, h2_bits=0,
                      h2_slots=8, pos_fmt=2 if fmt2 else 1, h2_nb=0,
                      s_fmt=s_fmt, probe_win=probe_win, h2r_nb=h2r_nb,
-                     key_bits=key_bits)
+                     key_bits=key_bits, rtab_on=0 if rtab is None else 1)
     jax.block_until_ready(di.pos2)
     if verbose:
         print(f"[devbuild] done {time.time()-t0:.1f}s n_probe={n_probe} "

@@ -255,3 +255,46 @@ def test_devbuild_parity_2mb_with_ns():
     np.testing.assert_array_equal(keys, mi.keys)
     np.testing.assert_array_equal(starts, mi.starts)
     np.testing.assert_array_equal(y, mi.pos)
+
+
+def test_rtab_rid_recovery_map_batch():
+    """4 KiB-block rid table (> 16 contigs, all >= 4 KiB): rid recovery
+    parity with the binary-search fallback on the mapping path."""
+    import os
+
+    import jax.numpy as jnp
+
+    from minimap2_tpu.parallel.batch import (BatchParams, DeviceIndex,
+                                             map_batch)
+    rng = np.random.default_rng(31)
+    names, seqs = _rand_genome(rng, [6_000] * 24)
+    mi = _host_ref(names, seqs, 10, 15)
+    di = DeviceIndex.from_host(mi, 1)[0]
+    assert di.rtab is not None and di.rtab_on == 1
+    p = BatchParams(L=512, M=128, A=256, QP=512, TP=512, W=256, ext_w=200,
+                    chain_window=32)
+    B, RL = 8, 400
+    codes = np.zeros((B, p.L), np.uint8) + 4
+    lens = np.full(B, RL, np.int32)
+    truth = []
+    for i in range(B):
+        rid = int(rng.integers(0, len(seqs)))
+        st = int(rng.integers(0, len(seqs[rid]) - RL))
+        codes[i, :RL] = seqs[rid][st:st + RL]
+        truth.append((rid, st))
+    out = map_batch(di, jnp.asarray(codes), jnp.asarray(lens), p,
+                    interpret=True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for i, (rid, st) in enumerate(truth):
+        assert out["chain_score"][i] > 50
+        assert out["rid"][i] == rid, (i, out["rid"][i], rid)
+        assert abs(int(out["rs"][i]) - st) < 150
+    # devbuild side: rtab built and consistent with seq_off
+    di2, meta2 = build_device_index(names, seqs, 10, 15, interpret=True)
+    assert di2.rtab is not None
+    rt = np.asarray(di2.rtab)
+    off = meta2.seq_off
+    want = np.maximum(np.searchsorted(
+        off, np.arange(len(rt), dtype=np.int64) * 4096, side="right") - 1,
+        0)
+    np.testing.assert_array_equal(rt, want.astype(np.uint16))
