@@ -322,6 +322,16 @@ class BatchParams:
     bw_long: int = 0
     rmq_rescue_size: int = 1000
     rmq_rescue_ratio: float = 0.1
+    # device RMQ tier (lchain.c:219-368 re-expressed): a SECOND, strided
+    # look-back window in the chain scan -- every rmq_stride-th anchor is
+    # retained for rmq_window more slots, so predecessors up to
+    # rmq_stride*rmq_window anchors back join under the wide band.  The
+    # asm presets / --rmq=yes set this (the reference's O(n log n) AVL
+    # chainer exists for exactly that long-gap regime); the windowed
+    # scan alone tops out at chain_window anchors back.
+    rmq_tier: bool = False
+    rmq_window: int = 64
+    rmq_stride: int = 32
 
 
 # ---------------------------------------------------------------------------
@@ -1216,45 +1226,75 @@ def _chain_scan(rev, rid, rpos, qpos, span, av, p: BatchParams):
     """
     B, A = rpos.shape
     WND = p.chain_window
+    RW, RS = p.rmq_window, p.rmq_stride
+    bw2 = p.bw_long if p.bw_long > p.bw else p.bw
 
     def step(carry, xs):
         # window planes: (B, WND) of predecessor candidates
-        fw, revw, ridw, rposw, qposw, spanw, qsw, rsw, vw, best, i = carry
+        if p.rmq_tier:
+            (fw, revw, ridw, rposw, qposw, spanw, qsw, rsw, vw, w2,
+             best, i) = carry
+        else:
+            fw, revw, ridw, rposw, qposw, spanw, qsw, rsw, vw, best, i \
+                = carry
         rv, ri, rp, qp_, sp_, ok = xs                          # (B,) each
-        dq = qp_[:, None] - qposw                              # i minus j
-        dr = rp[:, None] - rposw
-        same = (revw == rv[:, None]) & (ridw == ri[:, None])
-        bad = (dq <= 0) | (dq > p.max_dist_x)
-        bad |= (dr == 0) | (dq > p.max_dist_y)
-        dd = jnp.abs(dr - dq)
-        bad |= dd > p.bw
-        bad |= ~same
-        dg = jnp.minimum(dr, dq)
-        # q_span of the PREDECESSOR caps the gain (comput_sc lchain.c:126)
-        sc = jnp.minimum(spanw, dg)
-        lin = (jnp.float32(p.chn_pen_gap) * dd.astype(jnp.float32)
-               + jnp.float32(p.chn_pen_skip) * dg.astype(jnp.float32))
-        logp = jnp.where(dd >= 1, mg_log2_dev((dd + 1).astype(jnp.float32)),
-                         jnp.float32(0))
-        pen = jnp.trunc(lin + jnp.float32(0.5) * logp).astype(jnp.int32)
-        need = (dd != 0) | (dg > spanw)
-        sc = jnp.where(need, sc - pen, sc)
-        cand = jnp.where(bad | (fw <= NEG_INF // 2), NEG_INF, fw + sc)
+
+        def cands(qposw_, rposw_, revw_, ridw_, spanw_, fw_, band):
+            dq = qp_[:, None] - qposw_                         # i minus j
+            dr = rp[:, None] - rposw_
+            same = (revw_ == rv[:, None]) & (ridw_ == ri[:, None])
+            bad = (dq <= 0) | (dq > p.max_dist_x)
+            bad |= (dr == 0) | (dq > p.max_dist_y)
+            dd = jnp.abs(dr - dq)
+            bad |= dd > band
+            bad |= ~same
+            dg = jnp.minimum(dr, dq)
+            # q_span of the PREDECESSOR caps the gain (lchain.c:126)
+            sc = jnp.minimum(spanw_, dg)
+            lin = (jnp.float32(p.chn_pen_gap) * dd.astype(jnp.float32)
+                   + jnp.float32(p.chn_pen_skip)
+                   * dg.astype(jnp.float32))
+            logp = jnp.where(dd >= 1,
+                             mg_log2_dev((dd + 1).astype(jnp.float32)),
+                             jnp.float32(0))
+            pen = jnp.trunc(lin + jnp.float32(0.5) * logp) \
+                .astype(jnp.int32)
+            need = (dd != 0) | (dg > spanw_)
+            sc = jnp.where(need, sc - pen, sc)
+            return jnp.where(bad | (fw_ <= NEG_INF // 2), NEG_INF,
+                             fw_ + sc)
+
+        cand = cands(qposw, rposw, revw, ridw, spanw, fw, p.bw)
+        qsw_all, rsw_all, vw_all = qsw, rsw, vw
+        if p.rmq_tier:
+            # long tier: strided history under the wide band (the RMQ
+            # chainer's long-gap joins; see BatchParams.rmq_tier)
+            (fw2, revw2, ridw2, rposw2, qposw2, spanw2, qsw2, rsw2,
+             vw2) = w2
+            cand2 = cands(qposw2, rposw2, revw2, ridw2, spanw2, fw2, bw2)
+            cand = jnp.concatenate([cand, cand2], axis=1)
+            qsw_all = jnp.concatenate([qsw, qsw2], axis=1)
+            rsw_all = jnp.concatenate([rsw, rsw2], axis=1)
+            vw_all = jnp.concatenate([vw, vw2], axis=1)
         bj = jnp.argmax(cand, axis=1)                          # (B,)
         bsc = jnp.take_along_axis(cand, bj[:, None], 1)[:, 0]
         indep = sp_
         use_pred = bsc >= indep
         f_i = jnp.where(use_pred, bsc, indep)
         f_i = jnp.where(ok, f_i, NEG_INF)
-        qs_i = jnp.where(use_pred, jnp.take_along_axis(qsw, bj[:, None], 1)[:, 0],
+        qs_i = jnp.where(use_pred,
+                         jnp.take_along_axis(qsw_all, bj[:, None], 1)[:, 0],
                          qp_ - sp_ + 1)
-        rs_i = jnp.where(use_pred, jnp.take_along_axis(rsw, bj[:, None], 1)[:, 0],
+        rs_i = jnp.where(use_pred,
+                         jnp.take_along_axis(rsw_all, bj[:, None], 1)[:, 0],
                          rp - sp_ + 1)
         # peak score along the chain (lchain.c v[] semantics)
-        v_pred = jnp.take_along_axis(vw, bj[:, None], 1)[:, 0]
+        v_pred = jnp.take_along_axis(vw_all, bj[:, None], 1)[:, 0]
         v_i = jnp.where(use_pred & (v_pred > f_i), v_pred, f_i)
-        # global predecessor index (window slot w holds anchor i - WND + w)
-        pred_i = jnp.where(use_pred & ok, i - WND + bj, -1)
+        # global predecessor index (window slot w holds anchor i - WND + w;
+        # long-tier slots report -2: sufficient for "has a predecessor")
+        pred_i = jnp.where(use_pred & ok,
+                           jnp.where(bj < WND, i - WND + bj, -2), -1)
         qs_i = jnp.where(ok, qs_i, 0)
         rs_i = jnp.where(ok, rs_i, 0)
 
@@ -1264,6 +1304,17 @@ def _chain_scan(rev, rid, rpos, qpos, span, av, p: BatchParams):
         carry2 = (push(fw, f_i), push(revw, rv), push(ridw, ri),
                   push(rposw, rp), push(qposw, qp_), push(spanw, sp_),
                   push(qsw, qs_i), push(rsw, rs_i), push(vw, v_i))
+        if p.rmq_tier:
+            # every RS-th anchor also enters the strided long window
+            take2 = (i % RS) == 0
+
+            def push2(wnd, val):
+                return jnp.where(take2, push(wnd, val), wnd)
+            w2n = (push2(fw2, f_i), push2(revw2, rv), push2(ridw2, ri),
+                   push2(rposw2, rp), push2(qposw2, qp_),
+                   push2(spanw2, sp_), push2(qsw2, qs_i),
+                   push2(rsw2, rs_i), push2(vw2, v_i))
+            carry2 = carry2 + (w2n,)
         # track the best-ending chain per read
         b_sc, b_qs, b_qe, b_rs, b_re, b_rev, b_rid = best
         better = f_i > b_sc
@@ -1279,15 +1330,21 @@ def _chain_scan(rev, rid, rpos, qpos, span, av, p: BatchParams):
 
     z32 = jnp.zeros((B, WND), jnp.int32)
     init = (jnp.full((B, WND), NEG_INF, jnp.int32), z32, z32, z32, z32,
-            z32, z32, z32, jnp.full((B, WND), NEG_INF, jnp.int32),
-            (jnp.full((B,), NEG_INF, jnp.int32), jnp.zeros((B,), jnp.int32),
-             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-             jnp.zeros((B,), jnp.int32)),
-            jnp.int32(0))
+            z32, z32, z32, jnp.full((B, WND), NEG_INF, jnp.int32))
+    if p.rmq_tier:
+        z2 = jnp.zeros((B, RW), jnp.int32)
+        init = init + ((jnp.full((B, RW), NEG_INF, jnp.int32), z2, z2,
+                        z2, z2, z2, z2, z2,
+                        jnp.full((B, RW), NEG_INF, jnp.int32)),)
+    init = init + (
+        (jnp.full((B,), NEG_INF, jnp.int32), jnp.zeros((B,), jnp.int32),
+         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+         jnp.zeros((B,), jnp.int32)),
+        jnp.int32(0))
     xs = (rev.T, rid.T, rpos.T, qpos.T, span.T, av.T)
     carry, (f, pred, vv, qs_a, rs_a) = lax.scan(step, init, xs)
-    best = carry[9]
+    best = carry[10] if p.rmq_tier else carry[9]
     return best, (f.T, pred.T, vv.T, qs_a.T, rs_a.T)
 
 

@@ -599,14 +599,16 @@ def build_device_index(names, codes_list, w: int, k: int,
     import os
     # h2r build peak (krows deferred): keys2+sc2 (KPAD*16) + the
     # (b1, idx) rank sort (~KPAD*16 transient) + the stride-4 table
-    # (NB*1KB; stride-2 halves it) on top of pos2 + S.  Above ~14 GB
+    # (NB*1KB; stride-2 halves it) on top of pos2 + S.  Above ~12 GB
+    # (GRCh38 scale: the failed-attempt state could not even rebuild the
+    # krows fallback -- a chunked h2r rank build is the real fix)
     # keep the 4-gather krows probe instead of OOMing.
     _nb_est = max(64, -(-K // 44))
     _stride2_est = (key_bits <= 30 and N < (1 << 28))
     _h2r_peak = (KPAD * 32 + _nb_est * (512 if _stride2_est else 1024)
                  + 4 * NPAD + (total_sep // 2 if fmt2 else total_sep))
     plan_h2r = bool(K and os.environ.get("MM2TPU_DEVBUILD_H2R", "1")
-                    != "0" and _h2r_peak < 14.0e9)
+                    != "0" and _h2r_peak < 12.0e9)
     keys2, krows, sc2, pos2, chist = _compact(
         keys_s, khi_s, pos_s, neq, jnp.int32(N),
         KPAD=KPAD, NPAD=NPAD, wide=wide, with_krows=not plan_h2r)

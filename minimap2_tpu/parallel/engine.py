@@ -74,7 +74,8 @@ def make_paf_step(di: DeviceIndex, p: BatchParams, K: int, min_sc: int,
         B = codes.shape[0]
 
         def run_chain(bw, max_dist):
-            if not interpret and B % 128 == 0 and p.A % 256 == 0:
+            if not interpret and B % 128 == 0 and p.A % 256 == 0 \
+                    and not p.rmq_tier:
                 from ..ops.chain_pallas import chain_batch
                 f, pred, qs_a, rs_a = chain_batch(
                     rev, rid, rpos, qpos, span, av, BL=128,
@@ -247,13 +248,16 @@ def run_batched_cli(mi, opt, queries, out, batch_reads: int = 512,
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
-    from ..config import MM_I_HPC
+    from ..config import MM_F_RMQ, MM_I_HPC
     hpc = bool(mi.flag & MM_I_HPC)
     p = BatchParams(L=L, M=max(256, L // 4), A=4096,
                     occ_cap=_occ_cap(opt), chain_window=64,
                     k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
                     max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc,
-                    bw_long=_bw_long(opt))
+                    bw_long=_bw_long(opt) or (opt.bw_long
+                                              if opt.flag & MM_F_RMQ
+                                              else 0),
+                    rmq_tier=bool(opt.flag & MM_F_RMQ))
     di = DeviceIndex.from_host(mi, 1)[0]
     interp = jax.default_backend() != "tpu"
     step = make_paf_step(di, p, K=opt.best_n if opt.best_n < 8 else 5,
@@ -713,11 +717,14 @@ def run_batched_align_cli(mi, opt, queries, out, batch_reads: int = 512,
     except Exception:
         pass
     hpc = bool(mi.flag & MM_I_HPC)
+    from ..config import MM_F_RMQ as _RMQ
     p = BatchParams(L=L, M=max(256, L // 4), A=4096,
                     occ_cap=_occ_cap(opt), chain_window=64,
                     k=mi.k, w=mi.w, max_dist_x=opt.max_gap,
                     max_dist_y=opt.max_gap, bw=opt.bw, hpc=hpc,
-                    bw_long=_bw_long(opt))
+                    bw_long=_bw_long(opt) or (opt.bw_long
+                                              if opt.flag & _RMQ else 0),
+                    rmq_tier=bool(opt.flag & _RMQ))
     di = DeviceIndex.from_host(mi, 1)[0]
     interp = jax.default_backend() != "tpu"
     # with secondaries on, each selection round yields [primary,

@@ -336,3 +336,45 @@ def test_h2r_probe_wide_keys():
     out_b = _lookup_anchors(di_b, *front, jnp.asarray(lens), p, True)
     for a, b in zip(out_r, out_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rmq_tier_long_lookback():
+    """Device RMQ tier (lchain.c:219-368's long-gap regime): a chain
+    predecessor sitting > chain_window anchors back -- junk anchors
+    interleave in rpos order -- is unreachable for the windowed scan but
+    joins through the strided long window under the wide band."""
+    import dataclasses
+
+    from minimap2_tpu.parallel.batch import _chain_scan
+    A = 512
+    anchors = []            # (rpos, qpos, span)
+    for j in range(100):    # left chain on the main diagonal
+        anchors.append((100 + 30 * j, 100 + 30 * j))
+    for j in range(150):    # junk between the chains (shared low qpos)
+        anchors.append((3100 + 33 * j, 40 + (j % 3)))
+    for j in range(100):    # right chain after a 5 kb deletion
+        anchors.append((8100 + 30 * j, 3100 + 30 * j))
+    anchors.sort()
+    n = len(anchors)
+    rpos = np.zeros((1, A), np.int32)
+    qpos = np.zeros((1, A), np.int32)
+    rpos[0, :n] = [a[0] for a in anchors]
+    qpos[0, :n] = [a[1] for a in anchors]
+    rev = np.zeros((1, A), np.int32)
+    rid = np.zeros((1, A), np.int32)
+    span = np.full((1, A), 15, np.int32)
+    av = np.zeros((1, A), bool)
+    av[0, :n] = True
+    args = tuple(jnp.asarray(x) for x in (rev, rid, rpos, qpos, span, av))
+    p = BatchParams(chain_window=64, bw=500, bw_long=50000,
+                    max_dist_x=100000, max_dist_y=100000)
+    best_no, _ = _chain_scan(*args, p)
+    p2 = dataclasses.replace(p, rmq_tier=True)
+    best_yes, _ = _chain_scan(*args, p2)
+    sc_no, sc_yes = int(best_no[0][0]), int(best_yes[0][0])
+    # windowed-only: the two chains stay separate (~100 anchors each)
+    assert sc_no < 1700, sc_no
+    # RMQ tier: joined across the gap (gap penalty ~600 paid once)
+    assert sc_yes > 2000, sc_yes
+    # and the joined chain spans both sides
+    assert int(best_yes[1][0]) <= 110 and int(best_yes[2][0]) > 6000
