@@ -28,6 +28,17 @@ from .engine import _mapq
 _COMP4 = np.array([3, 2, 1, 0, 4], np.uint8)
 
 
+@jax.jit
+def _ops_extent(ops):
+    """1 + the last nonzero column of the sparse traceback ops plane --
+    computed ON DEVICE so only the populated prefix crosses the slow
+    download link (the full (sub, R) buffer is ~6 MB per sub-batch and
+    made the -c path fetch-bound)."""
+    R = ops.shape[1]
+    col = jnp.arange(R, dtype=jnp.int32)[None, :]
+    return jnp.max(jnp.where(ops != 0, col, 0)) + 1
+
+
 @functools.partial(jax.jit, static_argnames=(
     "G", "W", "RB", "R", "QP", "TP", "q", "e", "q2", "e2", "w",
     "sc_mch", "sc_mis", "interpret"))
@@ -88,11 +99,18 @@ class AlignBatcher:
             sc_mis=-abs(self.opt.b), interpret=self.interpret)
 
     def collect(self, fut, n):
-        """Fetch a dispatched sub-batch and decode its n cigars."""
+        """Fetch a dispatched sub-batch and decode its n cigars.
+
+        fin comes back first (tiny) so the ops plane can be sliced to
+        the actual max op count before crossing the host link -- the
+        axon download path runs at ~1-10 MB/s, and the full (sub, R)
+        ops buffer was ~6 MB per sub-batch (the -c path's wall-time
+        was fetch-bound, not DP-bound)."""
         from ..ops.traceback_pallas import decode_ops
         ops, fin = fut
-        ops = np.asarray(ops)
         fin = np.asarray(fin)
+        mx = int(_ops_extent(ops))
+        ops = np.asarray(ops[:, :max(mx, 1)])
         return [decode_ops(ops[i], int(fin[i, 0]), int(fin[i, 1]))
                 for i in range(n)]
 
@@ -185,8 +203,10 @@ class SpliceAlignBatcher:
             rounds = []
             for flag_for in (True, False):
                 ops, fin, ez = self._dispatch(chunk, flag_for)
-                rounds.append((np.asarray(ops), np.asarray(fin),
-                               np.asarray(ez)))
+                fin_h = np.asarray(fin)
+                mx = int(_ops_extent(ops))
+                rounds.append((np.asarray(ops[:, :max(mx, 1)]),
+                               fin_h, np.asarray(ez)))
             for i in range(len(chunk)):
                 sc_f = int(rounds[0][2][i, EZ_SCORE])
                 sc_r = int(rounds[1][2][i, EZ_SCORE])

@@ -819,7 +819,14 @@ def _compact_minimizers(hhi, hlo, strand, is_mini, M: int,
             key = jnp.pad(key, pad, constant_values=np.uint32(0x7FFFFFFF))
             hhi = jnp.pad(hhi, pad)
             hlo = jnp.pad(hlo, pad)
-        if A > 4096:
+        if A > 16384:
+            # sort3_chunked's second-level sort runs over (A/2048)*1024
+            # lanes, which blows scoped VMEM past A = 16384 (the
+            # L = 32768 off-distribution config); XLA's sort is exact
+            # and these capacities are off the hot path
+            skey, mh_hi, mh_lo = lax.sort((key, hhi, hlo), dimension=1,
+                                          num_keys=1)
+        elif A > 4096:
             # full-width 3-plane bitonic overflows scoped VMEM; the
             # chunked variant is exact while any 2048-lane window holds
             # <= 1024 minimizers (density ~2/(w+1) makes >1024 require

@@ -414,6 +414,167 @@ def _h2rows_try(keys2, sc2, K, *, NB, CAPM, key_bits, stride2=False):
     return flat.reshape(NB, ROWW), n_ov, n_mv
 
 
+@functools.partial(jax.jit, static_argnames=("NB", "ROWW"))
+def _h2r_alloc(*, NB, ROWW):
+    return jnp.full((NB * ROWW,), UMAX, jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "CK", "CKM", "key_bits",
+                                             "stride2"),
+                   donate_argnums=(2, 3, 4))
+def _h2r_chunk(keys2, sc2, flat, occ, mvbuf, mv_n, off, K, *, NB, CK, CKM,
+               key_bits, stride2):
+    """One CK-key slice of the chunked h2r pass-1: rank the slice's keys
+    within their choice-1 buckets given the running occupancy `occ`,
+    scatter the placed entries into `flat`, and append overflow keys'
+    global indices to `mvbuf`.  Peak memory is O(CK), so GRCh38-scale
+    builds fit where the monolithic rank sort OOMed."""
+    from .batch import H2R_SLOTS, _mulhi_u32
+    kh = lax.dynamic_slice(keys2, (off, 0), (CK, 2))
+    khi, klo = kh[:, 0], kh[:, 1]
+    sc = lax.dynamic_slice(sc2, (off, 0), (CK, 2))
+    i_local = jnp.arange(CK, dtype=jnp.int32)
+    pad = (off + i_local) >= K
+    b1 = jnp.where(pad, NB,
+                   _mulhi_u32(klo * jnp.uint32(2654435769),
+                              NB).astype(jnp.int32))
+    b1s, ord1 = lax.sort((b1, i_local), num_keys=1)
+    runstart = jnp.concatenate([jnp.ones(1, bool), b1s[1:] != b1s[:-1]])
+    grp = lax.cummax(jnp.where(runstart, i_local, 0))
+    rank_c = jnp.zeros((CK,), jnp.int32).at[ord1].set(i_local - grp)
+    prior = occ[jnp.minimum(b1, NB)]
+    rank = prior + rank_c
+    placed = (rank < H2R_SLOTS) & ~pad
+    occ = occ.at[b1].add((~pad).astype(jnp.int32), mode="drop")
+    starts_u = sc[:, 0].astype(jnp.uint32)
+    cnts_u = sc[:, 1].astype(jnp.uint32)
+    if stride2:
+        cnt6 = jnp.minimum(cnts_u, jnp.uint32(63))
+        vals = (klo | ((cnt6 >> jnp.uint32(4)) << jnp.uint32(30)),
+                starts_u | ((cnt6 & jnp.uint32(15)) << jnp.uint32(28)))
+        stw = 2
+    else:
+        vals = (khi if key_bits > 31 else klo,
+                klo if key_bits > 31 else jnp.zeros_like(klo),
+                starts_u, cnts_u)
+        stw = 4
+    ROWW = stw * H2R_SLOTS
+    tgt = jnp.where(placed, b1 * ROWW + rank * stw, NB * ROWW)
+    for d, v in enumerate(vals):
+        flat = flat.at[tgt + d].set(v, mode="drop")
+    mover = ~placed & ~pad
+    n_mv_c = jnp.sum(mover, dtype=jnp.int32)
+    midx_c = jnp.nonzero(mover, size=CKM,
+                         fill_value=CK - 1)[0].astype(jnp.int32)
+    gmov = jnp.where(jnp.arange(CKM, dtype=jnp.int32) < n_mv_c,
+                     off + midx_c, -1)
+    mvbuf = lax.dynamic_update_slice(mvbuf, gmov, (mv_n,))
+    return flat, occ, mvbuf, n_mv_c
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "key_bits", "stride2"),
+                   donate_argnums=(2,))
+def _h2r_pass2(keys2, sc2, flat, occ, mvbuf, mv_n, K, *, NB, key_bits,
+               stride2):
+    """Chunked build pass 2: place the collected overflow keys via
+    choice 2 into the remaining slot capacity; returns (flat, n_ov)."""
+    from .batch import H2R_SLOTS, _mulhi_u32
+    CAPM = mvbuf.shape[0]
+    j = jnp.arange(CAPM, dtype=jnp.int32)
+    ok = (j < mv_n) & (mvbuf >= 0)
+    gi = jnp.clip(mvbuf, 0, keys2.shape[0] - 1)
+    khi = keys2[gi, 0]
+    klo = keys2[gi, 1]
+    k11 = (((klo >> jnp.uint32(11)) | (khi << jnp.uint32(21)))
+           * jnp.uint32(2654435761))
+    b2 = jnp.where(ok, _mulhi_u32(k11, NB).astype(jnp.int32), NB)
+    b2s, mord = lax.sort((b2, j), num_keys=1)
+    rs2 = jnp.concatenate([jnp.ones(1, bool), b2s[1:] != b2s[:-1]])
+    grp2 = lax.cummax(jnp.where(rs2, j, 0))
+    rank2 = j - grp2
+    occ_slots = jnp.minimum(occ[jnp.minimum(b2s, NB)],
+                            jnp.int32(H2R_SLOTS))
+    placed2 = (rank2 < H2R_SLOTS - occ_slots) & (b2s < NB)
+    n_ov = jnp.sum(ok, dtype=jnp.int32)         - jnp.sum(placed2, dtype=jnp.int32)
+    orig = gi[mord]
+    starts_u = sc2[orig, 0].astype(jnp.uint32)
+    cnts_u = sc2[orig, 1].astype(jnp.uint32)
+    klo_o = keys2[orig, 1]
+    khi_o = keys2[orig, 0]
+    if stride2:
+        cnt6 = jnp.minimum(cnts_u, jnp.uint32(63))
+        vals = (klo_o | ((cnt6 >> jnp.uint32(4)) << jnp.uint32(30)),
+                starts_u | ((cnt6 & jnp.uint32(15)) << jnp.uint32(28)))
+        stw = 2
+    else:
+        vals = (khi_o if key_bits > 31 else klo_o,
+                klo_o if key_bits > 31 else jnp.zeros_like(klo_o),
+                starts_u, cnts_u)
+        stw = 4
+    ROWW = stw * H2R_SLOTS
+    tgt2 = jnp.where(placed2, b2s * ROWW + (occ_slots + rank2) * stw,
+                     NB * ROWW)
+    for d, v in enumerate(vals):
+        flat = flat.at[tgt2 + d].set(v, mode="drop")
+    return flat, n_ov
+
+
+def _build_h2r_chunked(keys2, sc2, K, KPAD, key_bits, stride2, NB0,
+                       verbose, t0):
+    """GRCh38-scale h2r build: O(CK) peak instead of the monolithic
+    KPAD-scale rank sort.  Returns (rows, NB) or (None, 0)."""
+    import sys
+    import time
+    from .batch import H2R_SLOTS
+    stw = 2 if stride2 else 4
+    ROWW = stw * H2R_SLOTS
+    CK = 16 << 20
+    while KPAD % CK:
+        CK >>= 1
+    CKM = max(CK // 4, 1 << 18)
+    CAPM = _round_up(max(KPAD // 16, 1 << 20), 1 << 20)
+    NB = NB0
+    for _try in range(3):
+        flat = _h2r_alloc(NB=NB, ROWW=ROWW)
+        occ = jnp.zeros((NB + 1,), jnp.int32)
+        mvbuf = jnp.full((CAPM,), -1, jnp.int32)
+        mv_n = 0
+        ok = True
+        try:
+            for off in range(0, KPAD, CK):
+                flat, occ, mvbuf, nmv = _h2r_chunk(
+                    keys2, sc2, flat, occ, mvbuf, jnp.int32(mv_n),
+                    jnp.int32(off), jnp.int32(K), NB=NB, CK=CK, CKM=CKM,
+                    key_bits=key_bits, stride2=stride2)
+                mv_n += int(nmv)
+                if mv_n > CAPM - CKM:
+                    ok = False
+                    break
+            if ok:
+                flat, n_ov_d = _h2r_pass2(keys2, sc2, flat, occ, mvbuf,
+                                          jnp.int32(mv_n), jnp.int32(K),
+                                          NB=NB, key_bits=key_bits,
+                                          stride2=stride2)
+                n_ov = int(n_ov_d)
+                if n_ov <= max(0, K // 1_000_000):
+                    if verbose:
+                        print(f"[devbuild] h2rows(chunked) NB={NB} "
+                              f"movers={mv_n} dropped={n_ov} "
+                              f"({time.time()-t0:.1f}s)", file=sys.stderr)
+                    return flat.reshape(NB, ROWW), NB
+                if verbose:
+                    print(f"[devbuild] h2rows(chunked) NB={NB}: "
+                          f"overflow={n_ov}; growing", file=sys.stderr)
+        except Exception as e:
+            if verbose:
+                print(f"[devbuild] h2rows(chunked) failed ({e})",
+                      file=sys.stderr)
+            return None, 0
+        del flat, occ, mvbuf
+        NB = int(NB * 1.12) + 1
+    return None, 0
+
+
 @jax.jit
 def _krows_build(keys2):
     """(KPAD, 2) sorted keys -> the windowed-probe krows plane (64
@@ -605,17 +766,37 @@ def build_device_index(names, codes_list, w: int, k: int,
     # keep the 4-gather krows probe instead of OOMing.
     _nb_est = max(64, -(-K // 44))
     _stride2_est = (key_bits <= 30 and N < (1 << 28))
-    _h2r_peak = (KPAD * 32 + _nb_est * (512 if _stride2_est else 1024)
-                 + 4 * NPAD + (total_sep // 2 if fmt2 else total_sep))
-    plan_h2r = bool(K and os.environ.get("MM2TPU_DEVBUILD_H2R", "1")
-                    != "0" and _h2r_peak < 12.0e9)
+    _base_mem = 4 * NPAD + (total_sep // 2 if fmt2 else total_sep)
+    _tbl_mem = _nb_est * (512 if _stride2_est else 1024)
+    _mono_peak = KPAD * 32 + _tbl_mem + _base_mem
+    # chunked pass-1 replaces the KPAD-scale rank sort with O(CK) temps
+    _chunk_peak = (KPAD * 16 + _tbl_mem + _base_mem + (KPAD // 16) * 4
+                   + (16 << 20) * 48)
+    _env = os.environ.get("MM2TPU_DEVBUILD_H2R", "1")
+    _env_on = _env != "0"
+    plan_mono = bool(K and _env_on and _env != "chunk"
+                     and _mono_peak < 12.0e9)
+    plan_chunk = bool(K and _env_on and not plan_mono
+                      and _chunk_peak < 14.0e9)
+    plan_h2r = plan_mono or plan_chunk
     keys2, krows, sc2, pos2, chist = _compact(
         keys_s, khi_s, pos_s, neq, jnp.int32(N),
         KPAD=KPAD, NPAD=NPAD, wide=wide, with_krows=not plan_h2r)
     del keys_s, khi_s, pos_s, neq      # donated -- already invalid
     h2r = None
     h2r_nb = 0
-    if plan_h2r:
+    if plan_chunk:
+        from .batch import H2R_LOAD
+        NBH = max(64, -(-K // H2R_LOAD))
+        stride2 = key_bits <= 30 and N < (1 << 28)
+        h2r_arr, nb_out = _build_h2r_chunked(keys2, sc2, K, KPAD,
+                                             key_bits, stride2, NBH,
+                                             verbose, t0)
+        if h2r_arr is not None:
+            h2r, h2r_nb = h2r_arr, nb_out
+        if h2r is None:     # failed: recover the krows probe plane
+            krows = _krows_build(keys2)
+    elif plan_h2r:
         from .batch import H2R_LOAD
         CAPM = _round_up(max(KPAD // 16, 1 << 20), 1 << 20)
         NBH = max(64, -(-K // H2R_LOAD))

@@ -298,3 +298,22 @@ def test_rtab_rid_recovery_map_batch():
         off, np.arange(len(rt), dtype=np.int64) * 4096, side="right") - 1,
         0)
     np.testing.assert_array_equal(rt, want.astype(np.uint16))
+
+
+def test_devbuild_h2r_chunked_parity():
+    """The chunked h2r build (GRCh38-scale path, O(CK) peak) produces a
+    table that decodes identically to the host build."""
+    import os
+    rng = np.random.default_rng(41)
+    names, seqs = _rand_genome(rng, [150_000, 60_000], 0.001)
+    mi = _host_ref(names, seqs, 10, 15)
+    os.environ["MM2TPU_DEVBUILD_H2R"] = "chunk"
+    try:
+        di, meta = build_device_index(names, seqs, 10, 15, interpret=True)
+    finally:
+        del os.environ["MM2TPU_DEVBUILD_H2R"]
+    assert di.h2r is not None and di.h2r_nb > 0
+    keys, starts, y = _dev_as_host(di, meta)
+    np.testing.assert_array_equal(keys, mi.keys)
+    np.testing.assert_array_equal(starts, mi.starts)
+    np.testing.assert_array_equal(y, mi.pos)
