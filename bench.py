@@ -425,6 +425,33 @@ def main():
         pass
 
     t_all = time.time()
+    # --- GRCh38 headline section FIRST (fresh HBM; the 1 Gb section's
+    # leftovers previously cost the 3.1 Gb build its memory margin) ---
+    g_rate = g_ev = g_off = None
+    g_vs = None
+    if RUN_GRCH38:
+        try:
+            g_rate, g_ev, g_off, g_meta = bench_grch38()
+            refr_g, src_g = ref_rate("grch38_env")
+            if refr_g:
+                g_vs = round(g_rate / (refr_g * XEON_CORES), 5)
+            log(f"grch38: {g_rate:.1f} reads/s vs_baseline={g_vs} "
+                f"(ref {refr_g} reads/s {src_g}) q60={q60_row(g_ev)} "
+                f"offdist_q60={q60_row(g_off)}")
+            gq = q60_row(g_ev)
+            if gq:
+                assert int(gq[3]) == 0, f"grch38 Q60 errors: {gq}"
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            log(f"grch38 section failed: {e}")
+        import gc
+        gc.collect()
+        try:
+            jax.clear_caches()
+            gc.collect()
+        except Exception:
+            pass
     n_roc = 512 if SMALL else N_READS_ROC
     di, mi, mid_occ, names, seqs, parts = ensure_artifacts(n_roc)
     ours_1g, ev_roc, step, p = bench_ours(di, mi, mid_occ, names, seqs)
@@ -481,26 +508,7 @@ def main():
             f"ambiguous-dup slice produced no mapq-0 mass: {amb_hist}"
         assert all(int(r[3]) == 0 for r in ev_sat), \
             f"ambiguous-dup mapping errors: {ev_sat}"
-    # --- GRCh38 headline section ---
-    g_rate = g_ev = g_off = None
-    g_vs = None
     del di, step, parts
-    if RUN_GRCH38:
-        try:
-            g_rate, g_ev, g_off, g_meta = bench_grch38()
-            refr_g, src_g = ref_rate("grch38_env")
-            if refr_g:
-                g_vs = round(g_rate / (refr_g * XEON_CORES), 5)
-            log(f"grch38: {g_rate:.1f} reads/s vs_baseline={g_vs} "
-                f"(ref {refr_g} reads/s {src_g}) q60={q60_row(g_ev)} "
-                f"offdist_q60={q60_row(g_off)}")
-            gq = q60_row(g_ev)
-            if gq:
-                assert int(gq[3]) == 0, f"grch38 Q60 errors: {gq}"
-        except Exception as e:
-            import traceback
-            traceback.print_exc()
-            log(f"grch38 section failed: {e}")
 
     extra = {
         "reads_per_s_1g": round(ours_1g, 1),

@@ -246,9 +246,14 @@ def build_h2rows_np(keys_u64: np.ndarray, starts: np.ndarray,
 
 
 def build_rtab_np(seq_off64: np.ndarray, total_len: int):
-    """4 KiB-block rid table (u16), or None when ineligible (<= 16
-    contigs use unrolled compares; any contig < 4 KiB would put two
-    boundaries in one block and break the single-compare correction)."""
+    """4 KiB-block rid table, or None when ineligible (<= 16 contigs
+    use unrolled compares; any contig < 4 KiB would put two boundaries
+    in one block and break the single-compare correction).
+
+    Each 4-lane row holds [off, next_off, rid, 0] (u32) for the contig
+    at the block start, so rid recovery is ONE 16 B gather: the
+    boundary correction (gpos >= next_off -> rid+1, off = next_off)
+    reuses the fetched next_off instead of two more gathers."""
     n = len(seq_off64)
     if n <= 16 or n >= 65535:
         return None
@@ -256,10 +261,16 @@ def build_rtab_np(seq_off64: np.ndarray, total_len: int):
     if len(gaps) == 0 or gaps.min() < 4096:
         return None
     nb = (total_len + 4095) // 4096
-    rt = np.searchsorted(seq_off64,
-                         np.arange(nb, dtype=np.int64) * 4096,
-                         side="right") - 1
-    return np.maximum(rt, 0).astype(np.uint16)
+    rid = np.maximum(np.searchsorted(
+        seq_off64, np.arange(nb, dtype=np.int64) * 4096,
+        side="right") - 1, 0)
+    off64 = seq_off64.astype(np.int64)
+    nxt64 = np.append(off64[1:], np.int64(0xFFFFFFFF))
+    rt = np.zeros((nb, 4), np.uint32)
+    rt[:, 0] = off64[rid].astype(np.uint32)
+    rt[:, 1] = nxt64[rid].astype(np.uint32)
+    rt[:, 2] = rid.astype(np.uint32)
+    return rt
 
 
 def searchsorted_u64pair(khi, klo, qhi, qlo):
@@ -1148,23 +1159,22 @@ def _expand_anchors(di: DeviceIndex, start, cnt, flt, mz, mpos, mspan, qlen,
                 rid = rid + in_j.astype(jnp.int32)
                 off_sel = jnp.where(in_j, so_u[j], off_sel)
         elif di.rtab is not None:
-            # GRCh38-class contig counts (195+): a 4 KiB-block rid
-            # lookup table.  rtab[p >> 12] is the rid at the block
-            # start; at most one contig boundary can sit inside a block
-            # (contigs are >= 4 KiB), so ONE compare against the next
-            # contig's offset corrects it.  3 full-size gathers total --
-            # the binary search this replaces cost ceil(log2(n_seq))+1
-            # = 9 of them per batch (~180 ms at GRCh38 scale; gather
-            # cost is per-descriptor even for tiny source tables).
-            so_ext = jnp.concatenate(
-                [so_u, jnp.full((1,), 0xFFFFFFFF, jnp.uint32)])
-            rid0 = di.rtab[jnp.minimum((gpos_u >> jnp.uint32(12))
-                                       .astype(jnp.int32),
-                                       di.rtab.shape[0] - 1)] \
-                .astype(jnp.int32)
-            nxt = so_ext[jnp.minimum(rid0 + 1, n_seq)]
-            rid = rid0 + (gpos_u >= nxt).astype(jnp.int32)
-            off_sel = so_u[jnp.minimum(rid, n_seq - 1)]
+            # GRCh38-class contig counts (195+): a 4 KiB-block lookup
+            # row [off, next_off, rid] -- ONE 16 B gather.  At most one
+            # contig boundary can sit inside a block (contigs are
+            # >= 4 KiB), and the correction reuses the fetched
+            # next_off.  The binary search this replaces cost
+            # ceil(log2(n_seq))+1 = 9 full-size gathers per batch
+            # (~180 ms at GRCh38 scale; gather cost is per-descriptor
+            # even from tiny source tables).
+            rv_ = di.rtab[jnp.minimum((gpos_u >> jnp.uint32(12))
+                                      .astype(jnp.int32),
+                                      di.rtab.shape[0] - 1)]
+            nxt = rv_[..., 1]
+            ge_ = gpos_u >= nxt
+            rid = (rv_[..., 2].astype(jnp.int32)
+                   + ge_.astype(jnp.int32))
+            off_sel = jnp.where(ge_, nxt, rv_[..., 0])
         else:
             # fallback: branchless binary search over the sorted
             # separated offsets (ceil(log2(n_seq)) tiny-table gathers)

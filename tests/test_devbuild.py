@@ -293,11 +293,14 @@ def test_rtab_rid_recovery_map_batch():
     di2, meta2 = build_device_index(names, seqs, 10, 15, interpret=True)
     assert di2.rtab is not None
     rt = np.asarray(di2.rtab)
-    off = meta2.seq_off
+    off = meta2.seq_off.astype(np.int64)
     want = np.maximum(np.searchsorted(
         off, np.arange(len(rt), dtype=np.int64) * 4096, side="right") - 1,
         0)
-    np.testing.assert_array_equal(rt, want.astype(np.uint16))
+    np.testing.assert_array_equal(rt[:, 2], want.astype(np.uint32))
+    np.testing.assert_array_equal(rt[:, 0], off[want].astype(np.uint32))
+    nxt = np.append(off[1:], np.int64(0xFFFFFFFF))
+    np.testing.assert_array_equal(rt[:, 1], nxt[want].astype(np.uint32))
 
 
 def test_devbuild_h2r_chunked_parity():
