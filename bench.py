@@ -47,6 +47,7 @@ REF_BIN = os.environ.get("MM2_REF_BIN", "/tmp/mm2build/minimap2")
 # (consulted from the .refrate.json stamps first; these constants are
 # the last-resort fallback when both the stamp and the binary are gone)
 FALLBACK_REF_READS_PER_S = 30.55
+FALLBACK_REF_READS_PER_S_GRCH38 = 26.6   # 3.1 Gb envelope, round-4 stamp
 XEON_CORES = 64
 B = 512            # reads per device batch
 N_READS_ROC = 10240   # distinct reads for the ROC-grade gate (1 Gb)
@@ -432,7 +433,8 @@ def main():
     if RUN_GRCH38:
         try:
             g_rate, g_ev, g_off, g_meta = bench_grch38()
-            refr_g, src_g = ref_rate("grch38_env")
+            refr_g, src_g = ref_rate("grch38_env",
+                                     FALLBACK_REF_READS_PER_S_GRCH38)
             if refr_g:
                 g_vs = round(g_rate / (refr_g * XEON_CORES), 5)
             log(f"grch38: {g_rate:.1f} reads/s vs_baseline={g_vs} "
@@ -445,11 +447,21 @@ def main():
             import traceback
             traceback.print_exc()
             log(f"grch38 section failed: {e}")
+            failed = True
+        else:
+            failed = False
         import gc
         gc.collect()
         try:
             jax.clear_caches()
             gc.collect()
+            if failed:
+                # a failed section leaks device buffers via the
+                # exception frames; reclaim HBM explicitly so the 1 Gb
+                # section starts from an empty chip
+                for a in jax.live_arrays():
+                    a.delete()
+                gc.collect()
         except Exception:
             pass
     n_roc = 512 if SMALL else N_READS_ROC

@@ -364,15 +364,19 @@ def _extd2_kernel_v2(lens_ref, qxa_ref, sfz_ref, p_ref, ez_ref,
         t2 = _wrap8(z - q2)
         a2 = _wrap8(a2 - t2)
         b2 = _wrap8(b2 - t2)
-        if not right_mode:
-            ga, gb, ga2, gb2 = a > 0, b > 0, a2 > 0, b2 > 0
-        else:
-            ga, gb, ga2, gb2 = a >= 0, b >= 0, a2 >= 0, b2 >= 0
         zd = jnp.asarray(0, DT)
-        x_new = _wrap8(jnp.where(ga, a, zd) - jnp.asarray(qe_pen, DT))
-        y_new = _wrap8(jnp.where(gb, b, zd) - jnp.asarray(qe_pen, DT))
-        x2_new = _wrap8(jnp.where(ga2, a2, zd) - jnp.asarray(qe2_pen, DT))
-        y2_new = _wrap8(jnp.where(gb2, b2, zd) - jnp.asarray(qe2_pen, DT))
+        if with_cigar:
+            # the >0 / >=0 flags are only needed for the cigar direction
+            # bits; the value clamp itself is a plain max either way
+            # (where(a>0,a,0) == where(a>=0,a,0) == max(a,0))
+            if not right_mode:
+                ga, gb, ga2, gb2 = a > 0, b > 0, a2 > 0, b2 > 0
+            else:
+                ga, gb, ga2, gb2 = a >= 0, b >= 0, a2 >= 0, b2 >= 0
+        x_new = _wrap8(jnp.maximum(a, zd) - jnp.asarray(qe_pen, DT))
+        y_new = _wrap8(jnp.maximum(b, zd) - jnp.asarray(qe_pen, DT))
+        x2_new = _wrap8(jnp.maximum(a2, zd) - jnp.asarray(qe2_pen, DT))
+        y2_new = _wrap8(jnp.maximum(b2, zd) - jnp.asarray(qe2_pen, DT))
 
         m_upd = reborn(livem & (abs_idx >= st) & (abs_idx <= en))
         u_out = dsel(m_upd, u_new, u_p)

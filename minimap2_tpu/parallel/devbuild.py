@@ -734,12 +734,20 @@ def build_device_index(names, codes_list, w: int, k: int,
               file=sys.stderr)
     NPAD = min(_round_up(max(N, 1), 8 << 20), CAP_TOT)
     if NPAD < CAP_TOT:      # trim one buffer at a time (bounded peak)
+        # block after each trim: trims cannot alias (unequal sizes), so
+        # enqueueing all of them holds every (input, output) pair live
+        # at once -- at 3.1 Gb that async peak is ~14.4 GB and OOMs;
+        # serialized, the peak is one CAP_TOT+NPAD pair
         keys_buf = _trim(keys_buf, NPAD=NPAD)
+        keys_buf.block_until_ready()
         if wide:
             khi_buf = _trim(khi_buf, NPAD=NPAD)
+            khi_buf.block_until_ready()
         pos_buf = _trim(pos_buf, NPAD=NPAD)
+        pos_buf.block_until_ready()
         if fmt2:
             str_buf = _trim(str_buf, NPAD=NPAD)
+            str_buf.block_until_ready()
     if fmt2:
         # pack the reference plane to 4-bit BEFORE the genome-scale sort
         # (and after the trim frees the capture-buffer overhang): at 3 Gb
